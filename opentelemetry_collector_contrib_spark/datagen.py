@@ -1,0 +1,224 @@
+"""Deterministic synthetic input generator (seed fixed).
+
+Generates, per scale factor, the pipeline input tables that the reference's
+own test fixtures model (FIXTURES.md; receiver/stanzareceiver/testdata/
+simple.log:1-3 and e2e_test.go:93-99 for the line shape):
+
+- ``tokens.parquet``  — (doc_id string, tokens array<int32>, n_tok int32,
+  source string): pre-tokenized log lines.  ~5% non-matching lines
+  (parse-failure path), Zipf-skewed ``source`` with one deliberately hot
+  value (>=60% of rows) to exercise salting/AQE skew handling.
+- ``pods.parquet``    — enrichment dimension mirroring kube.Pod
+  (processor/k8sprocessor/kube/kube.go:62-70) with deployment-regex-able
+  pod names (kube/client.go:55) and ~2% ignored pods (client.go:304-329).
+- ``carbon.parquet``  — raw carbon plaintext metric lines
+  (receiver/carbonreceiver/protocol/plaintext_parser.go:51-90).
+- ``statsd.parquet``  — raw statsd lines
+  (receiver/statsdreceiver/protocol/statsd_parser.go:131-224).
+
+Everything is derived from numpy PCG64 with a fixed seed, so any sf is
+reproducible bit-for-bit.  No external data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 20260816
+DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+# rows per sf=1.0 (so sf0.01 -> 60k, matching the driver's lineitem scale)
+TOKENS_ROWS_SF1 = 6_000_000
+PODS_ROWS = 400          # small dimension — broadcast side
+CARBON_ROWS_SF1 = 600_000
+STATSD_ROWS_SF1 = 600_000
+
+# source categories: hot-source deliberately hot (~62%) per FIXTURES.md
+SOURCES = ["hot-source", "app-a", "app-b", "k8s", "syslog"]
+SOURCE_P = [0.62, 0.16, 0.10, 0.08, 0.04]
+
+SEVERITIES = ["TRACE", "DEBUG", "INFO", "NOTICE", "WARNING", "ERROR",
+              "CRITICAL", "ALERT", "EMERGENCY", "CATASTROPHE", "WEIRD"]
+SEV_P = [0.04, 0.18, 0.40, 0.05, 0.15, 0.10, 0.03, 0.01, 0.01, 0.005, 0.025]
+
+MESSAGES = [
+    "Something routine happened",
+    "Something bad happened!",
+    "Some details about the request",
+    "connection established to upstream",
+    "request completed successfully",
+    "cache miss for key shard",
+    "retrying after transient failure",
+    "user login accepted",
+    "payload checksum verified",
+    "slow query detected in planner",
+]
+
+NAMESPACES = ["default", "kube-system", "prod", "staging"]
+NODES = [f"node-{i:02d}" for i in range(8)]
+DEPLOYMENTS = ["frontend", "api-server", "worker", "ingest", "billing"]
+
+METRIC_NAMES = ["cpu.usage", "mem.rss", "disk.io.read", "net.rx", "requests.count"]
+
+
+def _sf_dir(sf: float) -> str:
+    return os.path.join(DATA_ROOT, f"sf{sf:g}")
+
+
+def _pod_ip(i: int) -> str:
+    return f"10.{(i >> 8) & 255}.{i & 255}.{(i * 7) % 250 + 1}"
+
+
+def gen_pods(rng: np.random.Generator) -> pa.Table:
+    n = PODS_ROWS
+    idx = np.arange(n)
+    dep = rng.choice(len(DEPLOYMENTS), n)
+    rs_hash = rng.integers(0, 16**5, n)
+    pod_hash = rng.integers(0, 16**5, n)
+    pod_ip = [_pod_ip(i) for i in idx]
+    pod_name = [f"{DEPLOYMENTS[d]}-{r:05x}-{p:05x}" for d, r, p in zip(dep, rs_hash, pod_hash)]
+    namespace = [NAMESPACES[i] for i in rng.choice(len(NAMESPACES), n)]
+    node_name = [NODES[i] for i in rng.choice(len(NODES), n)]
+    start_epoch = 1598313600 + rng.integers(0, 86400 * 30, n)  # 2020-08-25 + 0..30d
+    start_time = [f"2020-{1 + (e % 12):02d}-{1 + (e % 27):02d}T{e % 24:02d}:00:00Z" for e in start_epoch]
+    git_sha = [f"GIT_SHA={s:08x} BUILD=ci" for s in rng.integers(0, 16**8, n)]
+    ignore = rng.random(n) < 0.02
+    return pa.table({
+        "pod_ip": pa.array(pod_ip, pa.string()),
+        "pod_name": pa.array(pod_name, pa.string()),
+        "namespace": pa.array(namespace, pa.string()),
+        "node_name": pa.array(node_name, pa.string()),
+        "start_time": pa.array(start_time, pa.string()),
+        "labels_raw": pa.array(git_sha, pa.string()),
+        "ignore": pa.array(ignore.tolist(), pa.bool_()),
+    })
+
+
+def gen_tokens(rng: np.random.Generator, n: int) -> pa.Table:
+    src_idx = rng.choice(len(SOURCES), n, p=SOURCE_P)
+    sev_idx = rng.choice(len(SEVERITIES), n, p=SEV_P)
+    msg_idx = rng.choice(len(MESSAGES), n)
+    # timestamps in a 3-day window starting 2020-08-25 (simple.log date)
+    epoch = 1598313600 + rng.integers(0, 86400 * 3, n)
+    # ~90% of rows carry a pod_ip k=v attribute; of those ~10% miss the dim
+    has_ip = rng.random(n) < 0.9
+    ip_pod = rng.integers(0, PODS_ROWS, n)            # matching ips
+    ip_miss = rng.random(n) < 0.10                    # lookup-miss path
+    seqno = rng.integers(0, 100000, n)
+    nonmatch = rng.random(n) < 0.05                   # parse-failure path
+
+    doc_ids, toks, n_tok, sources = [], [], [], []
+    for i in range(n):
+        e = int(epoch[i])
+        ts = f"2020-08-{25 + e // 86400 % 3:02d} {e // 3600 % 24:02d}:{e // 60 % 60:02d}:{e % 60:02d}"
+        if nonmatch[i]:
+            line = f"--- continuation line {int(seqno[i])} without timestamp"
+        else:
+            line = f"{ts} {SEVERITIES[sev_idx[i]]} {MESSAGES[msg_idx[i]]} seq={int(seqno[i])}"
+            if has_ip[i]:
+                ip = _pod_ip(int(ip_pod[i])) if not ip_miss[i] else f"172.16.{int(ip_pod[i]) % 250}.9"
+                line += f" pod_ip={ip}"
+        arr = np.frombuffer(line.encode("ascii"), dtype=np.uint8).astype(np.int32)
+        doc_ids.append(f"doc-{i:08d}")
+        toks.append(arr)
+        n_tok.append(len(arr))
+        sources.append(SOURCES[src_idx[i]])
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "tokens": pa.array([t.tolist() for t in toks], pa.list_(pa.int32())),
+        "n_tok": pa.array(n_tok, pa.int32()),
+        "source": pa.array(sources, pa.string()),
+    })
+
+
+def gen_carbon(rng: np.random.Generator, n: int) -> pa.Table:
+    """Carbon plaintext lines: <name>[;k=v...] <value> <ts>."""
+    name_idx = rng.choice(len(METRIC_NAMES), n)
+    host_idx = rng.integers(0, 8, n)
+    val = np.round(rng.random(n) * 100, 3)
+    ts = 1598313600 + rng.integers(0, 86400, n)
+    tagged = rng.random(n) < 0.5
+    lines = []
+    for i in range(n):
+        name = METRIC_NAMES[name_idx[i]]
+        if tagged[i]:
+            name += f";host=h{int(host_idx[i])};dc=us-east"
+        lines.append(f"{name} {val[i]} {int(ts[i])}")
+    return pa.table({"line": pa.array(lines, pa.string())})
+
+
+def gen_statsd(rng: np.random.Generator, n: int) -> pa.Table:
+    """statsd lines: name:value|type[|@rate][|#k:v,...]."""
+    name_idx = rng.choice(len(METRIC_NAMES), n)
+    val = rng.integers(1, 100, n)
+    is_counter = rng.random(n) < 0.6
+    sampled = rng.random(n) < 0.3
+    tagged = rng.random(n) < 0.4
+    gauge_delta = rng.random(n) < 0.2
+    lines = []
+    for i in range(n):
+        name = METRIC_NAMES[name_idx[i]].replace(".", "_")
+        if is_counter[i]:
+            line = f"{name}:{int(val[i])}|c"
+            if sampled[i]:
+                line += "|@0.5"
+        else:
+            sign = "+" if gauge_delta[i] else ""
+            line = f"{name}:{sign}{int(val[i])}|g"
+        if tagged[i]:
+            line += f"|#env:prod,host:h{int(val[i]) % 8}"
+        lines.append(line)
+    return pa.table({"line": pa.array(lines, pa.string())})
+
+
+def ensure_sf(sf: float, force: bool = False) -> str:
+    """Generate (if absent) all synthetic tables for a scale factor.
+
+    Returns the directory.  Deterministic: same sf -> same bytes.
+    """
+    d = _sf_dir(sf)
+    marker = os.path.join(d, "_GENERATED")
+    if os.path.exists(marker) and not force:
+        return d
+    os.makedirs(d, exist_ok=True)
+    n = max(int(TOKENS_ROWS_SF1 * sf), 1000)
+    rng = np.random.default_rng(np.random.PCG64(SEED))
+    pq.write_table(gen_tokens(rng, n), os.path.join(d, "tokens.parquet"))
+    # pods dim is sf-independent but re-derived from a fixed-seed stream
+    rng_p = np.random.default_rng(np.random.PCG64(SEED + 1))
+    pq.write_table(gen_pods(rng_p), os.path.join(d, "pods.parquet"))
+    rng_c = np.random.default_rng(np.random.PCG64(SEED + 2))
+    pq.write_table(gen_carbon(rng_c, max(int(CARBON_ROWS_SF1 * sf), 1000)),
+                   os.path.join(d, "carbon.parquet"))
+    rng_s = np.random.default_rng(np.random.PCG64(SEED + 3))
+    pq.write_table(gen_statsd(rng_s, max(int(STATSD_ROWS_SF1 * sf), 1000)),
+                   os.path.join(d, "statsd.parquet"))
+    with open(marker, "w") as f:
+        f.write(f"seed={SEED} n={n}\n")
+    return d
+
+
+def sf_from_testdata_dir(sf_dir: str) -> float:
+    """Map the driver's /root/testdata/sfX dir to our scale factor."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.01
+
+
+def tokens_dir_for(sf_dir: str) -> str:
+    """Directory of our synthetic tables matching a driver sf dir."""
+    return ensure_sf(sf_from_testdata_dir(sf_dir))
+
+
+if __name__ == "__main__":
+    import sys
+    for sf in [float(a) for a in sys.argv[1:]] or [0.001, 0.01]:
+        print(ensure_sf(sf))

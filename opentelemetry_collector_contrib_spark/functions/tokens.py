@@ -1,0 +1,51 @@
+"""Token codec: tokens array<int32> <-> log-line body string.
+
+Per BASELINE.json input_hint the pipeline input is pre-tokenized training
+sequences ``(doc_id, tokens: array<int32>, n_tok, source)``.  The decode
+step stands in for a real tokenizer's detokenize (the pdata ``Body`` the
+stanza file_input receiver would have read, receiver/stanzareceiver/
+converter.go:59).  We use a deterministic, exactly-invertible codepoint
+vocabulary (token id == Unicode codepoint, vocab-bounded), so:
+
+- decode is a vectorized Arrow-batched pandas UDF (no per-row Python in
+  the Spark plan),
+- the DuckDB oracle can decode independently with
+  ``array_to_string(list_transform(tokens, t -> chr(t)), '')``,
+- the per-row invariant (token-array equality through every stage) is
+  byte-checkable.
+
+The invariant: *no operator ever rewrites ``tokens``* — parse/enrich/route
+add columns; ``tokens`` flows through untouched.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: DuckDB-side equivalent of the decode UDF (oracle use).  `{col}` is the
+#: tokens column SQL.
+DECODE_SQL_DUCKDB = "array_to_string(list_transform({col}, t -> chr(t)), '')"
+
+
+def encode_text(text: str) -> list[int]:
+    """Driver/datagen-side encode (one-shot, not in the Spark plan)."""
+    return [ord(c) for c in text]
+
+
+@F.pandas_udf(T.StringType())
+def decode_tokens_udf(tokens: pd.Series) -> pd.Series:
+    """Vectorized detokenize: array<int32> -> body string.
+
+    Arrow hands the column over as a Series of numpy int32 arrays; the
+    loop below is over *rows within one Arrow batch* in C-backed
+    ``map`` — no Spark-row-at-a-time Python serde (the UDF boundary is
+    one Arrow batch, spark.sql.execution.arrow.maxRecordsPerBatch).
+    """
+    return tokens.map(lambda arr: "".join(map(chr, arr)))
+
+
+def decoded_body(tokens_col) -> "F.Column":
+    """Body column expression for a tokens column."""
+    return decode_tokens_udf(tokens_col)

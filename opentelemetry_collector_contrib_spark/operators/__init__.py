@@ -1,0 +1,13 @@
+from .regex_parser import RegexParser, DEFAULT_LOG_PATTERN
+from .json_parser import json_parser
+from .enrich import broadcast_enrich, prepare_pods_dim
+from .resource_detection import resource_detection
+from .routing import RoutingTable, route_column, fanout
+from .groupbyattrs import group_by_attrs, group_by_attrs_metrics
+
+__all__ = [
+    "RegexParser", "DEFAULT_LOG_PATTERN", "json_parser",
+    "broadcast_enrich", "prepare_pods_dim", "resource_detection",
+    "RoutingTable", "route_column", "fanout",
+    "group_by_attrs", "group_by_attrs_metrics",
+]

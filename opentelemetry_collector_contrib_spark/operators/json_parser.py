@@ -1,0 +1,52 @@
+"""json_parser — stanza's JSON body parser.
+
+Reference: receiver/stanzareceiver/register.go:20 and README.md:39-52 —
+parse a JSON body into record fields, with the same optional
+timestamp/severity sub-parsers as regex_parser.  Also covers the Splunk
+HEC receiver shape (receiver/splunkhecreceiver/splunk_to_logdata.go:33-90):
+JSON events whose ``fields`` become attributes and whose epoch-seconds
+``time`` becomes the ns timestamp.
+
+Spark-first: ``from_json`` with an explicit schema (JVM-side, codegen) —
+never schema inference on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def json_parser(df: DataFrame, schema: str, parse_from: str = "body",
+                prefix: str = "") -> DataFrame:
+    """Parse a JSON string column into typed columns.
+
+    ``schema`` is a DDL string, e.g. ``"ts string, level string, user struct<id:long>"``.
+    Adds one column per top-level field (optionally prefixed) and a
+    ``parsed`` flag (false for malformed JSON — kept, not dropped).
+    """
+    parsed = F.from_json(F.col(parse_from), schema)
+    df = df.withColumn("_j", parsed)
+    df = df.withColumn("parsed", F.col("_j").isNotNull())
+    for field in df.select("_j.*").columns:
+        df = df.withColumn(prefix + field, F.col(f"_j.{field}"))
+    return df.drop("_j")
+
+
+def splunk_hec_events(df: DataFrame, json_col: str = "body") -> DataFrame:
+    """Splunk HEC event JSON -> flat log rows (splunk_to_logdata.go:33-90):
+    ``time`` (epoch seconds, possibly fractional) -> ``ts_ns`` int64 nanos
+    (splunk_to_logdata.go:54-56); ``host``/``source``/``sourcetype`` ->
+    resource attributes; ``event`` -> body; ``fields`` -> attributes map.
+    """
+    schema = ("time double, host string, source string, sourcetype string, "
+              "index string, event string, fields map<string,string>")
+    out = df.withColumn("_e", F.from_json(F.col(json_col), schema))
+    return (out
+            .withColumn("ts_ns", (F.col("_e.time") * F.lit(1e9)).cast("long"))
+            .withColumn("host", F.col("_e.host"))
+            .withColumn("hec_source", F.col("_e.source"))
+            .withColumn("sourcetype", F.col("_e.sourcetype"))
+            .withColumn("event_body", F.col("_e.event"))
+            .withColumn("fields", F.col("_e.fields"))
+            .drop("_e"))
