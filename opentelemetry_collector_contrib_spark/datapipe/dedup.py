@@ -1,0 +1,230 @@
+"""Deduplication operators for training-data pipelines.
+
+These are first-class components alongside the log pipeline: the same
+engine that parses/routes 10^12 tokenized sequences needs exact and
+near dedup over them.  All operators are pure DataFrame compositions
+(no Python in the row loop) and every hash is the portable md5-derived
+family in hashing.py so the DuckDB oracle reproduces results exactly.
+
+Scale notes (100 TB):
+- exact dedup: hash-groupBy — map-side partial agg, one shuffle keyed
+  by 128-bit digest (uniform, no skew).
+- n-gram Jaccard: shingle-explode + self-equi-join on shingle.  The
+  shuffle is keyed by shingle hash; stopword-like ultra-hot shingles
+  are the skew risk, so shingles are k-grams (k>=3) which are already
+  near-unique; AQE skew-split covers the tail.
+- MinHash+LSH: signature is 16 mins computed in ONE aggregation over
+  the exploded shingles (no per-hash pass); band buckets then
+  equi-join — the classic sub-quadratic path; candidate pairs are
+  verified with exact Jaccard.
+- SimHash: 64 -> 32-bit fingerprint via bit-vote aggregation; pairs
+  within Hamming distance via xor+bit_count over block-partitioned
+  candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import (BANDS, MERSENNE_P, NUM_HASHES, ROWS_PER_BAND,
+                      minhash_expr, portable_hash)
+
+# ---------------------------------------------------------------------------
+# normalization + shingling (shared with the oracle SQL in __spark_entry__)
+# ---------------------------------------------------------------------------
+
+def norm_words(text_col) -> "F.Column":
+    """lower, strip non-alnum, split on whitespace, drop empties."""
+    cleaned = F.trim(F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " "))
+    return F.filter(F.split(cleaned, " "), lambda w: w != "")
+
+
+def word_shingles(words_col, k: int = 3) -> "F.Column":
+    """Distinct word k-grams joined by a space."""
+    n = F.size(words_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(words_col, i, k), " "))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    minimal id as representative + duplicate count."""
+    return (df
+            .withColumn("text_hash", F.md5(F.col(text_col)))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact, quadratic in matching pairs)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, k: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All pairs (a < b) with word-k-gram Jaccard >= threshold.
+
+    Set sizes come from the shingle arrays; the intersection from a
+    shingle self-join — only the join shuffles, keyed by shingle.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    word_shingles(norm_words(F.col(text_col)), k).alias("sh"))
+          .withColumn("sz", F.size("sh"))
+          .filter(F.col("sz") > 0))
+    ex = sh.select("id", "sz", F.explode("sh").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"),
+                      F.col("a.sz").alias("sz_a"),
+                      F.col("b.sz").alias("sz_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (inter
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(jac >= threshold)
+            .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, k: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """NUM_HASHES-wide MinHash signature per doc, one aggregation pass."""
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.explode(word_shingles(norm_words(F.col(text_col)), k))
+                    .alias("g"))
+          .withColumn("h", portable_hash(F.col("g"))))
+    aggs = [F.min(minhash_expr(F.col("h"), i)).alias(f"mh{i}")
+            for i in range(NUM_HASHES)]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature (BANDS x ROWS_PER_BAND) and emit pairs sharing
+    at least one band bucket (distinct pairs, a < b)."""
+    bands = []
+    for b in range(BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                for r in range(ROWS_PER_BAND)]
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              F.md5(F.concat_ws(",", *cols)).alias("sig")))
+    banded = (sig.select("id", F.explode(F.array(*bands)).alias("bs"))
+              .select("id", F.col("bs.band").alias("band"),
+                      F.col("bs.sig").alias("sig")))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.5, k: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """LSH candidates verified with exact Jaccard (the production path:
+    sub-quadratic candidate generation, exact verify on candidates only)."""
+    cand = lsh_candidate_pairs(minhash_signatures(df, k, text_col, id_col))
+    exact = ngram_jaccard_pairs(df, threshold=0.0, k=k,
+                                text_col=text_col, id_col=id_col)
+    return (cand.join(exact, on=["id_a", "id_b"], how="inner")
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SIMHASH_BITS-bit fingerprint: bit b is the sign of the
+    vote sum over word hashes (+1 if bit set else -1)."""
+    words = (df.select(F.col(id_col).alias("id"),
+                       F.explode(norm_words(F.col(text_col))).alias("w"))
+             .withColumn("h", portable_hash(F.col("w"))))
+    votes = words.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "h").withColumn(
+        "vote", (F.shiftright(F.col("h"), F.col("b").cast("int"))
+                 .bitwiseAND(F.lit(1)) * 2 - 1))
+    bits = (votes.groupBy("id", "b")
+            .agg(F.sum("vote").alias("s"))
+            .withColumn("bit", F.when(F.col("s") > 0,
+                                      F.shiftleft(F.lit(1).cast("long"), F.col("b").cast("int")))
+                        .otherwise(F.lit(0).cast("long"))))
+    return (bits.groupBy("id")
+            .agg(F.sum("bit").alias("simhash")))
+
+
+def simhash_near_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance.  Quadratic fallback for small N;
+    the scale path blocks on fingerprint prefixes (pigeonhole: any pair
+    within d bits shares one of d+1 prefix blocks)."""
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"), "hamming"))
+
+
+def simhash_near_pairs_blocked(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Scale path: split the fingerprint into (max_hamming+1) blocks;
+    equi-join on (block_idx, block_value) — any pair within max_hamming
+    shares at least one identical block (pigeonhole)."""
+    nblocks = max_hamming + 1
+    width = SIMHASH_BITS // nblocks
+    blocks = F.array(*[
+        F.struct(F.lit(i).alias("blk"),
+                 F.shiftright(F.col("simhash"), i * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
+        for i in range(nblocks)])
+    ex = (fp.select("id", "simhash", F.explode(blocks).alias("b"))
+          .select("id", "simhash", F.col("b.blk").alias("blk"),
+                  F.col("b.val").alias("val")))
+    a, b = ex.alias("a"), ex.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.val") == F.col("b.val"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"), "hamming")
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Pairs with cosine similarity >= threshold (brute force; the ANN
+    path in similarity.py prunes candidates first)."""
+    from .similarity import cosine_expr
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn("cosine", F.round(cos, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"), "cosine"))

@@ -1,0 +1,145 @@
+"""Config-driven pipeline assembly — the service.pipelines analog.
+
+The reference wires receivers -> processors -> exporters from a YAML
+config into a consumer chain (SURVEY §3.1; e.g.
+receiver/stanzareceiver/testdata/config.yaml:1-31,
+cmd/otelcontribcol/components.go:71-171).  Our analog: a PipelineConfig
+dataclass assembled into ONE DataFrame lineage per sink — Catalyst fuses
+the whole parse->enrich->route chain into a single scan + narrow stages;
+the only shuffles are the final aggregations.
+
+``run_pipeline`` is the spark-submit entry: processes the input in
+manifest units (resumable, plans/manifest.py), writes per-sink outputs +
+per-sink aggregate counts, and returns the run metrics.
+
+Skew handling (north rule): the aggregate stage keys on (source,
+severity) where ``source`` is deliberately hot.  groupBy is already
+two-phase (map-side partial agg), which flattens the hot key; for the
+pathological case the config can enable an explicit salt:
+``repartition(N, source, salt)`` before per-sink writes so no single
+task owns a 62%-hot key's output files.  AQE skew-join splitting is on
+in the session for the join side.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.enrich import broadcast_enrich, prepare_pods_dim
+from ..operators.regex_parser import RegexParser, kv_extract
+from ..operators.routing import RoutingTable, DEFAULT_ROUTES, with_route
+from ..sinks.writers import SinkConfig, serialize_records, write_sink
+from ..sources.tokens_source import read_tokens, with_body
+from .manifest import RunManifest, unit_column
+
+
+@dataclass
+class PipelineConfig:
+    tokens_path: str
+    pods_path: str
+    out_dir: str
+    routes: RoutingTable = field(default_factory=lambda: DEFAULT_ROUTES)
+    parser: RegexParser = field(default_factory=RegexParser)
+    sinks: dict[str, SinkConfig] = field(default_factory=dict)
+    n_units: int = 8               # manifest granularity
+    salt_partitions: int = 0       # >0: salted repartition before writes
+    decode_backend: str = "native"
+
+    def sink_cfg(self, name: str) -> SinkConfig:
+        if name not in self.sinks:
+            self.sinks[name] = SinkConfig(
+                name=name, path=f"{self.out_dir}/sinks/{name}")
+        return self.sinks[name]
+
+
+def build_lineage(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """The full parse -> enrich -> route lineage (no actions)."""
+    df = read_tokens(spark, cfg.tokens_path)
+    df = with_body(df, backend=cfg.decode_backend)
+    df = cfg.parser.apply(df)
+    df = kv_extract(df, "pod_ip")
+    pods = prepare_pods_dim(spark.read.parquet(cfg.pods_path))
+    df = broadcast_enrich(df, pods, "pod_ip")
+    return with_route(df, cfg.routes)
+
+
+ATTR_COLS = ["source", "severity_text", "namespace", "deployment", "pod_name"]
+
+
+def _process_unit(df: DataFrame, cfg: PipelineConfig, unit: int) -> dict:
+    t0 = time.time()
+    rows_in = df.count()
+    sink_counts: dict[str, int] = {}
+    rows_routed = 0
+    for sink_name in cfg.routes.all_sinks():
+        sink = cfg.sink_cfg(sink_name)
+        branch = df.filter(F.array_contains(F.col("sinks"), sink_name))
+        branch = serialize_records(branch, sink, attr_cols=ATTR_COLS)
+        out_cols = ["doc_id", "tokens", "n_tok", "payload",
+                    "metadata_signature", *ATTR_COLS]
+        branch = branch.select(*[c for c in out_cols if c in branch.columns])
+        if cfg.salt_partitions:
+            branch = branch.repartition(
+                cfg.salt_partitions, F.col("source"),
+                (F.rand(seed=unit) * cfg.salt_partitions).cast("int"))
+        write_sink(branch, SinkConfig(sink.name, f"{sink.path}/unit={unit}",
+                                      sink.log_format, sink.metadata_regexes,
+                                      sink.label_allowlist, sink.source_templates,
+                                      sink.max_records_per_file))
+        n = branch.count()
+        sink_counts[sink_name] = n
+        rows_routed += n
+    return {"rows_in": rows_in, "rows_routed": rows_routed,
+            "sink_counts": str(sink_counts),
+            "wall_ms": int((time.time() - t0) * 1000)}
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
+                 manifest: RunManifest | None = None,
+                 fail_after_units: int | None = None) -> dict:
+    """Resumable run: per manifest unit, fan out to sinks + record metrics.
+
+    ``fail_after_units`` simulates a kill for resume tests (FIXTURES §5.4).
+    Returns overall metrics including per-sink aggregate counts.
+    """
+    manifest = manifest or RunManifest(f"{cfg.out_dir}/_manifest")
+    lineage = build_lineage(spark, cfg).withColumn(
+        "unit", unit_column(cfg.n_units))
+    done = manifest.completed_units()
+    processed = 0
+    for unit in range(cfg.n_units):
+        if unit in done:
+            continue
+        if fail_after_units is not None and processed >= fail_after_units:
+            return {"status": "killed", "units_done": len(done) + processed}
+        metrics = _process_unit(lineage.filter(F.col("unit") == unit), cfg, unit)
+        manifest.record(unit, metrics)
+        processed += 1
+    totals = manifest.entries()
+    return {
+        "status": "complete",
+        "run_id": manifest.run_id,
+        "units": cfg.n_units,
+        "rows_in": sum(e.get("rows_in", 0) for e in totals),
+        "rows_routed": sum(e.get("rows_routed", 0) for e in totals),
+    }
+
+
+def aggregate_manifest(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Per-sink aggregate counts over the written outputs — the
+    groupbyattrs-style verification frame (FIXTURES §5.2)."""
+    frames = []
+    for sink_name in cfg.routes.all_sinks():
+        sink = cfg.sink_cfg(sink_name)
+        df = spark.read.parquet(f"{sink.path}/unit=*")
+        frames.append(df.groupBy("source", "severity_text")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .withColumn("sink", F.lit(sink_name)))
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out

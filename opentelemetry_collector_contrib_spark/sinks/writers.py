@@ -1,0 +1,112 @@
+"""Per-sink serialization + writes — sumologic / loki exporter analogs.
+
+Reference semantics re-expressed:
+- sumologicexporter groups records by "metadata signature" (sorted k=v of
+  the attribute keys matching the metadata regexes, fields.go:27-35,
+  exporter.go:152-174) and serializes each record as text (body only,
+  sender.go:139-141) or JSON ({payload attrs..., "log": body},
+  sender.go:144-154).  The order-dependent flush-on-signature-change
+  becomes an order-independent ``partitionBy(metadata cols)`` — identical
+  routed-row sets and counts, better batching (SURVEY §7).
+- request sizing (1 MiB body / 1M records, config.go:113, sender.go:56)
+  becomes output file sizing via ``maxRecordsPerFile`` and the parquet
+  codec replaces gzip/deflate (compress.go:38-48).
+- lokiexporter projects an attribute allowlist into labels
+  (exporter/lokiexporter/config.go:30-32).
+- metadata-vs-payload key partitioning per regex list
+  (sumologicexporter/filter.go:46-73).
+
+Scale notes: ``partitionBy`` on low-cardinality metadata columns gives
+partition-pruned reads downstream; ``maxRecordsPerFile`` bounds file
+size at 10^12 rows; writes are idempotent per run directory (overwrite),
+which combined with the manifest (plans/manifest.py) makes re-runs safe.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SinkConfig:
+    name: str
+    path: str
+    log_format: str = "text"                       # sender.go:139-154
+    metadata_regexes: list[str] = field(default_factory=list)  # filter.go:46-73
+    label_allowlist: list[str] | None = None       # loki config.go:30-32
+    source_templates: dict[str, str] = field(default_factory=dict)  # source_format.go:33-87
+    max_records_per_file: int = 1_048_576          # sender.go:56 buffer cap
+
+
+def split_metadata_keys(columns: list[str], regexes: list[str],
+                        filter_in: bool = True) -> list[str]:
+    """Partition attribute keys into metadata (match any regex) vs payload
+    (match none) — sumologicexporter/filter.go:46-73 filterIn/filterOut."""
+    compiled = [re.compile(r) for r in regexes]
+    hit = [c for c in columns if any(r.search(c) for r in compiled)]
+    return hit if filter_in else [c for c in columns if c not in hit]
+
+
+def source_template_expr(template: str) -> F.Column:
+    """%{attr} template -> concat expression (source_format.go:33-87),
+    e.g. '%{namespace}/%{pod_name}'."""
+    parts: list[F.Column] = []
+    pos = 0
+    for m in re.finditer(r"%\{([^}]+)\}", template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos:m.start()]))
+        parts.append(F.coalesce(F.col(m.group(1)).cast("string"), F.lit("")))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    return F.concat(*parts) if parts else F.lit(template)
+
+
+def serialize_records(df: DataFrame, cfg: SinkConfig,
+                      body_col: str = "body",
+                      attr_cols: list[str] | None = None) -> DataFrame:
+    """Add the serialized payload column per log_format (sender.go:139-154)
+    and the metadata signature 'k=v, ...' sorted by key (fields.go:27-35)."""
+    attr_cols = attr_cols or []
+    meta_keys = split_metadata_keys(attr_cols, cfg.metadata_regexes)
+    payload_keys = [c for c in attr_cols if c not in meta_keys]
+
+    if cfg.log_format == "json":
+        # {payload attrs..., "log": body} — sender.go:144-154
+        fields = [F.col(c).alias(c) for c in sorted(payload_keys)]
+        fields.append(F.col(body_col).alias("log"))
+        payload = F.to_json(F.struct(*fields))
+    else:
+        payload = F.col(body_col)
+
+    sig_parts = [F.concat(F.lit(f"{k}="),
+                          F.coalesce(F.col(k).cast("string"), F.lit("")))
+                 for k in sorted(meta_keys)]
+    signature = F.concat_ws(", ", *sig_parts) if sig_parts else F.lit("")
+
+    out = (df.withColumn("payload", payload)
+             .withColumn("metadata_signature", signature))
+    for header, tmpl in cfg.source_templates.items():
+        out = out.withColumn(header, source_template_expr(tmpl))
+    return out
+
+
+def write_sink(df: DataFrame, cfg: SinkConfig,
+               partition_cols: list[str] | None = None,
+               mode: str = "overwrite") -> None:
+    """Write one sink. Column projection per allowlist; partitionBy for
+    the batchperresourceattr-style per-attribute fan-out
+    (pkg/batchperresourceattr/batchperresourceattr.go:131-164)."""
+    if cfg.label_allowlist is not None:
+        keep = [c for c in df.columns
+                if c in cfg.label_allowlist or c in (partition_cols or [])]
+        df = df.select(*keep)
+    writer = (df.write.mode(mode)
+              .option("maxRecordsPerFile", cfg.max_records_per_file))
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(cfg.path)

@@ -1,0 +1,52 @@
+"""Structured-streaming variant of the pipeline.
+
+The reference *is* a streaming system (push-based consumer chain,
+SURVEY §3.1); the north rule re-expresses it as batch, but the same
+lineage runs unchanged under Structured Streaming — this module is the
+proof: ``readStream`` over the tokens table directory, the identical
+parse -> enrich -> route transforms (they are all narrow), and windowed
+per-sink counts with a watermark (the groupbytrace/tailsampling
+buffering analog: event-time windows replace the wait_duration timers,
+processor/groupbytraceprocessor/processor.go:124-170).
+
+Used by tests with the memory sink + ``processAllAvailable()`` so a
+static directory drives the stream to completion deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.enrich import broadcast_enrich, prepare_pods_dim
+from ..operators.regex_parser import RegexParser, kv_extract
+from ..operators.routing import RoutingTable, DEFAULT_ROUTES, with_route
+from ..sources.tokens_source import with_body
+
+TOKENS_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def streaming_pipeline(spark: SparkSession, tokens_dir: str, pods_path: str,
+                       routes: RoutingTable = DEFAULT_ROUTES,
+                       parser: RegexParser | None = None) -> DataFrame:
+    """readStream -> parse -> enrich -> route (unbounded DataFrame)."""
+    df = (spark.readStream.schema(TOKENS_DDL)
+          .parquet(tokens_dir))
+    df = with_body(df)
+    df = (parser or RegexParser()).apply(df)
+    df = kv_extract(df, "pod_ip")
+    pods = prepare_pods_dim(spark.read.parquet(pods_path))   # static dim side
+    df = broadcast_enrich(df, pods, "pod_ip")
+    return with_route(df, routes)
+
+
+def streaming_counts(routed: DataFrame,
+                     window: str = "1 hour",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Windowed per-sink counts with late-data watermark — the streaming
+    groupbyattrs.  In batch the window is the whole input (SURVEY §2.7)."""
+    return (routed
+            .withColumn("sink", F.explode("sinks"))
+            .withWatermark("event_ts", watermark)
+            .groupBy(F.window("event_ts", window), "sink", "source")
+            .agg(F.count(F.lit(1)).alias("n")))
