@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 20260816
+GEN_VERSION = "v2"   # bump when adding tables so stale dirs regenerate
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 
 # rows per sf=1.0 (so sf0.01 -> 60k, matching the driver's lineitem scale)
@@ -175,6 +176,51 @@ def gen_statsd(rng: np.random.Generator, n: int) -> pa.Table:
     return pa.table({"line": pa.array(lines, pa.string())})
 
 
+def gen_hec(rng: np.random.Generator, n: int) -> pa.Table:
+    """Splunk HEC event JSON lines (splunk_to_logdata.go:33-90 shape)."""
+    import json
+    host_idx = rng.integers(0, 8, n)
+    st_idx = rng.integers(0, 3, n)
+    t = 1598313600 + rng.random(n) * 86400
+    msg_idx = rng.integers(0, len(MESSAGES), n)
+    k1 = rng.integers(0, 100, n)
+    lines = []
+    for i in range(n):
+        ev = {
+            "time": round(float(t[i]), 3),
+            "host": f"h{int(host_idx[i])}",
+            "source": "hec",
+            "sourcetype": ["access", "syslog", "json"][int(st_idx[i])],
+            "index": "main",
+            "event": MESSAGES[int(msg_idx[i])],
+            "fields": {"k1": str(int(k1[i])), "env": "prod"},
+        }
+        lines.append(json.dumps(ev, separators=(",", ":")))
+    return pa.table({"body": pa.array(lines, pa.string())})
+
+
+def gen_media(rng: np.random.Generator, n: int) -> pa.Table:
+    """Opaque binary media payloads + typed metadata (deterministic)."""
+    import hashlib
+    kinds = ["image", "audio", "video"]
+    ids, kind_col, payloads, mimes, nbytes = [], [], [], [], []
+    for i in range(n):
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (i % 7 + 1)
+        k = kinds[i % 3]
+        ids.append(f"m-{i:05d}")
+        kind_col.append(k)
+        payloads.append(payload)
+        mimes.append(f"{k}/fake")
+        nbytes.append(len(payload))
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "kind": pa.array(kind_col, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(mimes, pa.string()),
+        "n_bytes": pa.array(nbytes, pa.int32()),
+    })
+
+
 def ensure_sf(sf: float, force: bool = False) -> str:
     """Generate (if absent) all synthetic tables for a scale factor.
 
@@ -183,7 +229,9 @@ def ensure_sf(sf: float, force: bool = False) -> str:
     d = _sf_dir(sf)
     marker = os.path.join(d, "_GENERATED")
     if os.path.exists(marker) and not force:
-        return d
+        with open(marker) as f:
+            if f.read().startswith(GEN_VERSION):
+                return d
     os.makedirs(d, exist_ok=True)
     n = max(int(TOKENS_ROWS_SF1 * sf), 1000)
     rng = np.random.default_rng(np.random.PCG64(SEED))
@@ -197,8 +245,13 @@ def ensure_sf(sf: float, force: bool = False) -> str:
     rng_s = np.random.default_rng(np.random.PCG64(SEED + 3))
     pq.write_table(gen_statsd(rng_s, max(int(STATSD_ROWS_SF1 * sf), 1000)),
                    os.path.join(d, "statsd.parquet"))
+    rng_h = np.random.default_rng(np.random.PCG64(SEED + 4))
+    pq.write_table(gen_hec(rng_h, max(int(CARBON_ROWS_SF1 * sf), 1000)),
+                   os.path.join(d, "hec.parquet"))
+    rng_m = np.random.default_rng(np.random.PCG64(SEED + 5))
+    pq.write_table(gen_media(rng_m, 256), os.path.join(d, "media.parquet"))
     with open(marker, "w") as f:
-        f.write(f"seed={SEED} n={n}\n")
+        f.write(f"{GEN_VERSION} seed={SEED} n={n}\n")
     return d
 
 

@@ -41,11 +41,15 @@ def norm_words(text_col) -> "F.Column":
 
 
 def word_shingles(words_col, k: int = 3) -> "F.Column":
-    """Distinct word k-grams joined by a space."""
+    """Distinct word k-grams joined by a space.  Guarded for n < k:
+    Spark's sequence(1, 0) is DESCENDING, not empty."""
     n = F.size(words_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(words_col, i, k), " "))
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(words_col, i, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -88,9 +92,12 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, k: int = 3,
                       F.col("a.sz").alias("sz_a"),
                       F.col("b.sz").alias("sz_b"))
              .agg(F.count(F.lit(1)).alias("inter")))
+    # NB: jaccard is left unrounded — the long/long double division is
+    # bit-identical across engines, so the oracle compares raw doubles
+    # (rounding could disagree on exact decimal halves).
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (inter
-            .withColumn("jaccard", F.round(jac, 6))
+            .withColumn("jaccard", jac)
             .filter(jac >= threshold)
             .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard"))
 
@@ -157,16 +164,18 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     words = (df.select(F.col(id_col).alias("id"),
                        F.explode(norm_words(F.col(text_col))).alias("w"))
              .withColumn("h", portable_hash(F.col("w"))))
+    # NB: the pyspark shiftright/shiftleft wrappers only accept Python
+    # int shift amounts — the column-shift form needs SQL expressions.
     votes = words.select(
         "id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
         "h").withColumn(
-        "vote", (F.shiftright(F.col("h"), F.col("b").cast("int"))
-                 .bitwiseAND(F.lit(1)) * 2 - 1))
+        "vote", F.expr("(shiftright(h, cast(b as int)) & 1) * 2 - 1"))
     bits = (votes.groupBy("id", "b")
             .agg(F.sum("vote").alias("s"))
-            .withColumn("bit", F.when(F.col("s") > 0,
-                                      F.shiftleft(F.lit(1).cast("long"), F.col("b").cast("int")))
-                        .otherwise(F.lit(0).cast("long"))))
+            .withColumn("bit", F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+                .otherwise(F.lit(0).cast("long"))))
     return (bits.groupBy("id")
             .agg(F.sum("bit").alias("simhash")))
 

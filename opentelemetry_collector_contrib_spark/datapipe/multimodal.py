@@ -42,23 +42,31 @@ def synth_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int]:
+def _checksum(payload: bytes) -> str:
+    """md5 of the lowercase hex string of the bytes — chosen (over md5 of
+    the raw bytes) so the DuckDB oracle can reproduce it exactly:
+    ``md5(lower(hex(payload)))`` (DuckDB has no md5(BLOB))."""
+    return hashlib.md5(bytes(payload).hex().encode()).hexdigest()
+
+
+def _fake_decode(checksum: str) -> tuple[int, int]:
     """Deterministic stand-in for a real decoder: derive dimensions from
-    the payload digest."""
-    d = hashlib.md5(payload).digest()
-    return 16 + d[0] % 240, 16 + d[1] % 240
+    the payload checksum digest bytes."""
+    d0, d1 = int(checksum[0:2], 16), int(checksum[2:4], 16)
+    return 16 + d0 % 240, 16 + d1 % 240
 
 
 def decode_image_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
     if not fake:
         # real path needs PIL/ffmpeg etc. — not in this container
         raise NotImplementedError("image/audio decode requires codec libs")
-    dims = pdf["payload"].map(_fake_decode)
+    checksums = pdf["payload"].map(_checksum)
+    dims = checksums.map(_fake_decode)
     return pd.DataFrame({
         "media_id": pdf["media_id"],
         "kind": pdf["kind"],
         "n_bytes": pdf["payload"].map(len).astype("int32"),
-        "checksum": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
+        "checksum": checksums,
         "width": dims.map(lambda t: t[0]).astype("int32"),
         "height": dims.map(lambda t: t[1]).astype("int32"),
         "ok": True,

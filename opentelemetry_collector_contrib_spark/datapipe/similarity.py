@@ -23,13 +23,17 @@ from pyspark.sql import functions as F
 
 
 def dot_expr(a: Column, b: Column) -> Column:
-    """Index-ordered fold — deterministic double-precision sum."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+    """Index-ordered fold — deterministic double-precision sum.  Elements
+    cast to double BEFORE the multiply so float32 inputs produce the
+    same bits as the (double-arithmetic) oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
 
 
 def norm_expr(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
 def cosine_expr(a: Column, b: Column) -> Column:

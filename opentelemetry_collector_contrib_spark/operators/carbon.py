@@ -23,6 +23,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .regex_parser import group_number, java_pattern
+
 
 def parse_plaintext(df: DataFrame, line_col: str = "line") -> DataFrame:
     """plaintext_parser.go:51-90: name[;tags] value ts -> columns.
@@ -70,16 +72,16 @@ def apply_regex_rules(df: DataFrame, rules: list[CarbonRegexRule],
     labels_expr: Column | None = None
     type_expr: Column | None = None
     for rule in rules:
-        rx = rule.regexp.replace("(?P<", "(?<")
+        rx = java_pattern(rule.regexp)
         cond = path.rlike(rx)
         # name = prefix + name_* captures joined by separator
-        name_caps = [F.regexp_extract(path, rx, _group_index(rule.regexp, g))
+        name_caps = [F.regexp_extract(path, rx, group_number(rule.regexp, g))
                      for g in rule.name_parts]
         name = F.concat_ws(name_separator,
                            *([F.lit(name_prefix)] if name_prefix else []),
                            *name_caps)
         entries = [F.struct(F.lit(g).alias("key"),
-                            F.regexp_extract(path, rx, _group_index(rule.regexp, g))
+                            F.regexp_extract(path, rx, group_number(rule.regexp, g))
                             .alias("value"))
                    for g in rule.key_parts]
         entries += [F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
@@ -104,7 +106,3 @@ def apply_regex_rules(df: DataFrame, rules: list[CarbonRegexRule],
               .withColumn("metric_type", type_expr))
 
 
-def _group_index(pattern: str, group_name: str) -> int:
-    """Index of a named capture group within a Python-style pattern."""
-    import re
-    return re.compile(pattern).groupindex[group_name]

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .regex_parser import java_pattern
+
 _AGGS = {
     "sum": F.sum,
     "mean": F.avg,
@@ -48,7 +50,7 @@ def combine(df: DataFrame, match_rx: str, new_name: str,
     - points grouped by (labels, ts second) then merged with ``agg``
       (datapoint_aggregation.go:34-117; int/double merge 121-161).
     """
-    jrx = match_rx.replace("(?P<", "(?<")
+    jrx = java_pattern(match_rx)
     matched = df.filter(F.col(name_col).rlike(jrx))
     for i, lbl in enumerate(submatch_labels or []):
         matched = matched.withColumn(
@@ -104,7 +106,7 @@ def merge_distributions(df: DataFrame, keys: list[str],
 def rename_metric(df: DataFrame, match_rx: str, template: str,
                   name_col: str = "metric_name") -> DataFrame:
     """Regex rename with $1-style expansion (metrics_transform_processor.go:298-310)."""
-    jrx = match_rx.replace("(?P<", "(?<")
+    jrx = java_pattern(match_rx)
     return df.withColumn(
         name_col,
         F.when(F.col(name_col).rlike(jrx),

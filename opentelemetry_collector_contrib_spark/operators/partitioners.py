@@ -51,16 +51,13 @@ def ring_route_column(key: Column, endpoints: list[str]) -> Column:
     positions = [p for p, _ in ring]
     owners = [e for _, e in ring]
     h = F.pmod(F.crc32(key.cast("binary")), F.lit(RING_POSITIONS))
-    # index of first position >= h; miss wraps to 0
+    # index of first position >= h = count of positions < h (ring is
+    # sorted); count == size means wrap to 0.  Pure codegen, O(ring).
     pos_arr = F.array(*[F.lit(p) for p in positions])
-    idx = F.aggregate(
-        pos_arr,
-        F.lit(-1),
-        lambda acc, x: F.when((acc == -1) & (x >= h),
-                              F.array_position(pos_arr, x) - 1).otherwise(acc))
-    idx = F.when(idx == -1, F.lit(0)).otherwise(idx)
+    idx = F.size(F.filter(pos_arr, lambda x: x < h))
+    idx = F.when(idx >= F.size(pos_arr), F.lit(0)).otherwise(idx)
     owner_arr = F.array(*[F.lit(o) for o in owners])
-    return F.element_at(owner_arr, idx.cast("int") + 1)
+    return F.element_at(owner_arr, idx + 1)
 
 
 def batch_per_attr(df: DataFrame, attr: str, n_partitions: int | None = None) -> DataFrame:

@@ -49,6 +49,22 @@ def _compiled(pattern: str) -> "re.Pattern[str]":
     return re.compile(pattern)
 
 
+_NAMED_GROUP_RX = re.compile(r"\(\?P<[A-Za-z_][A-Za-z0-9_]*>")
+
+
+def java_pattern(pattern: str) -> str:
+    """Python-regex -> Java-regex: named groups become plain groups.
+    (Java group names may not contain underscores, and all extraction in
+    this package is by group NUMBER via re.groupindex, so names are only
+    metadata on the Python side.)"""
+    return _NAMED_GROUP_RX.sub("(", pattern)
+
+
+def group_number(pattern: str, group_name: str) -> int:
+    """1-based group number of a named group in a Python pattern."""
+    return _compiled(pattern).groupindex[group_name]
+
+
 class RegexParser:
     """Config-driven regex parse stage (a DataFrame -> DataFrame builder,
     the Spark analog of a stanza operator plugin)."""
@@ -87,13 +103,13 @@ class RegexParser:
     def _extract_native(self, df: DataFrame) -> DataFrame:
         # Spark regexp_extract returns '' on miss; use a match guard to
         # preserve NULL-on-miss so both backends agree exactly.
-        # Java regex names groups (?<g>...), Python (?P<g>...) — translate.
-        rx = self.pattern.replace("(?P<", "(?<")
+        rx = java_pattern(self.pattern)
         matched = F.col(self.parse_from).rlike(rx)
         cols = [
             F.when(matched,
-                   F.regexp_extract(F.col(self.parse_from), rx, i + 1)).alias(g)
-            for i, g in enumerate(self.groups)
+                   F.regexp_extract(F.col(self.parse_from), rx,
+                                    group_number(self.pattern, g))).alias(g)
+            for g in self.groups
         ]
         return df.withColumn("_g", F.when(matched, F.struct(*cols)))
 

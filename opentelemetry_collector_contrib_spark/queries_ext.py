@@ -1,0 +1,541 @@
+"""Extended driver-contract queries: training-data ops (dedup,
+similarity, text stats, multimodal) + the remaining reference operator
+families (carbon, statsd, metricstransform, tailsampling, groupbytrace,
+splunk HEC, consistent-hash ring).
+
+Each Spark query has an exactly-matching DuckDB oracle built here; float
+results are engineered to be bit-identical across engines (same
+double-precision operation order), so the driver's sorted value-hash
+compare is stable.  See tools/check_correctness.py for the gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datapipe.dedup import (exact_dedup, minhash_lsh_dedup,
+                             ngram_jaccard_pairs, minhash_signatures,
+                             simhash_fingerprints, simhash_near_pairs_blocked,
+                             embedding_neardup_pairs)
+from .datapipe.hashing import (MERSENNE_P, NUM_HASHES, BANDS, ROWS_PER_BAND,
+                               _A, _B, portable_hash_sql)
+from .datapipe.multimodal import extract_features
+from .datapipe.similarity import cosine_topk, lsh_topk
+from .datapipe.textstats import (LANGS, STOPWORDS, bpe_ish_token_count,
+                                 fingerprint, lang_id, quality_features)
+from .operators.carbon import CarbonRegexRule, apply_regex_rules, parse_plaintext
+from .operators.filters import SamplingPolicy, tail_sample
+from .operators.json_parser import splunk_hec_events
+from .operators.metrics_transform import combine
+from .operators.partitioners import ring_route_column
+from .operators.statsd import flush_aggregate, parse_statsd
+
+# ---------------------------------------------------------------------------
+# corpora (built in-query from the documents table, mirrored in SQL)
+# ---------------------------------------------------------------------------
+
+PAD = " padding tail marker"
+RING_BACKENDS = ["backend-0", "backend-1", "backend-2", "backend-3"]
+CARBON_NAME_RX = r"^(?P<name_0>cpu|mem|disk|net)\.(?P<name_1>[a-z.]+)$"
+COMBINE_RX = r"^(?P<pre>cpu|mem)\.(?P<rest>[a-z.]+)$"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a padded near-duplicate of every doc (id+10000)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d2 = d.select((F.col("doc_id") + 10000).alias("doc_id"),
+                  F.concat(F.col("text"), F.lit(PAD)).alias("text"))
+    return d.unionByName(d2)
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus byte-exact copies of doc_id < 100 (id+20000)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d2 = (d.filter(F.col("doc_id") < 100)
+          .select((F.col("doc_id") + 20000).alias("doc_id"), "text"))
+    return d.unionByName(d2)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_exact_corpus(spark, sf_dir), "text", "doc_id")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_near_corpus(spark, sf_dir), threshold=0.5, k=3)
+
+
+def q_minhash_sig(spark, sf_dir):
+    return minhash_signatures(_docs(spark, sf_dir), k=3)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_dedup(_near_corpus(spark, sf_dir), threshold=0.5, k=3)
+
+
+def q_simhash_fp(spark, sf_dir):
+    return simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    fp = simhash_fingerprints(_near_corpus(spark, sf_dir))
+    return simhash_near_pairs_blocked(fp, max_hamming=3)
+
+
+def q_ann_topk(spark, sf_dir):
+    return cosine_topk(_emb(spark, sf_dir), k=3)
+
+
+def q_embed_neardup(spark, sf_dir):
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Scale-path ANN (bucketed LSH) — rows-only check (recall subset of
+    the oracle-checked brute-force ann_topk)."""
+    return lsh_topk(_emb(spark, sf_dir), dim=64, k=3)
+
+
+def q_textstats(spark, sf_dir):
+    df = lang_id(_docs(spark, sf_dir))
+    df = quality_features(df)
+    df = df.withColumn("n_bpe", bpe_ish_token_count(F.col("text")))
+    df = fingerprint(df)
+    return df.select("doc_id", "pred_lang", "n_chars_m", "n_words", "n_punct",
+                     "mean_word_len", "punct_ratio", "stopword_ratio",
+                     "quality_score", "n_bpe", "fingerprint")
+
+
+def q_langid_agg(spark, sf_dir):
+    return (lang_id(_docs(spark, sf_dir))
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _carbon(spark, tok_dir):
+    return parse_plaintext(
+        spark.read.parquet(os.path.join(tok_dir, "carbon.parquet")))
+
+
+def q_carbon_parse(spark, sf_dir, tok_dir):
+    rules = [CarbonRegexRule(
+        regexp=CARBON_NAME_RX, name_parts=["name_0", "name_1"],
+        static_labels={"plane": "system"}, metric_type="cumulative")]
+    r = apply_regex_rules(_carbon(spark, tok_dir), rules,
+                          name_separator="_", name_prefix="carbon")
+    return r.select(
+        "metric_path",
+        F.col("tags").getItem("host").alias("host"),
+        F.col("tags").getItem("dc").alias("dc"),
+        "value", "ts", "metric_name", "metric_type")
+
+
+def q_metrics_combine(spark, sf_dir, tok_dir):
+    return combine(_carbon(spark, tok_dir), COMBINE_RX, "system.combined",
+                   submatch_labels=["pre", "rest"], agg="sum",
+                   name_col="metric_path", value_col="value", ts_col="ts")
+
+
+def q_statsd_flush(spark, sf_dir, tok_dir):
+    parsed = parse_statsd(
+        spark.read.parquet(os.path.join(tok_dir, "statsd.parquet")))
+    return flush_aggregate(parsed)
+
+
+def q_tailsample(spark, sf_dir):
+    policies = [
+        SamplingPolicy("hi-value", "numeric_attribute", attribute="value",
+                       min_value=400.0, max_value=500.0),
+        SamplingPolicy("purchases", "string_attribute", attribute="event_type",
+                       values=["purchase"]),
+    ]
+    out = tail_sample(_events(spark, sf_dir), policies, trace_col="user_id")
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+def q_trace_sessions(spark, sf_dir):
+    return (_events(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("first_ts"),
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("ts", "event_id", "event_type"))),
+                     lambda s: s.event_type).alias("event_seq")))
+
+
+def q_hec_parse(spark, sf_dir, tok_dir):
+    df = spark.read.parquet(os.path.join(tok_dir, "hec.parquet"))
+    out = splunk_hec_events(df)
+    return out.select(
+        "ts_ns", "host", "hec_source", "sourcetype", "event_body",
+        F.col("fields").getItem("k1").alias("k1"),
+        F.col("fields").getItem("env").alias("env"))
+
+
+def q_media_features(spark, sf_dir, tok_dir):
+    df = spark.read.parquet(os.path.join(tok_dir, "media.parquet"))
+    return extract_features(df.select("media_id", "kind", "payload"), fake=True)
+
+
+def q_ring_route(spark, sf_dir, tok_dir):
+    """Consistent-hash ring fan-out counts (crc32 ring — no DuckDB crc32,
+    so rows-only here; exact ring parity vs a pure-Python reference is
+    asserted in tests/test_partitioners.py)."""
+    df = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    return (df.withColumn("backend",
+                          ring_route_column(F.col("doc_id"), RING_BACKENDS))
+            .groupBy("backend")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+WORDS_SQL = ("list_filter(string_split(trim(regexp_replace(lower(text), "
+             "'[^a-z0-9]+', ' ', 'g')), ' '), w -> w <> '')")
+
+NEAR_CORPUS_SQL = f"""corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text || '{PAD}' FROM documents
+)"""
+
+EXACT_CORPUS_SQL = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 100
+)"""
+
+
+def _shingle_cte(src: str = "corpus", k: int = 3) -> str:
+    return f"""docs AS (
+  SELECT id, {WORDS_SQL} AS words FROM {src}
+), sh AS (
+  SELECT id, list_distinct([array_to_string(words[i:i+{k - 1}], ' ')
+           for i in generate_series(1, greatest(len(words)-{k - 1}, 0))]) AS sh
+  FROM docs
+), ex AS (SELECT id, len(sh) AS sz, unnest(sh) AS g FROM sh WHERE len(sh) > 0)"""
+
+
+_JACCARD_CTE = """inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         count(*)::BIGINT AS inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+), jac AS (
+  SELECT id_a, id_b, inter, sz_a, sz_b,
+         inter / (sz_a + sz_b - inter) AS jaccard
+  FROM inter
+)"""
+
+
+def _minhash_cols() -> str:
+    h = portable_hash_sql("g")
+    return ", ".join(
+        f"min((({h}) * {_A[i]} + {_B[i]}) % {MERSENNE_P}) AS mh{i}"
+        for i in range(NUM_HASHES))
+
+
+def _band_union(sig_src: str = "sig") -> str:
+    parts = []
+    for b in range(BANDS):
+        cols = ", ".join(f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+                         for r in range(ROWS_PER_BAND))
+        parts.append(f"SELECT id, {b} AS band, md5(concat_ws(',', {cols})) "
+                     f"AS bsig FROM {sig_src}")
+    return " UNION ALL ".join(parts)
+
+
+def _simhash_cte(src: str = "corpus") -> str:
+    h = portable_hash_sql("w")
+    return f"""docs AS (
+  SELECT id, {WORDS_SQL} AS words FROM {src}
+), w AS (SELECT id, unnest(words) AS w FROM docs),
+h AS (SELECT id, {h} AS h FROM w),
+votes AS (
+  SELECT id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+  GROUP BY id, b
+), fp AS (
+  SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+  FROM votes GROUP BY id
+)"""
+
+
+_VEC_CTE = """v AS (
+  SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS v
+  FROM embeddings
+), nv AS (
+  SELECT id, v, sqrt(list_reduce([x*x for x in v], (a, b) -> a + b)) AS nrm
+  FROM v
+)"""
+
+_DOT_SQL = ("list_reduce([a.v[i] * b.v[i] for i in "
+            "generate_series(1, len(a.v))], (x, y) -> x + y)")
+
+
+def _textstats_base() -> str:
+    hits = ", ".join(
+        "len(list_filter(words, w -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"], w))) AS h_{lang}"
+        for lang in LANGS)
+    bpe_rx = (r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+              .replace("'", "''"))
+    return f"""d AS (
+  SELECT doc_id, text, {WORDS_SQL} AS words FROM documents
+), f AS (
+  SELECT doc_id, text, words,
+         length(text) AS n_chars_m,
+         len(words) AS n_words,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '{bpe_rx}')) AS n_bpe,
+         {hits}
+  FROM d
+), g AS (
+  SELECT *,
+    CASE WHEN n_words > 0
+         THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+              / n_words ELSE 0.0 END AS mean_wlen,
+    CASE WHEN n_chars_m > 0
+         THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0.0 END AS punct_r,
+    CASE WHEN n_words > 0
+         THEN CAST(h_en AS DOUBLE) / n_words ELSE 0.0 END AS sw_r
+  FROM f
+)"""
+
+
+def _pred_lang_sql() -> str:
+    """Earliest language in LANGS with the (>=1) max hit count wins —
+    exactly the reversed-iteration argmax in textstats.lang_id."""
+    clauses = []
+    for i, lang in enumerate(LANGS):
+        later = [f"h_{l}" for l in LANGS[i + 1:]]
+        bound = f"greatest({', '.join(later + ['1'])})" if later else "1"
+        clauses.append(f"WHEN h_{lang} >= {bound} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'unk' END"
+
+
+def extra_oracles(tok_dir: str) -> dict[str, str]:
+    d = tok_dir
+    mh = _minhash_cols()
+    score_sql = ("least(CAST(n_words AS DOUBLE) / 20.0, 1.0) * 0.4"
+                 " + CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10"
+                 " THEN 0.3 ELSE 0.0 END"
+                 " + least(sw_r * 5.0, 0.2)"
+                 " + CASE WHEN punct_r < 0.1 THEN 0.1 ELSE 0.0 END")
+    carbon_rx = r"^(cpu|mem|disk|net)\.([a-z.]+)$"
+    combine_rx = r"^(cpu|mem)\.([a-z.]+)$"
+    return {
+        "dedup_exact": f"""WITH {EXACT_CORPUS_SQL}
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+       count(*)::BIGINT AS dup_count
+FROM corpus GROUP BY md5(text)""",
+
+        "dedup_jaccard": f"""WITH {NEAR_CORPUS_SQL}, {_shingle_cte()}, {_JACCARD_CTE}
+SELECT id_a, id_b, inter, sz_a, sz_b, jaccard FROM jac WHERE jaccard >= 0.5""",
+
+        "minhash_sig": f"""WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+{_shingle_cte()}
+SELECT id, {mh} FROM ex GROUP BY id""",
+
+        "minhash_lsh": f"""WITH {NEAR_CORPUS_SQL}, {_shingle_cte()}, {_JACCARD_CTE},
+sig AS (SELECT id, {mh} FROM ex GROUP BY id),
+bands AS ({_band_union()}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= 0.5""",
+
+        "simhash_fp": f"""WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+{_simhash_cte()}
+SELECT id, simhash FROM fp""",
+
+        "simhash_pairs": f"""WITH {NEAR_CORPUS_SQL}, {_simhash_cte()}
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+        "ann_topk": f"""WITH {_VEC_CTE},
+p AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id,
+         round({_DOT_SQL} / (a.nrm * b.nrm), 6) AS cosine
+  FROM nv a JOIN nv b ON a.id <> b.id)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM p QUALIFY rank <= 3""",
+
+        "embed_neardup": f"""WITH {_VEC_CTE},
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round({_DOT_SQL} / (a.nrm * b.nrm), 6) AS cosine
+  FROM nv a JOIN nv b ON a.id < b.id)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""",
+
+        "textstats": f"""WITH {_textstats_base()}
+SELECT doc_id, {_pred_lang_sql()} AS pred_lang,
+       n_chars_m, n_words, n_punct,
+       round(mean_wlen, 6) AS mean_word_len,
+       round(punct_r, 6) AS punct_ratio,
+       round(sw_r, 6) AS stopword_ratio,
+       round({score_sql}, 6) AS quality_score,
+       n_bpe,
+       md5(array_to_string(words, ' ')) AS fingerprint
+FROM g""",
+
+        "langid_agg": f"""WITH d0 AS (SELECT doc_id, lang, text FROM documents),
+d AS (SELECT doc_id, lang, {WORDS_SQL} AS words FROM d0),
+f AS (SELECT doc_id, lang, {', '.join(
+    "len(list_filter(words, w -> list_contains(["
+    + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    + f"], w))) AS h_{lang}" for lang in LANGS)} FROM d)
+SELECT lang, {_pred_lang_sql()} AS pred_lang, count(*)::BIGINT AS n
+FROM f GROUP BY 1, 2""",
+
+        "carbon_parse": f"""WITH c AS (
+  SELECT string_split(line, ' ') AS parts FROM read_parquet('{d}/carbon.parquet')
+), s AS (
+  SELECT string_split(parts[1], ';') AS pp,
+         NULLIF(regexp_extract(parts[1], ';host=([^;]*)', 1), '') AS host,
+         NULLIF(regexp_extract(parts[1], ';dc=([^;]*)', 1), '') AS dc,
+         CAST(parts[2] AS DOUBLE) AS value, CAST(parts[3] AS BIGINT) AS ts
+  FROM c
+)
+SELECT pp[1] AS metric_path, host, dc, value, ts,
+       CASE WHEN regexp_matches(pp[1], '{carbon_rx}')
+            THEN concat_ws('_', 'carbon',
+                           regexp_extract(pp[1], '{carbon_rx}', 1),
+                           regexp_extract(pp[1], '{carbon_rx}', 2))
+            ELSE pp[1] END AS metric_name,
+       CASE WHEN regexp_matches(pp[1], '{carbon_rx}')
+            THEN 'cumulative' ELSE 'gauge' END AS metric_type
+FROM s""",
+
+        "metrics_combine": f"""WITH c AS (
+  SELECT string_split(line, ' ') AS parts FROM read_parquet('{d}/carbon.parquet')
+), s AS (
+  SELECT string_split(parts[1], ';')[1] AS metric_path,
+         CAST(parts[2] AS DOUBLE) AS value, CAST(parts[3] AS BIGINT) AS ts
+  FROM c
+)
+SELECT ts AS ts_sec,
+       regexp_extract(metric_path, '{combine_rx}', 1) AS pre,
+       regexp_extract(metric_path, '{combine_rx}', 2) AS rest,
+       sum(value) AS value, 'system.combined' AS metric_path
+FROM s WHERE regexp_matches(metric_path, '{combine_rx}')
+GROUP BY 1, 2, 3""",
+
+        "statsd_flush": f"""WITH p AS (
+  SELECT regexp_extract(line, '^([^:]+):', 1) AS name,
+         regexp_extract(line, '^[^:]+:([^|]+)\\|', 1) AS raw,
+         regexp_extract(line, '\\|(c|g|ms|h|s)(\\||$)', 1) AS mtype,
+         regexp_extract(line, '\\|@([0-9.]+)', 1) AS rate_s,
+         regexp_extract(line, '\\|#(.+)$', 1) AS tags_s
+  FROM read_parquet('{d}/statsd.parquet')
+), t AS (
+  SELECT name, mtype,
+         CASE WHEN tags_s <> ''
+              THEN array_to_string(list_sort(string_split(tags_s, ',')), ',')
+              ELSE '' END AS tags,
+         regexp_matches(raw, '^[+-]') AS is_delta,
+         CASE WHEN mtype = 'c'
+              THEN CAST(raw AS DOUBLE)
+                   / (CASE WHEN rate_s <> '' THEN CAST(rate_s AS DOUBLE)
+                           ELSE 1.0 END)
+              ELSE CAST(raw AS DOUBLE) END AS value
+  FROM p
+)
+SELECT name, tags, sum(value) AS value, 'c' AS metric_type
+FROM t WHERE mtype = 'c' GROUP BY name, tags
+UNION ALL
+SELECT name, tags,
+       coalesce(max(CASE WHEN NOT is_delta THEN value END), 0.0)
+       + sum(CASE WHEN is_delta THEN value ELSE 0.0 END) AS value,
+       'g' AS metric_type
+FROM t WHERE mtype = 'g' GROUP BY name, tags""",
+
+        "tailsample": """SELECT event_id, user_id, event_type, value
+FROM events WHERE user_id IN (
+  SELECT user_id FROM events
+  WHERE (value BETWEEN 400.0 AND 500.0) OR event_type IN ('purchase'))""",
+
+        "trace_sessions": """SELECT user_id, count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       list(event_type ORDER BY ts, event_id) AS event_seq
+FROM events GROUP BY user_id""",
+
+        "hec_parse": f"""SELECT
+  CAST(trunc(CAST(json_extract_string(body, '$.time') AS DOUBLE) * 1e9)
+       AS BIGINT) AS ts_ns,
+  json_extract_string(body, '$.host') AS host,
+  json_extract_string(body, '$.source') AS hec_source,
+  json_extract_string(body, '$.sourcetype') AS sourcetype,
+  json_extract_string(body, '$.event') AS event_body,
+  json_extract_string(body, '$.fields.k1') AS k1,
+  json_extract_string(body, '$.fields.env') AS env
+FROM read_parquet('{d}/hec.parquet')""",
+
+        "media_features": f"""SELECT media_id, kind,
+  CAST(octet_length(payload) AS INT) AS n_bytes,
+  md5(lower(hex(payload))) AS checksum,
+  CAST(16 + (CAST(('0x' || substr(md5(lower(hex(payload))), 1, 2)) AS INT)
+             % 240) AS INT) AS width,
+  CAST(16 + (CAST(('0x' || substr(md5(lower(hex(payload))), 3, 2)) AS INT)
+             % 240) AS INT) AS height,
+  true AS ok
+FROM read_parquet('{d}/media.parquet')""",
+    }
+
+
+def extra_queries(tok_dir_for) -> dict:
+    """Query dict entries; ``tok_dir_for(sf_dir)`` maps the driver sf dir
+    to our synthetic-table dir (datagen)."""
+    def with_tok(fn):
+        return lambda spark, sf_dir: fn(spark, sf_dir, tok_dir_for(sf_dir))
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "minhash_sig": q_minhash_sig,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_fp": q_simhash_fp,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "embed_neardup": q_embed_neardup,
+        "ann_lsh": q_ann_lsh,
+        "textstats": q_textstats,
+        "langid_agg": q_langid_agg,
+        "carbon_parse": with_tok(q_carbon_parse),
+        "metrics_combine": with_tok(q_metrics_combine),
+        "statsd_flush": with_tok(q_statsd_flush),
+        "tailsample": q_tailsample,
+        "trace_sessions": q_trace_sessions,
+        "hec_parse": with_tok(q_hec_parse),
+        "media_features": with_tok(q_media_features),
+        "ring_route": with_tok(q_ring_route),
+    }
