@@ -24,12 +24,20 @@ def json_parser(df: DataFrame, schema: str, parse_from: str = "body",
     ``schema`` is a DDL string, e.g. ``"ts string, level string, user struct<id:long>"``.
     Adds one column per top-level field (optionally prefixed) and a
     ``parsed`` flag (false for malformed JSON — kept, not dropped).
+
+    Malformed detection: PERMISSIVE from_json yields an all-NULL struct
+    (not a NULL struct) on bad input, so a corrupt-record column is the
+    reliable flag.
     """
-    parsed = F.from_json(F.col(parse_from), schema)
+    parsed = F.from_json(F.col(parse_from), schema + ", _corrupt_record string",
+                         {"columnNameOfCorruptRecord": "_corrupt_record"})
     df = df.withColumn("_j", parsed)
-    df = df.withColumn("parsed", F.col("_j").isNotNull())
+    df = df.withColumn(
+        "parsed",
+        F.col(parse_from).isNotNull() & F.col("_j._corrupt_record").isNull())
     for field in df.select("_j.*").columns:
-        df = df.withColumn(prefix + field, F.col(f"_j.{field}"))
+        if field != "_corrupt_record":
+            df = df.withColumn(prefix + field, F.col(f"_j.{field}"))
     return df.drop("_j")
 
 

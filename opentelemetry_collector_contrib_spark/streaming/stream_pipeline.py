@@ -47,6 +47,7 @@ def streaming_counts(routed: DataFrame,
     groupbyattrs.  In batch the window is the whole input (SURVEY §2.7)."""
     return (routed
             .withColumn("sink", F.explode("sinks"))
+            .filter(F.col("event_ts").isNotNull())   # parse failures have no event time
             .withWatermark("event_ts", watermark)
             .groupBy(F.window("event_ts", window), "sink", "source")
             .agg(F.count(F.lit(1)).alias("n")))

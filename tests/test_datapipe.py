@@ -1,0 +1,167 @@
+"""Training-data ops: dedup (exact / jaccard / minhash+LSH / simhash),
+similarity search (brute force vs numpy; LSH recall), text stats,
+multimodal plumbing.  Cross-checked against independent numpy/pure-
+Python oracles (the GROUPED_MAP cross-check pattern)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+    embedding_neardup_pairs, exact_dedup, minhash_lsh_dedup,
+    ngram_jaccard_pairs, simhash_fingerprints, simhash_near_pairs,
+    simhash_near_pairs_blocked)
+from opentelemetry_collector_contrib_spark.datapipe.multimodal import (
+    decode_image_batch, extract_features, frame_sample, synth_media)
+from opentelemetry_collector_contrib_spark.datapipe.similarity import (
+    cosine_topk, lsh_topk)
+from opentelemetry_collector_contrib_spark.datapipe.textstats import (
+    bpe_ish_token_count, fingerprint, lang_id, quality_features, token_count)
+
+from conftest import rows
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog today"),
+    ("d2", "the quick brown fox jumps over the lazy dog today"),   # exact dup
+    ("d3", "the quick brown fox jumps over the lazy dog yesterday"),  # near dup
+    ("d4", "completely different content about spark engines and shuffles"),
+    ("d5", "Der Hund und die Katze sind nicht mit auf der Couch"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def _py_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        import re
+        w = [x for x in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if x]
+        return set(" ".join(w[i:i + k]) for i in range(len(w) - k + 1))
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_dedup(spark):
+    out = {r["keep_id"]: r["dup_count"]
+           for r in exact_dedup(_docs(spark)).collect()}
+    assert out["d1"] == 2          # d1==d2
+    assert out["d3"] == 1
+    assert len(out) == 4
+
+
+def test_jaccard_matches_python(spark):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()}
+    texts = dict(DOCS)
+    for (a, b), j in got.items():
+        assert abs(j - _py_jaccard(texts[a], texts[b])) < 1e-12
+    assert got[("d1", "d2")] == 1.0
+    assert ("d1", "d3") in got
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    got = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_dedup(_docs(spark), threshold=0.5).collect()}
+    assert ("d1", "d2") in got            # exact dup always collides
+    assert all(p[0] != "d4" and p[1] != "d4" for p in got)
+
+
+def test_simhash_identical_and_blocked_equals_bruteforce(spark):
+    fp = simhash_fingerprints(_docs(spark))
+    vals = {r["id"]: r["simhash"] for r in fp.collect()}
+    assert vals["d1"] == vals["d2"]
+    brute = rows(simhash_near_pairs(fp, max_hamming=6))
+    blocked = rows(simhash_near_pairs_blocked(fp, max_hamming=6))
+    assert brute == blocked                # pigeonhole blocking is exact
+
+
+VECS = [
+    ("v1", [1.0, 0.0, 0.0, 0.0]),
+    ("v2", [0.9, 0.1, 0.0, 0.0]),
+    ("v3", [0.0, 1.0, 0.0, 0.0]),
+    ("v4", [0.0, 0.0, 1.0, 1.0]),
+]
+
+
+def _vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id string, embedding array<float>")
+
+
+def test_cosine_topk_matches_numpy(spark):
+    out = cosine_topk(_vecs(spark), k=2)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    m = {k: np.array(v) for k, v in VECS}
+    for q in m:
+        sims = sorted(((float(m[q] @ m[o] / (np.linalg.norm(m[q]) * np.linalg.norm(m[o]))), o)
+                       for o in m if o != q), key=lambda t: (-round(t[0], 6), t[1]))
+        assert got[(q, 1)] == sims[0][1]
+        assert got[(q, 2)] == sims[1][1]
+
+
+def test_embedding_neardup(spark):
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_neardup_pairs(_vecs(spark), threshold=0.9,
+                                   id_col="vec_id").collect()}
+    assert got == {("v1", "v2")}
+
+
+def test_lsh_topk_is_subset_of_bruteforce_pairs(spark):
+    """LSH may miss candidates but must never invent similarities."""
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in cosine_topk(_vecs(spark), k=3).collect()}
+    for r in lsh_topk(_vecs(spark), dim=4, k=3).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact
+        assert r["cosine"] == exact[key]
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [("t1", "the cat and the dog, it was good!!"),
+         ("t2", "der hund und die katze"),
+         ("t3", "")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           quality_features(lang_id(df)).withColumn(
+               "n_ws", token_count(F.col("text"))).withColumn(
+               "n_bpe", bpe_ish_token_count(F.col("text"))).collect()}
+    assert out["t1"]["pred_lang"] == "en"
+    assert out["t2"]["pred_lang"] == "de"
+    assert out["t3"]["pred_lang"] == "unk"
+    assert out["t1"]["n_ws"] == 8
+    assert out["t1"]["n_punct"] == 3          # , ! !
+    assert out["t3"]["quality_score"] == 0.1  # empty: only punct<0.1 arm
+    assert out["t1"]["n_bpe"] > out["t1"]["n_ws"]
+
+
+def test_fingerprint_normalization_invariant(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello,   World!"), ("b", "hello world"), ("c", "other")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert got["a"] == got["b"]
+    assert got["a"] != got["c"]
+
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, n=12)
+    out = extract_features(media).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["ok"] and 16 <= r["width"] <= 255 and 16 <= r["height"] <= 255
+        assert len(r["checksum"]) == 32
+
+
+def test_multimodal_real_decode_is_stubbed():
+    import pandas as pd
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.DataFrame({"media_id": ["m"], "kind": ["image"],
+                                         "payload": [b"x"]}), fake=False)
+
+
+def test_frame_sample_deterministic(spark):
+    media = synth_media(spark, n=64)
+    a = sorted(r["media_id"] for r in frame_sample(media, 4).collect())
+    b = sorted(r["media_id"] for r in frame_sample(media, 4).collect())
+    assert a == b and 0 < len(a) < 64

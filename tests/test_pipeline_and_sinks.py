@@ -1,0 +1,181 @@
+"""End-to-end pipeline: sink serialization, manifest resume (kill +
+re-run == uninterrupted run), streaming variant parity with batch.
+
+Mirrors: sumologic serialization matrix (sender_test.go:129-505 style),
+offsets_file resume (stanzareceiver/config.go:26), and the rotation
+e2e's ElementsMatch set-compare (e2e_test.go:197)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.routing import RoutingTable
+from opentelemetry_collector_contrib_spark.plans.manifest import (
+    RunManifest, unit_column)
+from opentelemetry_collector_contrib_spark.plans.pipeline import (
+    PipelineConfig, aggregate_manifest, build_lineage, run_pipeline)
+from opentelemetry_collector_contrib_spark.sinks.writers import (
+    SinkConfig, serialize_records, source_template_expr, split_metadata_keys,
+    write_sink)
+from opentelemetry_collector_contrib_spark.streaming.stream_pipeline import (
+    streaming_counts, streaming_pipeline)
+
+from conftest import rows
+
+
+# -- serialization ----------------------------------------------------------
+
+def _frame(spark):
+    return spark.createDataFrame(
+        [("d1", "body one", "app", "Info", "ns1"),
+         ("d2", "body two", "app", "Error", None)],
+        "doc_id string, body string, source string, severity_text string, "
+        "namespace string")
+
+
+def test_split_metadata_keys():
+    cols = ["source", "severity_text", "namespace", "pod_name"]
+    meta = split_metadata_keys(cols, [r"^source$", r"^namespace$"])
+    assert meta == ["source", "namespace"]
+    payload = split_metadata_keys(cols, [r"^source$", r"^namespace$"],
+                                  filter_in=False)
+    assert payload == ["severity_text", "pod_name"]
+
+
+def test_serialize_text_and_signature(spark):
+    cfg = SinkConfig("s", "/tmp/x", log_format="text",
+                     metadata_regexes=[r"^source$", r"^namespace$"])
+    out = serialize_records(_frame(spark), cfg,
+                            attr_cols=["source", "severity_text", "namespace"])
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got["d1"]["payload"] == "body one"        # text = body only
+    # sorted k=v signature (fields.go:27-35); NULL -> empty value
+    assert got["d1"]["metadata_signature"] == "namespace=ns1, source=app"
+    assert got["d2"]["metadata_signature"] == "namespace=, source=app"
+
+
+def test_serialize_json_payload(spark):
+    cfg = SinkConfig("s", "/tmp/x", log_format="json",
+                     metadata_regexes=[r"^source$"])
+    out = serialize_records(_frame(spark), cfg,
+                            attr_cols=["source", "severity_text"])
+    got = {r["doc_id"]: r["payload"] for r in out.collect()}
+    # {payload attrs..., "log": body} (sender.go:144-154)
+    assert got["d1"] == '{"severity_text":"Info","log":"body one"}'
+
+
+def test_source_template(spark):
+    df = _frame(spark).withColumn(
+        "hdr", source_template_expr("%{namespace}/%{source}"))
+    got = {r["doc_id"]: r["hdr"] for r in df.collect()}
+    assert got["d1"] == "ns1/app"
+    assert got["d2"] == "/app"           # NULL attr -> empty (source_format.go)
+
+
+def test_write_sink_allowlist_and_partition(spark, tmp_path):
+    cfg = SinkConfig("loki", str(tmp_path / "loki"),
+                     label_allowlist=["doc_id", "severity_text"])
+    write_sink(_frame(spark), cfg, partition_cols=["severity_text"])
+    back = spark.read.parquet(cfg.path)
+    assert sorted(back.columns) == ["doc_id", "severity_text"]
+    assert back.count() == 2
+    # partitionBy produced per-value dirs (batchperresourceattr analog)
+    assert (tmp_path / "loki" / "severity_text=Info").exists()
+
+
+# -- manifest + resume ------------------------------------------------------
+
+def _cfg(sf_dir, out_dir, n_units=4):
+    return PipelineConfig(
+        tokens_path=f"{sf_dir}/tokens.parquet",
+        pods_path=f"{sf_dir}/pods.parquet",
+        out_dir=out_dir, n_units=n_units)
+
+
+def test_unit_column_stable(spark):
+    df = spark.createDataFrame([(f"doc-{i}",) for i in range(50)],
+                               "doc_id string")
+    a = rows(df.withColumn("u", unit_column(8)), "doc_id", "u")
+    b = rows(df.repartition(13).withColumn("u", unit_column(8)),
+             "doc_id", "u")
+    assert a == b        # unit id survives physical re-layout
+
+
+def test_pipeline_resume_equals_uninterrupted(spark, sf_dir, tmp_path):
+    full_dir, resume_dir = str(tmp_path / "full"), str(tmp_path / "resumed")
+
+    full = run_pipeline(spark, _cfg(sf_dir, full_dir))
+    assert full["status"] == "complete"
+
+    # kill after 2 of 4 units, then resume with a fresh manifest object
+    cfg2 = _cfg(sf_dir, resume_dir)
+    killed = run_pipeline(spark, cfg2, fail_after_units=2)
+    assert killed["status"] == "killed"
+    resumed = run_pipeline(spark, _cfg(sf_dir, resume_dir))
+    assert resumed["status"] == "complete"
+    assert resumed["rows_in"] == full["rows_in"]
+
+    # identical routed-row sets per sink (token-array equality invariant)
+    for sink in ("sumologic", "loki", "default-sink"):
+        a = spark.read.parquet(f"{full_dir}/sinks/{sink}/unit=*")
+        b = spark.read.parquet(f"{resume_dir}/sinks/{sink}/unit=*")
+        assert rows(a, "doc_id", "tokens") == rows(b, "doc_id", "tokens")
+
+    # manifest recorded per-unit lineage + metrics
+    m = RunManifest(f"{resume_dir}/_manifest")
+    entries = m.entries()
+    assert {e["unit"] for e in entries if e["status"] == "done"} == {0, 1, 2, 3}
+    assert all(e["rows_in"] > 0 and "wall_ms" in e for e in entries)
+
+
+def test_aggregate_manifest_counts(spark, sf_dir, tmp_path):
+    out_dir = str(tmp_path / "run")
+    cfg = _cfg(sf_dir, out_dir)
+    run_pipeline(spark, cfg)
+    agg = aggregate_manifest(spark, cfg)
+    total = agg.agg(F.sum("n")).collect()[0][0]
+    lineage = build_lineage(spark, cfg)
+    expect = lineage.select(F.explode("sinks")).count()
+    assert total == expect
+
+
+# -- streaming variant ------------------------------------------------------
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    # readStream needs a directory of files, not a single parquet file
+    import shutil
+    stream_dir = tmp_path / "tokens_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/tokens.parquet", stream_dir / "part-0.parquet")
+    routed = streaming_pipeline(spark, str(stream_dir),
+                                f"{sf_dir}/pods.parquet")
+    counts = streaming_counts(routed, window="6 hours", watermark="1 hour")
+    # complete mode so the final (not-yet-watermark-closed) windows are
+    # visible with a static input driven to completion
+    q = (counts.writeStream.format("memory").queryName("t_stream")
+         .outputMode("complete").option(
+             "checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT sink, source, sum(n) AS n FROM t_stream GROUP BY 1, 2")
+    # batch equivalent over the same input
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        broadcast_enrich, prepare_pods_dim)
+    from opentelemetry_collector_contrib_spark.operators.regex_parser import (
+        RegexParser, kv_extract)
+    from opentelemetry_collector_contrib_spark.operators.routing import (
+        DEFAULT_ROUTES, exploded)
+    from opentelemetry_collector_contrib_spark.sources.tokens_source import (
+        read_tokens, with_body)
+    df = with_body(read_tokens(spark, f"{sf_dir}/tokens.parquet"))
+    df = kv_extract(RegexParser().apply(df), "pod_ip")
+    df = broadcast_enrich(
+        df, prepare_pods_dim(spark.read.parquet(f"{sf_dir}/pods.parquet")),
+        "pod_ip")
+    batch = (exploded(df, DEFAULT_ROUTES)
+             .filter(F.col("event_ts").isNotNull())
+             .groupBy("sink", "source").agg(F.count(F.lit(1)).alias("n")))
+    assert rows(got) == rows(batch)
