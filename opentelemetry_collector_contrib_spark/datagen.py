@@ -112,7 +112,7 @@ def gen_tokens(rng: np.random.Generator, n: int) -> pa.Table:
     seqno = rng.integers(0, 100000, n)
     nonmatch = rng.random(n) < 0.05                   # parse-failure path
 
-    doc_ids, toks, n_tok, sources = [], [], [], []
+    lines = []
     for i in range(n):
         e = int(epoch[i])
         ts = f"2020-08-{25 + e // 86400 % 3:02d} {e // 3600 % 24:02d}:{e // 60 % 60:02d}:{e % 60:02d}"
@@ -123,16 +123,21 @@ def gen_tokens(rng: np.random.Generator, n: int) -> pa.Table:
             if has_ip[i]:
                 ip = _pod_ip(int(ip_pod[i])) if not ip_miss[i] else f"172.16.{int(ip_pod[i]) % 250}.9"
                 line += f" pod_ip={ip}"
-        arr = np.frombuffer(line.encode("ascii"), dtype=np.uint8).astype(np.int32)
-        doc_ids.append(f"doc-{i:08d}")
-        toks.append(arr)
-        n_tok.append(len(arr))
-        sources.append(SOURCES[src_idx[i]])
+        lines.append(line)
+    # vectorized token-array construction: one flat byte buffer + list
+    # offsets (per-row list building is ~100x slower at sf >= 1)
+    lens = np.fromiter((len(l) for l in lines), dtype=np.int64, count=n)
+    flat = np.frombuffer("".join(lines).encode("ascii"), dtype=np.uint8)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    tokens_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.array(flat.astype(np.int32), pa.int32()))
     return pa.table({
-        "doc_id": pa.array(doc_ids, pa.string()),
-        "tokens": pa.array([t.tolist() for t in toks], pa.list_(pa.int32())),
-        "n_tok": pa.array(n_tok, pa.int32()),
-        "source": pa.array(sources, pa.string()),
+        "doc_id": pa.array([f"doc-{i:08d}" for i in range(n)], pa.string()),
+        "tokens": tokens_arr,
+        "n_tok": pa.array(lens.astype(np.int32), pa.int32()),
+        "source": pa.array([SOURCES[s] for s in src_idx], pa.string()),
     })
 
 
@@ -235,7 +240,9 @@ def ensure_sf(sf: float, force: bool = False) -> str:
     os.makedirs(d, exist_ok=True)
     n = max(int(TOKENS_ROWS_SF1 * sf), 1000)
     rng = np.random.default_rng(np.random.PCG64(SEED))
-    pq.write_table(gen_tokens(rng, n), os.path.join(d, "tokens.parquet"))
+    # small row groups so Spark can split the single file across tasks
+    pq.write_table(gen_tokens(rng, n), os.path.join(d, "tokens.parquet"),
+                   row_group_size=20_000)
     # pods dim is sf-independent but re-derived from a fixed-seed stream
     rng_p = np.random.default_rng(np.random.PCG64(SEED + 1))
     pq.write_table(gen_pods(rng_p), os.path.join(d, "pods.parquet"))

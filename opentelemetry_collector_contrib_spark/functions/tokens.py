@@ -34,16 +34,41 @@ def encode_text(text: str) -> list[int]:
     return [ord(c) for c in text]
 
 
+def decode_batch(tokens: pd.Series) -> pd.Series:
+    """Bulk detokenize one Arrow batch: array<int32> -> body strings.
+
+    Fast path for the ASCII/latin-1 vocab: flatten every row's tokens
+    into ONE numpy buffer, decode once, slice per row — no per-token
+    Python.  Falls back to per-row chr-join for wide (>255) codepoints.
+    """
+    import numpy as np
+    if len(tokens) == 0:
+        return pd.Series([], dtype="object")
+    arrs = tokens.to_numpy()
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series([""] * len(arrs))
+    flat = np.concatenate([np.asarray(a) for a in arrs])
+    if flat.max() > 255:                      # wide-vocab fallback
+        return tokens.map(lambda arr: "".join(map(chr, arr)))
+    s = flat.astype(np.uint8).tobytes().decode("latin1")
+    offs = np.empty(len(arrs) + 1, dtype=np.int64)
+    offs[0] = 0
+    np.cumsum(lens, out=offs[1:])
+    return pd.Series([s[offs[i]:offs[i + 1]] for i in range(len(arrs))])
+
+
 @F.pandas_udf(T.StringType())
 def decode_tokens_udf(tokens: pd.Series) -> pd.Series:
-    """Vectorized detokenize: array<int32> -> body string.
+    """Vectorized detokenize UDF: array<int32> -> body string.
 
-    Arrow hands the column over as a Series of numpy int32 arrays; the
-    loop below is over *rows within one Arrow batch* in C-backed
-    ``map`` — no Spark-row-at-a-time Python serde (the UDF boundary is
-    one Arrow batch, spark.sql.execution.arrow.maxRecordsPerBatch).
+    Arrow hands the column over as a Series of numpy int32 arrays;
+    decode_batch processes the whole batch in numpy — no Spark-row-at-
+    a-time Python serde (the UDF boundary is one Arrow batch,
+    spark.sql.execution.arrow.maxRecordsPerBatch).
     """
-    return tokens.map(lambda arr: "".join(map(chr, arr)))
+    return decode_batch(tokens)
 
 
 def decoded_body(tokens_col) -> "F.Column":

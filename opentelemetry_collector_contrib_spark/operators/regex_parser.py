@@ -11,14 +11,19 @@ README.md:24-36, testdata/config.yaml:7-13):
   (``parsed = false``) and keep the row — goldens assert they are
   flagged, never silently dropped (FIXTURES.md §5.3).
 
-Two execution backends:
-- 'pandas' (north-star shape): ONE Arrow-batched pandas UDF returning a
-  struct of all named groups — a single Python stage per batch,
-  ``pd.Series.str.extract`` vectorized in C; the regex is compiled once
-  per executor (module-level cache), mirroring the reference's regex
+Three execution backends (identical output, tests assert equality):
+- 'fused' (default, the north-star shape AND the fastest measured):
+  ONE Arrow-batched pandas UDF taking the raw ``tokens`` column and
+  returning struct(body, <named groups>) — bulk numpy detokenize +
+  a single ``pd.Series.str.extract`` pass per batch.  One Python hop,
+  one regex execution per row.  The regex is compiled once per
+  executor (module-level cache), mirroring the reference's regex
   precompilation (carbonreceiver/protocol/regex_parser.go:118-160).
-- 'native': per-group ``regexp_extract`` — stays fully inside
-  whole-stage codegen, zero Python.  Identical output.
+- 'pandas': same extract UDF over an existing ``body`` string column.
+- 'native': per-group ``regexp_extract`` — zero Python, but each
+  output column re-executes the regex (Catalyst collapses projections
+  and re-inlines the extract struct), so it is SLOWER than 'fused' on
+  the hot path; kept for cross-checking and for JVM-only deployments.
 
 Both add: one string column per named group, ``parsed`` boolean, and —
 when configured — ``event_ts`` (timestamp), ``severity_text``,
@@ -72,12 +77,14 @@ class RegexParser:
     def __init__(self,
                  pattern: str = DEFAULT_LOG_PATTERN,
                  parse_from: str = "body",
+                 tokens_col: str = "tokens",
                  timestamp_from: str | None = "ts",
                  timestamp_layout: str = "%Y-%m-%d %H:%M:%S",
                  severity_from: str | None = "sev",
-                 backend: str = "pandas"):
+                 backend: str = "fused"):
         self.pattern = pattern
         self.parse_from = parse_from
+        self.tokens_col = tokens_col
         self.timestamp_from = timestamp_from
         self.timestamp_layout = timestamp_layout
         self.severity_from = severity_from
@@ -87,6 +94,25 @@ class RegexParser:
             raise ValueError("regex_parser requires named capture groups")
 
     # -- backends ---------------------------------------------------------
+    def _extract_fused(self, df: DataFrame) -> DataFrame:
+        """tokens -> struct(body, groups) in ONE Arrow hop (bulk numpy
+        detokenize + one str.extract pass per batch)."""
+        from ..functions.tokens import decode_batch
+        pattern = self.pattern
+        fields = ", ".join(f"{g}: string" for g in self.groups)
+
+        @F.pandas_udf(f"struct<body: string, {fields}>")
+        def decode_extract(tokens: pd.Series) -> pd.DataFrame:
+            rx = _compiled(pattern)          # per-executor compile cache
+            body = decode_batch(tokens)
+            out = body.str.extract(rx)       # vectorized named-group extract
+            out.columns = list(rx.groupindex.keys())
+            out.insert(0, "body", body)
+            return out
+
+        df = df.withColumn("_g", decode_extract(F.col(self.tokens_col)))
+        return df.withColumn("body", F.col("_g.body"))
+
     def _extract_pandas(self, df: DataFrame) -> DataFrame:
         pattern = self.pattern
         fields = ", ".join(f"{g}: string" for g in self.groups)
@@ -115,8 +141,12 @@ class RegexParser:
 
     # -- public -----------------------------------------------------------
     def apply(self, df: DataFrame) -> DataFrame:
-        df = (self._extract_pandas(df) if self.backend == "pandas"
-              else self._extract_native(df))
+        if self.backend == "fused":
+            df = self._extract_fused(df)
+        elif self.backend == "pandas":
+            df = self._extract_pandas(df)
+        else:
+            df = self._extract_native(df)
         first = self.groups[0]
         df = df.withColumn("parsed", F.col(f"_g.{first}").isNotNull())
         for g in self.groups:

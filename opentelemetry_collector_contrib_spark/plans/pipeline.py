@@ -59,7 +59,8 @@ class PipelineConfig:
 def build_lineage(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     """The full parse -> enrich -> route lineage (no actions)."""
     df = read_tokens(spark, cfg.tokens_path)
-    df = with_body(df, backend=cfg.decode_backend)
+    if cfg.parser.backend != "fused":    # fused detokenizes inside the parser
+        df = with_body(df, backend=cfg.decode_backend)
     df = cfg.parser.apply(df)
     df = kv_extract(df, "pod_ip")
     pods = prepare_pods_dim(spark.read.parquet(cfg.pods_path))

@@ -43,6 +43,13 @@ def get_spark(app_name: str = "otelcol-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-scale split sizing: the synthetic inputs are single small
+        # parquet files (~20 MB compressed at sf0.1) that decompress to
+        # heavy per-row work (token arrays); default 128 MB splits give
+        # ~6 tasks on 32 cores.  On a real cluster the input is many
+        # files and these are tuned via spark-submit instead.
+        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

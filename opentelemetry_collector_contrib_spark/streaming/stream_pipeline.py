@@ -32,8 +32,10 @@ def streaming_pipeline(spark: SparkSession, tokens_dir: str, pods_path: str,
     """readStream -> parse -> enrich -> route (unbounded DataFrame)."""
     df = (spark.readStream.schema(TOKENS_DDL)
           .parquet(tokens_dir))
-    df = with_body(df)
-    df = (parser or RegexParser()).apply(df)
+    parser = parser or RegexParser()
+    if parser.backend != "fused":
+        df = with_body(df)
+    df = parser.apply(df)
     df = kv_extract(df, "pod_ip")
     pods = prepare_pods_dim(spark.read.parquet(pods_path))   # static dim side
     df = broadcast_enrich(df, pods, "pod_ip")

@@ -52,8 +52,18 @@ def test_regex_backends_agree(spark):
     assert rows(a) == rows(b)
 
 
+def test_fused_backend_agrees(spark, sf_dir):
+    """fused (tokens -> body+groups, one Arrow hop) == pandas on body."""
+    df = read_tokens(spark, f"{sf_dir}/tokens.parquet").limit(300)
+    cols = ["doc_id", "body", "ts", "sev", "msg", "parsed",
+            "severity_text", "severity_number"]
+    fused = RegexParser(backend="fused").apply(df).select(cols)
+    pand = RegexParser(backend="pandas").apply(with_body(df)).select(cols)
+    assert rows(fused) == rows(pand)
+
+
 def test_regex_named_groups_and_miss(spark):
-    out = RegexParser().apply(_lines_df(spark, [LINE, "nope"]))
+    out = RegexParser(backend="pandas").apply(_lines_df(spark, [LINE, "nope"]))
     got = {r["body"]: r for r in out.collect()}
     assert got[LINE]["ts"] == "2020-08-25 05:01:31"
     assert got[LINE]["sev"] == "INFO"
@@ -66,7 +76,7 @@ def test_regex_named_groups_and_miss(spark):
 
 
 def test_timestamp_parse(spark):
-    out = RegexParser().apply(_lines_df(spark, [LINE])).collect()[0]
+    out = RegexParser(backend="pandas").apply(_lines_df(spark, [LINE])).collect()[0]
     assert str(out["event_ts"]) == "2020-08-25 05:01:31"
 
 

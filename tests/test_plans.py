@@ -1,0 +1,86 @@
+"""Physical-plan shape assertions — the scale story, checked in CI.
+
+These parse ``explain(formatted)`` output (planning only, no job runs):
+- filters and column pruning reach the parquet scan (PushedFilters /
+  ReadSchema — the server-side-selector-pushdown analog, SURVEY §4);
+- enrichment is a BroadcastHashJoin (zero shuffle on the fact side);
+- groupBy aggregations are two-phase (map-side partial before the
+  exchange), so the shuffle carries O(groups), not O(rows);
+- the parse -> enrich -> route lineage contains NO Exchange at all
+  (everything narrow until the final aggregate).
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.enrich import (
+    broadcast_enrich, prepare_pods_dim)
+from opentelemetry_collector_contrib_spark.operators.regex_parser import (
+    RegexParser, kv_extract)
+from opentelemetry_collector_contrib_spark.operators.routing import (
+    DEFAULT_ROUTES, with_route)
+from opentelemetry_collector_contrib_spark.sources.tokens_source import read_tokens
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def _lineage(spark, sf_dir):
+    df = RegexParser().apply(read_tokens(spark, f"{sf_dir}/tokens.parquet"))
+    df = kv_extract(df, "pod_ip")
+    pods = prepare_pods_dim(spark.read.parquet(f"{sf_dir}/pods.parquet"))
+    return with_route(broadcast_enrich(df, pods, "pod_ip"), DEFAULT_ROUTES)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (read_tokens(spark, f"{sf_dir}/tokens.parquet")
+          .filter(F.col("source") == "hot-source")
+          .select("doc_id", "n_tok"))
+    plan = plan_of(df)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(source,hot-source\)", plan)
+    # column pruning: body/tokens are not read for a 3-column projection
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "tokens" not in m.group(1)
+
+
+def test_enrich_is_broadcast_join_no_shuffle(spark, sf_dir):
+    plan = plan_of(_lineage(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the fact side is never exchanged: the only exchange is the
+    # broadcast of the tiny dimension
+    exchanges = re.findall(r"\b(\w*Exchange)\b", plan)
+    assert all(e == "BroadcastExchange" for e in exchanges), exchanges
+
+
+def test_ignored_pods_filter_pushed_to_dim_scan(spark, sf_dir):
+    pods = prepare_pods_dim(spark.read.parquet(f"{sf_dir}/pods.parquet"))
+    plan = plan_of(pods)
+    # the anti-ignore filter is applied at the dimension scan, BEFORE
+    # broadcast (kube/client.go:331-357 pushdown analog)
+    assert re.search(r"PushedFilters: \[.*Not\(EqualTo\(ignore,true\)\)|"
+                     r"PushedFilters: \[.*EqualTo\(ignore,false\)", plan)
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    agg = (_lineage(spark, sf_dir)
+           .groupBy("source", "severity_text")
+           .agg(F.count(F.lit(1)).alias("n")))
+    plan = plan_of(agg)
+    # two-phase hash agg: partial_count before the exchange, count after
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("HashAggregate")
+
+
+def test_route_filter_prunes_partitions_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """A per-sink branch written partitionBy(source) is read back with
+    partition pruning when filtered on source."""
+    out = str(tmp_path / "by_source")
+    (read_tokens(spark, f"{sf_dir}/tokens.parquet")
+     .write.partitionBy("source").parquet(out))
+    back = spark.read.parquet(out).filter(F.col("source") == "app-a")
+    plan = plan_of(back)
+    assert re.search(r"PartitionFilters: \[.*source.*app-a", plan)
