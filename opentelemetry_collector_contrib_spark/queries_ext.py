@@ -27,6 +27,7 @@ from .datapipe.similarity import cosine_topk, lsh_topk
 from .datapipe.textstats import (LANGS, STOPWORDS, bpe_ish_token_count,
                                  fingerprint, lang_id, quality_features)
 from .operators.carbon import CarbonRegexRule, apply_regex_rules, parse_plaintext
+from .operators.spanmetrics import span_metrics
 from .operators.filters import SamplingPolicy, tail_sample
 from .operators.json_parser import splunk_hec_events
 from .operators.metrics_transform import combine
@@ -171,6 +172,16 @@ def q_tailsample(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "value")
 
 
+SPAN_BOUNDS = [5.0, 25.0, 100.0, 250.0, 490.0]
+
+
+def q_span_metrics(spark, sf_dir):
+    """spanmetrics RED aggregation over the events table (value = the
+    span duration, event_type = the operation dimension)."""
+    return span_metrics(_events(spark, sf_dir), ["event_type"],
+                        duration_col="value", bounds=SPAN_BOUNDS)
+
+
 def q_trace_sessions(spark, sf_dir):
     return (_events(spark, sf_dir)
             .groupBy("user_id")
@@ -293,6 +304,33 @@ _VEC_CTE = """v AS (
 
 _DOT_SQL = ("list_reduce([a.v[i] * b.v[i] for i in "
             "generate_series(1, len(a.v))], (x, y) -> x + y)")
+
+
+def _lsh_bucket_sql(table: int, n_planes: int = 8, dim: int = 64) -> str:
+    """Bucket-signature SQL for one LSH table: the hyperplane
+    coefficients are md5-derived constants (similarity._plane_sign), so
+    they are precomputed here in Python and inlined as literals — the
+    dot products then run in the same left-assoc double order as the
+    Spark fold."""
+    import hashlib
+
+    def coeff(t, p, d):
+        h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    bits = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"v[{d + 1}] * ({coeff(table, p, d)!r})" for d in range(dim))
+        bits.append(f"CAST(CASE WHEN ({terms}) > 0 THEN 1 ELSE 0 END AS VARCHAR)")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _span_bucket_sql(value_sql: str, bounds: list[float]) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {value_sql} > {float(b)!r} THEN 1 ELSE 0 END"
+        for b in bounds)
+    return f"({terms})"
 
 
 def _textstats_base() -> str:
@@ -480,6 +518,46 @@ SELECT name, tags,
        'g' AS metric_type
 FROM t WHERE mtype = 'g' GROUP BY name, tags""",
 
+        "ann_lsh": f"""WITH {_VEC_CTE},
+buckets AS (
+  SELECT id, v, nrm, 0 AS tbl, {_lsh_bucket_sql(0)} AS bucket FROM nv
+  UNION ALL
+  SELECT id, v, nrm, 1 AS tbl, {_lsh_bucket_sql(1)} AS bucket FROM nv
+), cand AS (
+  SELECT DISTINCT l.id AS query_id, r.id AS neighbor_id
+  FROM buckets l JOIN buckets r
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id <> r.id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_DOT_SQL} / (a.nrm * b.nrm), 6) AS cosine
+  FROM cand c JOIN nv a ON a.id = c.query_id JOIN nv b ON b.id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM scored QUALIFY rank <= 3""",
+
+        "span_metrics": f"""WITH b AS (
+  SELECT event_type, value,
+         {_span_bucket_sql('value', [5.0, 25.0, 100.0, 250.0, 490.0])} AS bucket
+  FROM events
+), per AS (
+  SELECT event_type, bucket, count(*)::BIGINT AS n FROM b GROUP BY 1, 2
+), grid AS (
+  SELECT d.event_type, i.i
+  FROM (SELECT DISTINCT event_type FROM events) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i) i
+), hist AS (
+  SELECT g.event_type, list(coalesce(p.n, 0) ORDER BY g.i) AS bucket_counts
+  FROM grid g LEFT JOIN per p ON p.event_type = g.event_type AND p.bucket = g.i
+  GROUP BY g.event_type
+)
+SELECT s.event_type, s.call_count, s.total_duration, h.bucket_counts
+FROM (SELECT event_type, count(*)::BIGINT AS call_count,
+             sum(value) AS total_duration
+      FROM events GROUP BY 1) s
+JOIN hist h USING (event_type)""",
+
         "tailsample": """SELECT event_id, user_id, event_type, value
 FROM events WHERE user_id IN (
   SELECT user_id FROM events
@@ -534,6 +612,7 @@ def extra_queries(tok_dir_for) -> dict:
         "metrics_combine": with_tok(q_metrics_combine),
         "statsd_flush": with_tok(q_statsd_flush),
         "tailsample": q_tailsample,
+        "span_metrics": q_span_metrics,
         "trace_sessions": q_trace_sessions,
         "hec_parse": with_tok(q_hec_parse),
         "media_features": with_tok(q_media_features),

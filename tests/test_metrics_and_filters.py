@@ -222,3 +222,43 @@ def test_batch_per_attr_coloc(spark):
     per_src = out.groupBy("src").agg(F.count_distinct("p").alias("n")).collect()
     for r in per_src:
         assert r["n"] == 1
+
+
+def test_span_metrics_matches_numpy(spark):
+    import numpy as np
+    from opentelemetry_collector_contrib_spark.operators.spanmetrics import span_metrics
+    rows_in = [("op-a", 1.0), ("op-a", 30.0), ("op-a", 120.0),
+               ("op-b", 3.0), ("op-b", 999.0)]
+    df = spark.createDataFrame(rows_in, "op string, duration_ms double")
+    bounds = [5.0, 50.0, 500.0]
+    out = {r["op"]: r for r in span_metrics(df, ["op"], bounds=bounds).collect()}
+    assert out["op-a"]["call_count"] == 3
+    assert out["op-a"]["total_duration"] == 151.0
+    # buckets: <=5 | 5-50 | 50-500 | >500
+    assert out["op-a"]["bucket_counts"] == [1, 1, 1, 0]
+    assert out["op-b"]["bucket_counts"] == [1, 0, 0, 1]
+
+
+def test_tail_sample_rate_limit(spark):
+    df = spark.createDataFrame(
+        [("t1", 0), ("t2", 0), ("t3", 0), ("t4", 1), ("t5", 1)],
+        "trace_id string, ts long")
+    pol = [SamplingPolicy("rl", "rate_limiting", spans_per_second=2)]
+    out = tail_sample(df, pol, ts_col="ts")
+    # first 2 per second by deterministic trace order (rate_limiting.go)
+    assert sorted(r["trace_id"] for r in out.collect()) == \
+        ["t1", "t2", "t4", "t5"]
+
+
+def test_aggregate_label_values_composition(spark):
+    """metricstransform 'aggregate specific label values' = update_label
+    (merge values) + aggregate_labels (re-agg) composition."""
+    df = spark.createDataFrame(
+        [("m", "us-east-1", 1.0, 5), ("m", "us-east-2", 2.0, 5),
+         ("m", "eu-west-1", 4.0, 5)],
+        "metric_name string, region string, value double, ts long")
+    merged = update_label(df, "region",
+                          {"us-east-1": "us", "us-east-2": "us"})
+    out = aggregate_labels(merged, ["region"], "sum")
+    got = rows(out.select("region", "value"))
+    assert got == [("eu-west-1", 4.0), ("us", 3.0)]
