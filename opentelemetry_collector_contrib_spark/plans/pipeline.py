@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.enrich import broadcast_enrich, prepare_pods_dim
+from ..operators.partitioners import salted_repartition
 from ..operators.regex_parser import RegexParser, kv_extract
 from ..operators.routing import RoutingTable, DEFAULT_ROUTES, with_route
 from ..sinks.writers import SinkConfig, serialize_records, write_sink
@@ -72,10 +73,15 @@ ATTR_COLS = ["source", "severity_text", "namespace", "deployment", "pod_name"]
 
 
 def _process_unit(df: DataFrame, cfg: PipelineConfig, unit: int) -> dict:
+    """One write pass per sink; all metrics derive from the WRITTEN
+    parquet (cheap column scans), never by re-running the lineage — at
+    scale the parse+enrich compute runs exactly once per (unit, sink),
+    and rows_in falls out as countDistinct(doc_id) over the outputs
+    (every row routes somewhere: misses take the default route)."""
     t0 = time.time()
-    rows_in = df.count()
+    spark = df.sparkSession
     sink_counts: dict[str, int] = {}
-    rows_routed = 0
+    unit_paths = []
     for sink_name in cfg.routes.all_sinks():
         sink = cfg.sink_cfg(sink_name)
         branch = df.filter(F.array_contains(F.col("sinks"), sink_name))
@@ -84,16 +90,21 @@ def _process_unit(df: DataFrame, cfg: PipelineConfig, unit: int) -> dict:
                     "metadata_signature", *ATTR_COLS]
         branch = branch.select(*[c for c in out_cols if c in branch.columns])
         if cfg.salt_partitions:
-            branch = branch.repartition(
-                cfg.salt_partitions, F.col("source"),
-                (F.rand(seed=unit) * cfg.salt_partitions).cast("int"))
-        write_sink(branch, SinkConfig(sink.name, f"{sink.path}/unit={unit}",
+            branch = salted_repartition(branch, "source", cfg.salt_partitions)
+        path = f"{sink.path}/unit={unit}"
+        write_sink(branch, SinkConfig(sink.name, path,
                                       sink.log_format, sink.metadata_regexes,
                                       sink.label_allowlist, sink.source_templates,
                                       sink.max_records_per_file))
-        n = branch.count()
-        sink_counts[sink_name] = n
-        rows_routed += n
+        unit_paths.append(path)
+        sink_counts[sink_name] = spark.read.parquet(path).count()
+    rows_routed = sum(sink_counts.values())
+    id_frames = [spark.read.parquet(p).select("doc_id") for p in unit_paths
+                 if "doc_id" in spark.read.parquet(p).columns]
+    ids = id_frames[0]
+    for f_ in id_frames[1:]:
+        ids = ids.unionByName(f_)
+    rows_in = ids.agg(F.count_distinct("doc_id")).collect()[0][0]
     return {"rows_in": rows_in, "rows_routed": rows_routed,
             "sink_counts": str(sink_counts),
             "wall_ms": int((time.time() - t0) * 1000)}

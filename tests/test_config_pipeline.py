@@ -1,0 +1,110 @@
+"""YAML config-driven assembly — the service.pipelines round-trip +
+end-to-end, mirroring receiver/stanzareceiver/testdata/config.yaml and
+the config_test.go round-trip style."""
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.plans.config import (
+    build_from_config, load_config, run_from_config)
+
+
+def _yaml(sf_dir, out):
+    return f"""
+receivers:
+  tokens:
+    path: {sf_dir}/tokens.parquet
+processors:
+  parse:
+    kind: regex_parser
+  ip:
+    kind: kv_extract
+    key: pod_ip
+  enrich:
+    kind: k8s_enrich
+    pods_path: {sf_dir}/pods.parquet
+    key: pod_ip
+  env:
+    kind: resource_detection
+    attributes:
+      cluster: c1
+  route:
+    kind: routing
+    from_attribute: source
+    table:
+      hot-source: [sumologic]
+      app-a: [sumologic, loki]
+      k8s: [loki]
+    default: [default-sink]
+service:
+  pipelines:
+    logs:
+      receivers: [tokens]
+      processors: [parse, ip, enrich, env, route]
+      exporters: [sumologic, loki, default-sink]
+exporters:
+  sumologic:
+    path: {out}/sumo
+    log_format: json
+    metadata_regexes: ["^source$"]
+  loki:
+    path: {out}/loki
+    label_allowlist: [doc_id, payload, severity_text]
+  default-sink:
+    path: {out}/dflt
+"""
+
+
+def test_config_roundtrip_and_e2e(spark, sf_dir, tmp_path):
+    cfg = load_config(_yaml(sf_dir, tmp_path))
+    routed = build_from_config(spark, cfg)
+    # config lineage == programmatic lineage (same routed counts)
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        broadcast_enrich, prepare_pods_dim)
+    from opentelemetry_collector_contrib_spark.operators.regex_parser import (
+        RegexParser, kv_extract)
+    from opentelemetry_collector_contrib_spark.operators.routing import (
+        DEFAULT_ROUTES, with_route)
+    from opentelemetry_collector_contrib_spark.sources.tokens_source import (
+        read_tokens)
+    prog = RegexParser().apply(read_tokens(spark, f"{sf_dir}/tokens.parquet"))
+    prog = kv_extract(prog, "pod_ip")
+    prog = broadcast_enrich(
+        prog, prepare_pods_dim(spark.read.parquet(f"{sf_dir}/pods.parquet")),
+        "pod_ip")
+    prog = with_route(prog, DEFAULT_ROUTES)
+    a = (routed.select(F.explode("sinks").alias("s")).groupBy("s").count())
+    b = (prog.select(F.explode("sinks").alias("s")).groupBy("s").count())
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # resource_detection constant applied
+    assert routed.select("cluster").first()["cluster"] == "c1"
+
+    counts = run_from_config(spark, cfg)
+    expect = {r["s"]: r["count"] for r in b.collect()}
+    assert counts == expect
+
+    # loki allowlist projected
+    loki = spark.read.parquet(f"{tmp_path}/loki")
+    assert sorted(loki.columns) == ["doc_id", "payload", "severity_text"]
+    # sumologic json payload carries the log body
+    sumo = spark.read.parquet(f"{tmp_path}/sumo")
+    assert '"log":' in sumo.select("payload").first()["payload"]
+
+
+def test_config_filter_predicate(spark, sf_dir):
+    cfg = load_config(f"""
+receivers:
+  tokens: {{path: {sf_dir}/tokens.parquet}}
+processors:
+  parse: {{kind: regex_parser}}
+  errors: {{kind: filter, expr: "severity_number >= 17"}}
+service:
+  pipelines:
+    logs:
+      receivers: [tokens]
+      processors: [parse, errors]
+      exporters: []
+exporters: {{}}
+""")
+    out = build_from_config(spark, cfg)
+    assert out.filter(F.col("severity_number") < 17).count() == 0
+    assert out.count() > 0

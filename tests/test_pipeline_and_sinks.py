@@ -179,3 +179,17 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
              .filter(F.col("event_ts").isNotNull())
              .groupBy("sink", "source").agg(F.count(F.lit(1)).alias("n")))
     assert rows(got) == rows(batch)
+
+
+def test_pipeline_salted_writes_match_unsalted(spark, sf_dir, tmp_path):
+    """Salting the hot source key changes file layout, never content
+    (deterministic salt from doc_id hash — resume-safe, no rand())."""
+    plain = _cfg(sf_dir, str(tmp_path / "plain"))
+    salted = _cfg(sf_dir, str(tmp_path / "salted"))
+    salted.salt_partitions = 4
+    run_pipeline(spark, plain)
+    run_pipeline(spark, salted)
+    for sink in ("sumologic", "loki", "default-sink"):
+        a = spark.read.parquet(f"{plain.out_dir}/sinks/{sink}/unit=*")
+        b = spark.read.parquet(f"{salted.out_dir}/sinks/{sink}/unit=*")
+        assert rows(a, "doc_id", "tokens") == rows(b, "doc_id", "tokens")
