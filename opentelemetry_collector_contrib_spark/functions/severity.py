@@ -68,3 +68,60 @@ def severity_case_sql(col_sql: str, which: str) -> str:
     body = " ".join(arms)
     cast = "" if which == "text" else "::INT"
     return f"(CASE {body} ELSE {default} END){cast}"
+
+
+# stanza numeric severity scale (entry.Severity): Default=0, Trace=10,
+# Debug=20, Info=30, Notice=40, Warning=50, Error=60, Critical=70,
+# Alert=80, Emergency=90, Catastrophe=100
+_LEVELS = {"default": 0, "trace": 10, "debug": 20, "info": 30, "notice": 40,
+           "warning": 50, "error": 60, "critical": 70, "alert": 80,
+           "emergency": 90, "catastrophe": 100}
+
+# (condition kind, level, text, number): the full convertSeverity switch
+# (converter.go:167-217) — exact named levels first, then the custom-
+# level range buckets (s > X), in source order.
+_LEVEL_SWITCH: list[tuple[str, int, str, int]] = [
+    ("eq", 100, "Fatal", 24),   # Catastrophe -> FATAL4
+    ("eq", 90, "Error", 21),    # Emergency   -> FATAL
+    ("eq", 80, "Error", 19),    # Alert       -> ERROR3
+    ("eq", 70, "Error", 18),    # Critical    -> ERROR2
+    ("eq", 60, "Error", 17),    # Error       -> ERROR
+    ("eq", 50, "Info", 12),     # Warning     -> INFO4
+    ("eq", 40, "Info", 11),     # Notice      -> INFO3
+    ("eq", 30, "Info", 9),      # Info        -> INFO
+    ("eq", 20, "Debug", 5),     # Debug       -> DEBUG
+    ("eq", 10, "Trace", 2),     # Trace       -> TRACE2
+    ("gt", 90, "Fatal", 22),    # > Emergency -> FATAL2
+    ("gt", 80, "Error", 20),    # > Alert     -> ERROR4
+    ("gt", 70, "Error", 19),    # > Critical  -> ERROR3
+    ("gt", 60, "Error", 18),    # > Error     -> ERROR2
+    ("gt", 50, "Info", 12),     # > Warning   -> INFO4
+    ("gt", 40, "Info", 11),     # > Notice    -> INFO3
+    ("gt", 30, "Info", 10),     # > Info      -> INFO2
+    ("gt", 20, "Debug", 6),     # > Debug     -> DEBUG2
+    ("gt", 10, "Trace", 3),     # > Trace     -> TRACE3
+    ("gt", 0, "Trace", 1),      # > Default   -> TRACE
+]
+
+
+def convert_severity_level(level: int) -> tuple[str, int]:
+    """Pure-Python twin of convertSeverity (converter.go:167-217) over
+    the stanza numeric scale — used by tests as the oracle."""
+    for kind, lv, text, num in _LEVEL_SWITCH:
+        if (kind == "eq" and level == lv) or (kind == "gt" and level > lv):
+            return text, num
+    return _UNDEFINED
+
+
+def severity_from_level_expr(level_col: Column, which: str) -> Column:
+    """Range-bucketing severity conversion for NUMERIC stanza levels —
+    covers custom levels between the named ones (converter.go:193-214).
+    ``which`` is 'text' or 'number'; a chained CASE, pure codegen."""
+    expr = None
+    for kind, lv, text, num in _LEVEL_SWITCH:
+        cond = (level_col == lv) if kind == "eq" else (level_col > lv)
+        val = text if which == "text" else num
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    default = _UNDEFINED[0] if which == "text" else _UNDEFINED[1]
+    out = expr.otherwise(F.lit(default))
+    return out if which == "text" else out.cast("int")

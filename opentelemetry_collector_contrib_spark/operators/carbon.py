@@ -106,3 +106,49 @@ def apply_regex_rules(df: DataFrame, rules: list[CarbonRegexRule],
               .withColumn("metric_type", type_expr))
 
 
+
+def parse_wavefront(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Wavefront line protocol (receiver/wavefrontreceiver/
+    wavefront_parser.go:61-140):
+
+        <metricName> <metricValue> [<timestamp>] source=<src> [k=v ...]
+
+    - value: int -> gauge_int64, else double -> gauge_double
+      (wavefront_parser.go:76-86);
+    - timestamp optional: the third token is a timestamp only when it
+      has no '=' (wavefront_parser.go:95-106) — omitted-ts rows get a
+      NULL ts here (the reference stamps wall-clock, which batch
+      replays must not);
+    - tags are space-separated k=v with optional double quotes;
+      ``source`` is an ordinary tag (wavefront_parser.go:110-118);
+      double-quote unescaping per the SDK (``\\"`` and ``\\n``).
+
+    Output columns: metric_name, value double, is_int boolean, ts long
+    (nullable), source string, tags map<string,string>.
+    """
+    line = F.col(line_col)
+    parts = F.split(line, " ", 3)
+    name = F.regexp_replace(F.element_at(parts, 1), '^"|"$', "")
+    value_s = F.element_at(parts, 2)
+    rest = F.element_at(parts, 3)
+    first = F.split_part(rest, F.lit(" "), F.lit(1))
+    has_ts = first.rlike(r"^\d+$") & ~first.contains("=")
+    ts = F.when(has_ts, first.cast("long"))
+    # when a timestamp leads the rest, tags are whatever follows it
+    tags_s = F.when(has_ts, F.regexp_replace(rest, r"^\d+\s*", "")) \
+        .otherwise(rest)
+    kvs = F.filter(F.split(F.coalesce(tags_s, F.lit("")), " "),
+                   lambda t: t.contains("="))
+    unesc = lambda c: F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, '^"|"$', ""), r'\\"', '"'),
+        r"\\n", "\n")
+    tags = F.map_from_entries(F.transform(kvs, lambda kv: F.struct(
+        F.split_part(kv, F.lit("="), F.lit(1)).alias("key"),
+        unesc(F.split_part(kv, F.lit("="), F.lit(2))).alias("value"))))
+    return (df
+            .withColumn("metric_name", name)
+            .withColumn("value", value_s.cast("double"))
+            .withColumn("is_int", value_s.rlike(r"^-?\d+$"))
+            .withColumn("ts", ts)
+            .withColumn("tags", tags)
+            .withColumn("source", F.element_at(tags, F.lit("source"))))

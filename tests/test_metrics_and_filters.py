@@ -262,3 +262,41 @@ def test_aggregate_label_values_composition(spark):
     out = aggregate_labels(merged, ["region"], "sum")
     got = rows(out.select("region", "value"))
     assert got == [("eu-west-1", 4.0), ("us", 3.0)]
+
+
+def test_wavefront_parse(spark):
+    from opentelemetry_collector_contrib_spark.operators.carbon import parse_wavefront
+    df = spark.createDataFrame(
+        [('cpu.load 2 1598313600 source=h1 dc=us',),       # int + ts
+         ('"mem.used" 3.5 source=h2 env="pr\\"od"',),      # no ts, quoted
+         ('disk.io 7 1598313601',)],                       # no tags
+        "line string")
+    got = {r["metric_name"]: r for r in parse_wavefront(df).collect()}
+    r = got["cpu.load"]
+    assert (r["value"], r["is_int"], r["ts"]) == (2.0, True, 1598313600)
+    assert r["source"] == "h1" and r["tags"]["dc"] == "us"
+    r = got["mem.used"]
+    assert (r["value"], r["is_int"], r["ts"]) == (3.5, False, None)
+    assert r["source"] == "h2" and r["tags"]["env"] == 'pr"od'
+    r = got["disk.io"]
+    assert r["ts"] == 1598313601 and r["source"] is None and r["tags"] == {}
+
+
+def test_attrs_map_merge_disciplines(spark):
+    from opentelemetry_collector_contrib_spark.functions.attributes import (
+        attrs_from_columns, merge_maps, promote_keys)
+    df = spark.createDataFrame([("d1", "app", None)],
+                               "doc_id string, source string, ns string")
+    df = df.withColumn("attrs", attrs_from_columns(["source", "ns"]))
+    row = df.collect()[0]
+    assert row["attrs"] == {"source": "app"}          # NULL omitted
+    inc = F.create_map(F.lit("source"), F.lit("NEW"), F.lit("k"), F.lit("v"))
+    got = df.select(
+        merge_maps(F.col("attrs"), inc, "insert").alias("ins"),
+        merge_maps(F.col("attrs"), inc, "upsert").alias("ups"),
+        merge_maps(F.col("attrs"), inc, "update").alias("upd")).collect()[0]
+    assert got["ins"] == {"source": "app", "k": "v"}  # existing wins
+    assert got["ups"] == {"source": "NEW", "k": "v"}  # incoming wins
+    assert got["upd"] == {"source": "NEW"}            # only existing keys
+    back = promote_keys(df, "attrs", ["source"], prefix="p_").collect()[0]
+    assert back["p_source"] == "app"

@@ -131,3 +131,23 @@ def test_splunk_hec(spark):
     assert out["ts_ns"] == 1598313600500000000
     assert out["host"] == "h1"
     assert out["fields"]["k"] == "v"
+
+
+def test_severity_range_bucketing(spark):
+    """Numeric custom levels bucket exactly per converter.go:193-214."""
+    from opentelemetry_collector_contrib_spark.functions.severity import (
+        convert_severity_level, severity_from_level_expr)
+    levels = list(range(-5, 106, 5)) + [33, 47, 101]
+    df = spark.createDataFrame([(l,) for l in levels], "lv int")
+    got = {r["lv"]: (r["t"], r["n"]) for r in df.select(
+        "lv",
+        severity_from_level_expr(F.col("lv"), "text").alias("t"),
+        severity_from_level_expr(F.col("lv"), "number").alias("n")).collect()}
+    for l in levels:
+        assert got[l] == convert_severity_level(l), l
+    assert got[100] == ("Fatal", 24)
+    assert got[95] == ("Fatal", 22)
+    assert got[33] == ("Info", 10)
+    assert got[5] == ("Trace", 1)
+    assert got[0] == ("Undefined", 0)
+    assert got[-5] == ("Undefined", 0)

@@ -193,3 +193,32 @@ def test_pipeline_salted_writes_match_unsalted(spark, sf_dir, tmp_path):
         a = spark.read.parquet(f"{plain.out_dir}/sinks/{sink}/unit=*")
         b = spark.read.parquet(f"{salted.out_dir}/sinks/{sink}/unit=*")
         assert rows(a, "doc_id", "tokens") == rows(b, "doc_id", "tokens")
+
+
+def test_streaming_session_window_sessionizes(spark, tmp_path):
+    """groupbytrace's wait_duration buffering re-expressed as an
+    event-time session window (SURVEY §2.7): spans closer than the gap
+    coalesce into one session per trace."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows_in = [("t1", base), ("t1", base + dt.timedelta(seconds=1)),
+               ("t1", base + dt.timedelta(seconds=30)),   # new session
+               ("t2", base)]
+    src = tmp_path / "spans"
+    spark.createDataFrame(rows_in, "trace_id string, ts timestamp") \
+        .coalesce(1).write.parquet(str(src))
+    stream = (spark.readStream.schema("trace_id string, ts timestamp")
+              .parquet(str(src)))
+    agg = (stream.withWatermark("ts", "1 minute")
+           .groupBy(F.session_window("ts", "5 seconds"), "trace_id")
+           .agg(F.count(F.lit(1)).alias("n_spans")))
+    q = (agg.writeStream.format("memory").queryName("t_sessions")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r["trace_id"], r["n_spans"]) for r in
+                 spark.sql("SELECT trace_id, n_spans FROM t_sessions").collect())
+    assert got == [("t1", 1), ("t1", 2), ("t2", 1)]

@@ -84,3 +84,15 @@ def test_route_filter_prunes_partitions_on_partitioned_sink(spark, sf_dir, tmp_p
     back = spark.read.parquet(out).filter(F.col("source") == "app-a")
     plan = plan_of(back)
     assert re.search(r"PartitionFilters: \[.*source.*app-a", plan)
+
+
+def test_fused_parse_is_single_python_stage(spark, sf_dir):
+    """The whole parse (detokenize + extract) is ONE ArrowEvalPython
+    node — regression guard against the decode re-inlining that made
+    the naive plan ~6x slower."""
+    df = RegexParser().apply(read_tokens(spark, f"{sf_dir}/tokens.parquet"))
+    agg = df.groupBy("source", "severity_text").count()
+    plan = plan_of(agg)
+    # formatted explain shows each node once in the tree and once in the
+    # detail section — one physical node == one "(n) ArrowEvalPython"
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
