@@ -33,18 +33,26 @@ def parse_plaintext(df: DataFrame, line_col: str = "line") -> DataFrame:
     value double, ts long.
     """
     parts = F.split(F.col(line_col), " ")
-    named = F.element_at(parts, 1)
+    # try_* variants: ANSI mode (Spark 4 default) makes element_at/cast
+    # THROW on malformed rows; parsers must flag, not crash
+    named = F.try_element_at(parts, F.lit(1))
     path_parts = F.split(named, ";")
     tag_kvs = F.slice(path_parts, 2, 1_000_000)
     tags = F.map_from_entries(
         F.transform(tag_kvs, lambda kv: F.struct(
             F.split_part(kv, F.lit("="), F.lit(1)).alias("key"),
             F.split_part(kv, F.lit("="), F.lit(2)).alias("value"))))
-    return (df
-            .withColumn("metric_path", F.element_at(path_parts, 1))
-            .withColumn("tags", tags)
-            .withColumn("value", F.element_at(parts, 2).cast("double"))
-            .withColumn("ts", F.element_at(parts, 3).cast("long")))
+    out = (df
+           .withColumn("metric_path", F.try_element_at(path_parts, F.lit(1)))
+           .withColumn("tags", tags)
+           .withColumn("value", F.try_element_at(parts, F.lit(2)).try_cast("double"))
+           .withColumn("ts", F.try_element_at(parts, F.lit(3)).try_cast("long")))
+    # malformed lines are flagged, never dropped (the reference errors
+    # per line, plaintext_parser.go:56-63; batch keeps the row for the
+    # dead-letter path)
+    return out.withColumn(
+        "valid", F.col("value").isNotNull() & F.col("ts").isNotNull()
+        & (F.col("metric_path") != ""))
 
 
 @dataclass
@@ -128,12 +136,12 @@ def parse_wavefront(df: DataFrame, line_col: str = "line") -> DataFrame:
     """
     line = F.col(line_col)
     parts = F.split(line, " ", 3)
-    name = F.regexp_replace(F.element_at(parts, 1), '^"|"$', "")
-    value_s = F.element_at(parts, 2)
-    rest = F.element_at(parts, 3)
+    name = F.regexp_replace(F.try_element_at(parts, F.lit(1)), '^"|"$', "")
+    value_s = F.try_element_at(parts, F.lit(2))
+    rest = F.try_element_at(parts, F.lit(3))
     first = F.split_part(rest, F.lit(" "), F.lit(1))
     has_ts = first.rlike(r"^\d+$") & ~first.contains("=")
-    ts = F.when(has_ts, first.cast("long"))
+    ts = F.when(has_ts, first.try_cast("long"))
     # when a timestamp leads the rest, tags are whatever follows it
     tags_s = F.when(has_ts, F.regexp_replace(rest, r"^\d+\s*", "")) \
         .otherwise(rest)
@@ -147,8 +155,8 @@ def parse_wavefront(df: DataFrame, line_col: str = "line") -> DataFrame:
         unesc(F.split_part(kv, F.lit("="), F.lit(2))).alias("value"))))
     return (df
             .withColumn("metric_name", name)
-            .withColumn("value", value_s.cast("double"))
+            .withColumn("value", value_s.try_cast("double"))
             .withColumn("is_int", value_s.rlike(r"^-?\d+$"))
             .withColumn("ts", ts)
             .withColumn("tags", tags)
-            .withColumn("source", F.element_at(tags, F.lit("source"))))
+            .withColumn("source", F.try_element_at(tags, F.lit("source"))))

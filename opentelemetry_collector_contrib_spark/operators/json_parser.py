@@ -51,7 +51,7 @@ def splunk_hec_events(df: DataFrame, json_col: str = "body") -> DataFrame:
               "index string, event string, fields map<string,string>")
     out = df.withColumn("_e", F.from_json(F.col(json_col), schema))
     return (out
-            .withColumn("ts_ns", (F.col("_e.time") * F.lit(1e9)).cast("long"))
+            .withColumn("ts_ns", (F.col("_e.time") * F.lit(1e9)).try_cast("long"))
             .withColumn("host", F.col("_e.host"))
             .withColumn("hec_source", F.col("_e.source"))
             .withColumn("sourcetype", F.col("_e.sourcetype"))

@@ -54,7 +54,7 @@ def span_metrics(df: DataFrame, dims: list[str],
                 "bucket_counts",
                 F.transform(F.sequence(F.lit(0), F.lit(nb - 1)),
                             lambda i: F.coalesce(
-                                F.element_at(F.col("_m"), i.cast("int")),
+                                F.try_element_at(F.col("_m"), i.cast("int")),
                                 F.lit(0).cast("long"))))
             .drop("_m"))
     scalar = (df.groupBy(*dims)

@@ -29,7 +29,7 @@ def parse_statsd(df: DataFrame, line_col: str = "line") -> DataFrame:
     raw = F.regexp_extract(line, r"^[^:]+:([^|]+)\|", 1)
     mtype = F.regexp_extract(line, r"\|(c|g|ms|h|s)(\||$)", 1)
     rate_s = F.regexp_extract(line, r"\|@([0-9.]+)", 1)
-    rate = F.when(rate_s != "", rate_s.cast("double")).otherwise(F.lit(1.0))
+    rate = F.when(rate_s != "", rate_s.try_cast("double")).otherwise(F.lit(1.0))
     tags_s = F.regexp_extract(line, r"\|#(.+)$", 1)
     # canonical sorted "k:v,k:v" tag signature (deterministic grouping key,
     # like the sorted field signature in splunk_to_logdata.go:71-75)
@@ -37,14 +37,17 @@ def parse_statsd(df: DataFrame, line_col: str = "line") -> DataFrame:
                   F.array_join(F.array_sort(F.split(tags_s, ",")), ","))\
             .otherwise(F.lit(""))
     is_delta = raw.rlike(r"^[+-]")
-    value = raw.cast("double")
+    value = raw.try_cast("double")   # ANSI-safe: malformed -> NULL
     scaled = F.when(mtype == "c", value / rate).otherwise(value)
     return (df.withColumn("name", name)
               .withColumn("metric_type", mtype)
               .withColumn("sample_rate", rate)
               .withColumn("tags", tags)
               .withColumn("is_delta", is_delta)
-              .withColumn("value", scaled))
+              .withColumn("value", scaled)
+              # malformed lines flagged (statsd_parser.go:140-151 errors)
+              .withColumn("valid", (name != "") & (mtype != "")
+                          & scaled.isNotNull()))
 
 
 def flush_aggregate(parsed: DataFrame, order_col: str | None = None) -> DataFrame:
