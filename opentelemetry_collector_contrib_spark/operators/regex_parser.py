@@ -154,9 +154,11 @@ class RegexParser:
         df = df.drop("_g")
         if self.timestamp_from:
             fmt = strptime_to_spark(self.timestamp_layout)
+            # try_to_timestamp: ANSI mode throws on out-of-range dates
+            # (e.g. month 13) that still match the regex — flag-don't-crash
             df = df.withColumn(
                 "event_ts",
-                F.to_timestamp(F.col(self.timestamp_from), fmt))
+                F.try_to_timestamp(F.col(self.timestamp_from), F.lit(fmt)))
         if self.severity_from:
             sev = F.upper(F.col(self.severity_from))
             df = (df

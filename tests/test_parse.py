@@ -151,3 +151,14 @@ def test_severity_range_bucketing(spark):
     assert got[5] == ("Trace", 1)
     assert got[0] == ("Undefined", 0)
     assert got[-5] == ("Undefined", 0)
+
+
+def test_out_of_range_timestamp_flagged_not_crash(spark):
+    """A regex-matching line with an impossible date must yield NULL
+    event_ts (ANSI to_timestamp would throw and kill the job)."""
+    bad = "2020-13-45 99:99:99 ERROR impossible date"
+    out = RegexParser(backend="pandas").apply(
+        _lines_df(spark, [bad, LINE])).collect()
+    got = {r["body"]: r["event_ts"] for r in out}
+    assert got[bad] is None
+    assert got[LINE] is not None

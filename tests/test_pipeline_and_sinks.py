@@ -222,3 +222,16 @@ def test_streaming_session_window_sessionizes(spark, tmp_path):
     got = sorted((r["trace_id"], r["n_spans"]) for r in
                  spark.sql("SELECT trace_id, n_spans FROM t_sessions").collect())
     assert got == [("t1", 1), ("t1", 2), ("t2", 1)]
+
+
+def test_compact_preserves_rows(spark, sf_dir, tmp_path):
+    from opentelemetry_collector_contrib_spark.sinks.maintenance import compact
+    out = str(tmp_path / "many")
+    df = spark.read.parquet(f"{sf_dir}/tokens.parquet")
+    df.repartition(16).write.parquet(out)       # many small files
+    before = rows(spark.read.parquet(out), "doc_id", "tokens")
+    stats = compact(spark, out, target_file_bytes=64 * 1024 * 1024,
+                    sort_by=["source", "doc_id"])
+    after_df = spark.read.parquet(out)
+    assert rows(after_df, "doc_id", "tokens") == before
+    assert stats["files_after"] < stats["files_before"]
