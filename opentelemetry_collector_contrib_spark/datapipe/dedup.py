@@ -226,20 +226,16 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     words = (df.select(F.col(id_col).alias("id"),
                        F.explode(words_udf(F.col(text_col))).alias("w"))
              .withColumn("h", portable_hash(F.col("w"))))
-    # NB: the pyspark shiftright/shiftleft wrappers only accept Python
-    # int shift amounts — the column-shift form needs SQL expressions.
-    votes = words.select(
-        "id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "h").withColumn(
-        "vote", F.expr("(shiftright(h, cast(b as int)) & 1) * 2 - 1"))
-    bits = (votes.groupBy("id", "b")
-            .agg(F.sum("vote").alias("s"))
-            .withColumn("bit", F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(b as int))"))
-                .otherwise(F.lit(0).cast("long"))))
-    return (bits.groupBy("id")
-            .agg(F.sum("bit").alias("simhash")))
+    # one aggregation pass with SIMHASH_BITS static vote-sum columns
+    # (static shifts stay in codegen; no 32x row blow-up + second shuffle)
+    aggs = [F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"_s{b}")
+            for b in range(SIMHASH_BITS)]
+    votes = words.groupBy("id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"_s{b}") > 0,
+                         F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return votes.select("id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -290,10 +286,10 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                             vec_col: str = "embedding") -> DataFrame:
     """Pairs with cosine similarity >= threshold (brute force; the ANN
     path in similarity.py prunes candidates first)."""
-    from .similarity import cosine_expr
+    from .similarity import cosine_batch_udf
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a, b = v.alias("a"), v.alias("b")
-    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    cos = cosine_batch_udf(F.col("a.v"), F.col("b.v"))
     return (a.join(b, F.col("a.id") < F.col("b.id"))
             .withColumn("cosine", F.round(cos, 6))
             .filter(F.col("cosine") >= threshold)

@@ -40,6 +40,28 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+import pandas as pd
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_batch_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine over vector pairs — numpy einsum per batch.
+    The Catalyst fold (cosine_expr) is interpreted (higher-order
+    functions have no codegen) and ~10x slower; this is the hot-path
+    scorer.  Accumulation order differs from the sequential fold by
+    ~1e-15 relative, far below the round(6) comparison grain."""
+    import numpy as np
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    va = np.stack(a.to_numpy()).astype(np.float64)
+    vb = np.stack(b.to_numpy()).astype(np.float64)
+    dots = np.einsum("ij,ij->i", va, vb)
+    na = np.sqrt(np.einsum("ij,ij->i", va, va))
+    nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
+    return pd.Series(dots / (na * nb))
+
+
 def cosine_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per vector (self-join).  Deterministic
@@ -50,7 +72,7 @@ def cosine_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     pairs = (a.join(b, F.col("a.id") != F.col("b.id"))
              .select(F.col("a.id").alias("query_id"),
                      F.col("b.id").alias("neighbor_id"),
-                     F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
+                     F.round(cosine_batch_udf(F.col("a.v"), F.col("b.v")), 6)
                      .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -58,33 +80,41 @@ def cosine_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
             .filter(F.col("rank") <= k))
 
 
-def _plane_sign(vec: Column, dim: int, plane: int, table: int) -> Column:
-    """Deterministic pseudo-random hyperplane: coefficient for dimension
-    d of plane p is centered-uniform from the portable hash family."""
-    from .hashing import portable_hash
-    coeffs = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (F.pmod(
-            F.conv(F.substring(
-                F.md5(F.concat_ws(":", F.lit(table), F.lit(plane),
-                                  d.cast("string"))), 1, 8), 16, 10)
-            .cast("long"), F.lit(2001)) - 1000) / 1000.0)
-    return (dot_expr(vec, coeffs) > 0).cast("int")
+def plane_coeff(table: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane coefficient: centered-
+    uniform in [-1, 1] from the first 8 md5 hex digits of "t:p:d" —
+    reproducible in any engine (the DuckDB oracle inlines the same
+    values as literals)."""
+    import hashlib
+    h = int(hashlib.md5(f"{table}:{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
 
 
 def lsh_buckets(df: DataFrame, dim: int, n_planes: int = 8,
                 n_tables: int = 2, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector its LSH bucket signature per table."""
+    """Assign each vector its LSH bucket signature per table — ONE Arrow
+    hop computing all n_tables x n_planes signs as a single matrix
+    product per batch (the per-plane Catalyst fold was interpreted)."""
+    import numpy as np
+    C = np.array([[[plane_coeff(t, p, d) for d in range(dim)]
+                   for p in range(n_planes)] for t in range(n_tables)])
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        per_table = []
+        for t in range(n_tables):
+            S = V @ C[t].T > 0                      # (rows, planes) signs
+            per_table.append(["".join("1" if b else "0" for b in row)
+                              for row in S])
+        return pd.Series([list(row) for row in zip(*per_table)])
+
     out = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    tables = []
-    for t in range(n_tables):
-        bits = [ _plane_sign(F.col("v"), dim, p, t) for p in range(n_planes) ]
-        sig = F.concat_ws("", *[b.cast("string") for b in bits])
-        tables.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
-    return (out.select("id", "v", F.explode(F.array(*tables)).alias("tb"))
-            .select("id", "v", F.col("tb.table").alias("table"),
-                    F.col("tb.bucket").alias("bucket")))
+    return (out.select("id", "v",
+                       F.posexplode(sigs(F.col("v"))).alias("table", "bucket")))
 
 
 def lsh_topk(df: DataFrame, dim: int, k: int = 5, n_planes: int = 8,
@@ -102,7 +132,7 @@ def lsh_topk(df: DataFrame, dim: int, k: int = 5, n_planes: int = 8,
             .dropDuplicates(["query_id", "neighbor_id"]))
     scored = cand.select(
         "query_id", "neighbor_id",
-        F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"))
+        F.round(cosine_batch_udf(F.col("qv"), F.col("nv")), 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

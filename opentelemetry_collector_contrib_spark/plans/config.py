@@ -97,6 +97,12 @@ def _filter(spark: SparkSession, conf: dict) -> Stage:
     return lambda df: df.filter(F.expr(conf["expr"]))
 
 
+def _transform(spark: SparkSession, conf: dict) -> Stage:
+    from ..operators.transform import transform as _tf
+    statements = list(conf["statements"])
+    return lambda df: _tf(df, statements)
+
+
 def _routing(spark: SparkSession, conf: dict) -> Stage:
     routes = RoutingTable(from_attribute=conf["from_attribute"],
                           table={k: list(v) for k, v in
@@ -112,6 +118,7 @@ PROCESSORS: dict[str, Callable[[SparkSession, dict], Stage]] = {
     "k8s_enrich": _k8s_enrich,
     "resource_detection": _resource_detection,
     "filter": _filter,
+    "transform": _transform,
     "routing": _routing,
 }
 

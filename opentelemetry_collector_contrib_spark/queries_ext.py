@@ -312,11 +312,7 @@ def _lsh_bucket_sql(table: int, n_planes: int = 8, dim: int = 64) -> str:
     they are precomputed here in Python and inlined as literals — the
     dot products then run in the same left-assoc double order as the
     Spark fold."""
-    import hashlib
-
-    def coeff(t, p, d):
-        h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16)
-        return (h % 2001 - 1000) / 1000.0
+    from .datapipe.similarity import plane_coeff as coeff
 
     bits = []
     for p in range(n_planes):
