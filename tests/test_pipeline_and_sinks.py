@@ -235,3 +235,41 @@ def test_compact_preserves_rows(spark, sf_dir, tmp_path):
     after_df = spark.read.parquet(out)
     assert rows(after_df, "doc_id", "tokens") == before
     assert stats["files_after"] < stats["files_before"]
+
+
+def test_group_by_trace_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState groupbytrace: spans buffer per trace;
+    wait_duration after first arrival the whole trace releases
+    (groupbytraceprocessor processor.go:124-170).  Timers fire on the
+    stream's no-data maintenance batches, so the test POLLS the sink
+    (processAllAvailable never settles with processing-time timeouts).
+    """
+    import time as _t
+    from opentelemetry_collector_contrib_spark.streaming.group_by_trace import (
+        group_by_trace_stream)
+    src = tmp_path / "spans_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("tA", "s1"), ("tA", "s2"), ("tB", "s3")],
+        "trace_id string, span_id string").coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    stream = (spark.readStream.schema("trace_id string, span_id string")
+              .parquet(str(src)))
+    out = group_by_trace_stream(stream, wait_duration_ms=1000)
+    q = (out.writeStream.format("memory").queryName("t_gbt")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_gbt")).start())
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            if spark.sql("SELECT * FROM t_gbt").count() >= 2:
+                break
+            _t.sleep(2)
+        got = {r["trace_id"]: r for r in
+               spark.sql("SELECT * FROM t_gbt").collect()}
+        assert got["tA"]["n_spans"] == 2
+        assert sorted(got["tA"]["span_ids"]) == ["s1", "s2"]
+        assert got["tB"]["n_spans"] == 1
+        assert got["tA"]["complete"] is True
+    finally:
+        q.stop()
