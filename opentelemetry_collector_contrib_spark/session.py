@@ -50,6 +50,9 @@ def get_spark(app_name: str = "otelcol-spark",
         # files and these are tuned via spark-submit instead.
         .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(128 * 1024))
+        # resume-unit writes overwrite ONLY the unit partitions they
+        # produce (plans/pipeline.py) — completed units stay untouched
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
