@@ -104,3 +104,36 @@ def test_statsd_roundtrip(spark):
     assert back["req"]["tags"] == "env:prod,host:h1"
     assert back["gauge1"]["value"] == 17.0
     assert back["gauge1"]["sample_rate"] == 1.0
+
+
+PROM_LINES = [
+    "# HELP http_requests_total Total requests.",
+    "# TYPE http_requests_total counter",
+    'http_requests_total{method="get",code="200"} 1027 1395066363000',
+    'http_requests_total{method="post",code="200"} 3',
+    "# TYPE temp gauge",
+    "temp 23.5",
+    'weird{msg="a \\"quoted\\" bit"} 1',
+    "",
+    "not a metric line at all !!!",
+]
+
+
+def test_prometheus_parse(spark):
+    from opentelemetry_collector_contrib_spark.operators.prometheus import (
+        parse_prometheus)
+    df = spark.createDataFrame([(l,) for l in PROM_LINES], "line string")
+    out = parse_prometheus(df)
+    got = {(r["metric_name"], str(sorted((r["labels"] or {}).items()))): r
+           for r in out.collect()}
+    k1 = ("http_requests_total", str(sorted({"method": "get", "code": "200"}.items())))
+    assert got[k1]["value"] == 1027.0
+    assert got[k1]["ts_ms"] == 1395066363000
+    assert got[k1]["metric_type"] == "counter"
+    k2 = ("temp", "[]")
+    assert got[k2]["value"] == 23.5 and got[k2]["metric_type"] == "gauge"
+    k3 = ("weird", str(sorted({"msg": 'a "quoted" bit'}.items())))
+    assert got[k3]["metric_type"] == "untyped"
+    # malformed line kept + flagged
+    bad = [r for r in out.collect() if r["valid"] is False]
+    assert len(bad) == 1
