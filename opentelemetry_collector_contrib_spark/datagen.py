@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 20260816
-GEN_VERSION = "v2"   # bump when adding tables so stale dirs regenerate
+GEN_VERSION = "v3"   # bump when adding tables so stale dirs regenerate
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 
 # rows per sf=1.0 (so sf0.01 -> 60k, matching the driver's lineitem scale)
@@ -161,20 +161,23 @@ def gen_statsd(rng: np.random.Generator, n: int) -> pa.Table:
     """statsd lines: name:value|type[|@rate][|#k:v,...]."""
     name_idx = rng.choice(len(METRIC_NAMES), n)
     val = rng.integers(1, 100, n)
-    is_counter = rng.random(n) < 0.6
+    kind = rng.choice(3, n, p=[0.5, 0.3, 0.2])    # counter / gauge / timer
     sampled = rng.random(n) < 0.3
     tagged = rng.random(n) < 0.4
     gauge_delta = rng.random(n) < 0.2
+    timer_ms = np.round(rng.random(n) * 500, 3)
     lines = []
     for i in range(n):
         name = METRIC_NAMES[name_idx[i]].replace(".", "_")
-        if is_counter[i]:
+        if kind[i] == 0:
             line = f"{name}:{int(val[i])}|c"
             if sampled[i]:
                 line += "|@0.5"
-        else:
+        elif kind[i] == 1:
             sign = "+" if gauge_delta[i] else ""
             line = f"{name}:{sign}{int(val[i])}|g"
+        else:
+            line = f"{name}:{timer_ms[i]}|ms"
         if tagged[i]:
             line += f"|#env:prod,host:h{int(val[i]) % 8}"
         lines.append(line)

@@ -89,3 +89,28 @@ def flush_aggregate(parsed: DataFrame, order_col: str | None = None) -> DataFram
                   .drop("delta_sum", "last_abs"))
     gauges = gauges.withColumn("metric_type", F.lit("g"))
     return counters.unionByName(gauges)
+
+
+def timer_aggregate(parsed: DataFrame,
+                    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Per-flush timer ('ms') statistics: count, sum, min, max and exact
+    interpolated percentiles.  (The reference snapshot only aggregates
+    c/g — statsd_parser.go:92-129; timers are the standard statsd
+    server behavior, included here for parity with statsd deployments.)
+
+    Exact ``percentile`` (not approx) keeps results engine-portable for
+    the DuckDB oracle; at 10^12 scale swap in percentile_approx and
+    accept sketch error.
+    """
+    pct_arr = ", ".join(str(p) for p in percentiles)
+    timers = (parsed.filter(F.col("metric_type") == "ms")
+              .groupBy("name", "tags")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("value").alias("sum"),
+                   F.min("value").alias("min"),
+                   F.max("value").alias("max"),
+                   F.expr(f"percentile(value, array({pct_arr}))").alias("_p")))
+    for i, p in enumerate(percentiles):
+        name = f"p{str(p)[2:]}"
+        timers = timers.withColumn(name, F.col("_p").getItem(i))
+    return timers.drop("_p")

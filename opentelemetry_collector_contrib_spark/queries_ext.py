@@ -32,7 +32,7 @@ from .operators.filters import SamplingPolicy, tail_sample
 from .operators.json_parser import splunk_hec_events
 from .operators.metrics_transform import combine
 from .operators.partitioners import ring_route_column
-from .operators.statsd import flush_aggregate, parse_statsd
+from .operators.statsd import flush_aggregate, parse_statsd, timer_aggregate
 
 # ---------------------------------------------------------------------------
 # corpora (built in-query from the documents table, mirrored in SQL)
@@ -159,6 +159,12 @@ def q_statsd_flush(spark, sf_dir, tok_dir):
     parsed = parse_statsd(
         spark.read.parquet(os.path.join(tok_dir, "statsd.parquet")))
     return flush_aggregate(parsed)
+
+
+def q_statsd_timers(spark, sf_dir, tok_dir):
+    parsed = parse_statsd(
+        spark.read.parquet(os.path.join(tok_dir, "statsd.parquet")))
+    return timer_aggregate(parsed)
 
 
 def q_tailsample(spark, sf_dir):
@@ -554,6 +560,26 @@ FROM (SELECT event_type, count(*)::BIGINT AS call_count,
       FROM events GROUP BY 1) s
 JOIN hist h USING (event_type)""",
 
+        "statsd_timers": f"""WITH p AS (
+  SELECT regexp_extract(line, '^([^:]+):', 1) AS name,
+         regexp_extract(line, '^[^:]+:([^|]+)\\|', 1) AS raw,
+         regexp_extract(line, '\\|(c|g|ms|h|s)(\\||$)', 1) AS mtype,
+         regexp_extract(line, '\\|#(.+)$', 1) AS tags_s
+  FROM read_parquet('{d}/statsd.parquet')
+), t AS (
+  SELECT name,
+         CASE WHEN tags_s <> ''
+              THEN array_to_string(list_sort(string_split(tags_s, ',')), ',')
+              ELSE '' END AS tags,
+         CAST(raw AS DOUBLE) AS value
+  FROM p WHERE mtype = 'ms'
+)
+SELECT name, tags, count(*)::BIGINT AS n, sum(value) AS sum,
+       min(value) AS min, max(value) AS max,
+       quantile_cont(value, 0.5) AS p5, quantile_cont(value, 0.9) AS p9,
+       quantile_cont(value, 0.99) AS p99
+FROM t GROUP BY name, tags""",
+
         "tailsample": """SELECT event_id, user_id, event_type, value
 FROM events WHERE user_id IN (
   SELECT user_id FROM events
@@ -607,6 +633,7 @@ def extra_queries(tok_dir_for) -> dict:
         "carbon_parse": with_tok(q_carbon_parse),
         "metrics_combine": with_tok(q_metrics_combine),
         "statsd_flush": with_tok(q_statsd_flush),
+        "statsd_timers": with_tok(q_statsd_timers),
         "tailsample": q_tailsample,
         "span_metrics": q_span_metrics,
         "trace_sessions": q_trace_sessions,
