@@ -55,3 +55,18 @@ def group_by_attrs_metrics(df: DataFrame, keys: list[str]) -> DataFrame:
         F.count_distinct(*[F.coalesce(F.col(k).cast("string"), F.lit("\x00"))
                            for k in keys]).alias("num_groups"),
     )
+
+
+def group_by_attrs_map(df: DataFrame, map_col: str, keys: list[str],
+                       extra_aggs: dict | None = None) -> DataFrame:
+    """Open-map variant: group records by the VALUES of configured keys
+    inside a MapType attributes column (the reference's native shape —
+    attribute_groups.go:96-145 matches on exact attribute sets; with a
+    fixed key list the group signature is the tuple of those values).
+
+    Missing keys group as NULL, like the flat-column variant."""
+    group_cols = [F.col(map_col).getItem(k).alias(k) for k in keys]
+    aggs = [F.count(F.lit(1)).alias("record_count")]
+    for name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(name))
+    return df.groupBy(*group_cols).agg(*aggs)

@@ -122,3 +122,14 @@ def test_resource_detection_new_column(spark):
     df = spark.createDataFrame([("e1",)], "id string")
     out = resource_detection(df, {"region": "eu"}).collect()[0]
     assert out["region"] == "eu"
+
+
+def test_groupbyattrs_map_variant(spark):
+    from opentelemetry_collector_contrib_spark.operators.groupbyattrs import (
+        group_by_attrs_map)
+    df = spark.createDataFrame(
+        [("a", {"ns": "n1", "x": "1"}), ("b", {"ns": "n1"}),
+         ("c", {"x": "9"})],
+        "id string, attrs map<string,string>")
+    got = rows(group_by_attrs_map(df, "attrs", ["ns"]))
+    assert got == [("n1", 2), (None, 1)]
