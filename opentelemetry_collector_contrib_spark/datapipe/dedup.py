@@ -295,3 +295,32 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
             .filter(F.col("cosine") >= threshold)
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"), "cosine"))
+
+
+def dedup_survivors(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    policy: str = "longest") -> DataFrame:
+    """Pick ONE surviving row per exact-duplicate group (the selection
+    step training pipelines run after exact_dedup).
+
+    policy='longest' — keep the longest text, ties by smallest id;
+    policy='first'   — keep the smallest id.
+
+    Windowed rank over deterministic keys, so any engine reproduces the
+    same survivors.  At scale this is a single hash-partitioned window
+    (shuffle keyed by the uniform text hash — no skew).
+    """
+    from pyspark.sql import Window
+    if policy == "longest":
+        order = [F.length(F.col(text_col)).desc(), F.col(id_col).asc()]
+    elif policy == "first":
+        order = [F.col(id_col).asc()]
+    else:
+        raise ValueError(f"unknown dedup policy {policy!r}")
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(*order)
+    wall = Window.partitionBy(F.md5(F.col(text_col)))
+    return (df
+            .withColumn("dup_count", F.count(F.lit(1)).over(wall))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn"))

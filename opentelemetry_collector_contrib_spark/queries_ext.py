@@ -16,7 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .datapipe.dedup import (exact_dedup, minhash_lsh_dedup,
+from .datapipe.dedup import (dedup_survivors, exact_dedup, minhash_lsh_dedup,
                              ngram_jaccard_pairs, minhash_signatures,
                              simhash_fingerprints, simhash_near_pairs_blocked,
                              embedding_neardup_pairs)
@@ -78,6 +78,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_exact_corpus(spark, sf_dir), "text", "doc_id")
+
+
+def q_dedup_survivors(spark, sf_dir):
+    out = dedup_survivors(_exact_corpus(spark, sf_dir))
+    return out.select("doc_id", "dup_count")
 
 
 def q_dedup_jaccard(spark, sf_dir):
@@ -393,6 +398,15 @@ SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
        count(*)::BIGINT AS dup_count
 FROM corpus GROUP BY md5(text)""",
 
+        "dedup_survivors": f"""WITH {EXACT_CORPUS_SQL},
+r AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY md5(text))::BIGINT AS dup_count,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY length(text) DESC, doc_id) AS rn
+  FROM corpus)
+SELECT doc_id, dup_count FROM r WHERE rn = 1""",
+
         "dedup_jaccard": f"""WITH {NEAR_CORPUS_SQL}, {_shingle_cte()}, {_JACCARD_CTE}
 SELECT id_a, id_b, inter, sz_a, sz_b, jaccard FROM jac WHERE jaccard >= 0.5""",
 
@@ -620,6 +634,7 @@ def extra_queries(tok_dir_for) -> dict:
         return lambda spark, sf_dir: fn(spark, sf_dir, tok_dir_for(sf_dir))
     return {
         "dedup_exact": q_dedup_exact,
+        "dedup_survivors": q_dedup_survivors,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_sig": q_minhash_sig,
         "minhash_lsh": q_minhash_lsh,

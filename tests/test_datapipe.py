@@ -165,3 +165,18 @@ def test_frame_sample_deterministic(spark):
     a = sorted(r["media_id"] for r in frame_sample(media, 4).collect())
     b = sorted(r["media_id"] for r in frame_sample(media, 4).collect())
     assert a == b and 0 < len(a) < 64
+
+
+def test_dedup_survivors_policies(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+        dedup_survivors)
+    df = spark.createDataFrame(
+        [("d1", "same text"), ("d2", "same text"),
+         ("d3", "short"), ("d4", "short but longer")],
+        "doc_id string, text string")
+    longest = {r["doc_id"]: r["dup_count"]
+               for r in dedup_survivors(df).collect()}
+    assert longest == {"d1": 2, "d3": 1, "d4": 1}   # d1 ties -> smaller id
+    first = {r["doc_id"] for r in
+             dedup_survivors(df, policy="first").collect()}
+    assert first == {"d1", "d3", "d4"}
