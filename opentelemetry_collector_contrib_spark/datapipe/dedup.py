@@ -219,23 +219,39 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.5, k: int = 3,
 SIMHASH_BITS = 32
 
 
+def _simhash_py(text: str | None) -> int | None:
+    """Pure-Python/numpy twin of the simhash computation: md5-based
+    portable word hashes, per-bit +/-1 votes, sign -> bit.  Returns
+    None for word-less docs (they produce no fingerprint, matching the
+    explode-based formulation)."""
+    import hashlib
+
+    import numpy as np
+    words = _norm_words_py(text)
+    if not words:
+        return None
+    hs = np.fromiter(
+        (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in words),
+        dtype=np.int64, count=len(words))
+    bits = (hs[:, None] >> np.arange(SIMHASH_BITS)) & 1
+    s = (bits * 2 - 1).sum(axis=0)
+    return int(((s > 0).astype(np.int64) << np.arange(SIMHASH_BITS)).sum())
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(_simhash_py)
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """Per-doc SIMHASH_BITS-bit fingerprint: bit b is the sign of the
-    vote sum over word hashes (+1 if bit set else -1)."""
-    words = (df.select(F.col(id_col).alias("id"),
-                       F.explode(words_udf(F.col(text_col))).alias("w"))
-             .withColumn("h", portable_hash(F.col("w"))))
-    # one aggregation pass with SIMHASH_BITS static vote-sum columns
-    # (static shifts stay in codegen; no 32x row blow-up + second shuffle)
-    aggs = [F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"_s{b}")
-            for b in range(SIMHASH_BITS)]
-    votes = words.groupBy("id").agg(*aggs)
-    fp = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        fp = fp + F.when(F.col(f"_s{b}") > 0,
-                         F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return votes.select("id", fp.alias("simhash"))
+    vote sum over word hashes (+1 if bit set else -1).  ONE Arrow hop
+    per doc — the explode+groupBy formulation shuffled O(words) rows
+    per document for what is a purely per-row computation."""
+    return (df.select(F.col(id_col).alias("id"),
+                      _simhash_udf(F.col(text_col)).alias("simhash"))
+            .filter(F.col("simhash").isNotNull()))
 
 
 def simhash_near_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -193,6 +193,16 @@ def q_span_metrics(spark, sf_dir):
                         duration_col="value", bounds=SPAN_BOUNDS)
 
 
+def q_window_rollup(spark, sf_dir):
+    """Event-time windowed rollup (the statsd/collector flush-interval
+    analog in batch): per 1-hour window x event_type counts + sums."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+            .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("w_start"), "event_type", "n", "sum_v"))
+
+
 def q_trace_sessions(spark, sf_dir):
     return (_events(spark, sf_dir)
             .groupBy("user_id")
@@ -599,6 +609,11 @@ FROM events WHERE user_id IN (
   SELECT user_id FROM events
   WHERE (value BETWEEN 400.0 AND 500.0) OR event_type IN ('purchase'))""",
 
+        "window_rollup": """SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+  event_type, count(*)::BIGINT AS n, sum(value) AS sum_v
+FROM events GROUP BY 1, 2""",
+
         "trace_sessions": """SELECT user_id, count(*)::BIGINT AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
        list(event_type ORDER BY ts, event_id) AS event_seq
@@ -651,6 +666,7 @@ def extra_queries(tok_dir_for) -> dict:
         "statsd_timers": with_tok(q_statsd_timers),
         "tailsample": q_tailsample,
         "span_metrics": q_span_metrics,
+        "window_rollup": q_window_rollup,
         "trace_sessions": q_trace_sessions,
         "hec_parse": with_tok(q_hec_parse),
         "media_features": with_tok(q_media_features),
