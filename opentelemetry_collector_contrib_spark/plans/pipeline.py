@@ -147,6 +147,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
             manifest.record(unit, metrics[unit])
     if killed:
         return {"status": "killed", "units_done": len(done) + len(pending)}
+    # all units done -> publish per-sink snapshots (atomic; readers pin
+    # a consistent file set, the Iceberg-commit analog)
+    from ..sinks.maintenance import publish_snapshot
+    for sink_name in cfg.routes.all_sinks():
+        publish_snapshot(cfg.sink_cfg(sink_name).path, manifest.run_id,
+                         extra={"sink": sink_name})
     totals = manifest.entries()
     return {
         "status": "complete",

@@ -50,3 +50,41 @@ def compact(spark: SparkSession, path: str,
     shutil.rmtree(backup)
     after = sum(len(fs) for _r, _d, fs in os.walk(path))
     return {"files_before": before, "files_after": after, "bytes": size}
+
+
+def publish_snapshot(path: str, run_id: str, extra: dict | None = None) -> str:
+    """Atomic snapshot publish (the Iceberg-commit stand-in): write a
+    `_SNAPSHOT.json` listing every data file (name, bytes) plus run
+    metadata, via temp-file + rename.  Readers that pin a snapshot see
+    a consistent file set even while a later run rewrites units; a
+    crashed writer never leaves a half-updated snapshot.
+    """
+    import json
+    import time
+
+    files = []
+    for root, _dirs, fs in os.walk(path):
+        for f in sorted(fs):
+            if f.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, f)
+            files.append({"path": os.path.relpath(full, path),
+                          "bytes": os.path.getsize(full)})
+    snap = {"run_id": run_id, "published_at": time.time(),
+            "n_files": len(files), "total_bytes": sum(f["bytes"] for f in files),
+            "files": files, **(extra or {})}
+    target = os.path.join(path, "_SNAPSHOT.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    os.replace(tmp, target)
+    return target
+
+
+def read_snapshot(path: str) -> dict | None:
+    import json
+    target = os.path.join(path, "_SNAPSHOT.json")
+    if not os.path.exists(target):
+        return None
+    with open(target) as f:
+        return json.load(f)

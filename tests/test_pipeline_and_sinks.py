@@ -308,3 +308,19 @@ def test_rotated_multifile_ingest_exactly_once(spark, sf_dir, tmp_path):
     total = spark.read.parquet(f"{cfg2.out_dir}/sinks/*/unit=*") \
         .select("doc_id").distinct().count()
     assert total == whole.count()
+
+
+def test_snapshot_published_and_consistent(spark, sf_dir, tmp_path):
+    from opentelemetry_collector_contrib_spark.sinks.maintenance import (
+        read_snapshot)
+    cfg = _cfg(sf_dir, str(tmp_path / "snap"))
+    run_pipeline(spark, cfg)
+    for sink in ("sumologic", "loki", "default-sink"):
+        snap = read_snapshot(cfg.sink_cfg(sink).path)
+        assert snap is not None and snap["sink"] == sink
+        assert snap["n_files"] == len(snap["files"]) > 0
+        # every listed file exists with the recorded size
+        import os as _os
+        for f in snap["files"]:
+            full = _os.path.join(cfg.sink_cfg(sink).path, f["path"])
+            assert _os.path.getsize(full) == f["bytes"]
