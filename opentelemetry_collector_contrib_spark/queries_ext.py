@@ -188,9 +188,15 @@ SPAN_BOUNDS = [5.0, 25.0, 100.0, 250.0, 490.0]
 
 def q_span_metrics(spark, sf_dir):
     """spanmetrics RED aggregation over the events table (value = the
-    span duration, event_type = the operation dimension)."""
-    return span_metrics(_events(spark, sf_dir), ["event_type"],
-                        duration_col="value", bounds=SPAN_BOUNDS)
+    span duration, event_type = the operation dimension).  The histogram
+    array is serialized to a string for the driver canon (pandas
+    sort_values cannot factorize list cells)."""
+    sm = span_metrics(_events(spark, sf_dir), ["event_type"],
+                      duration_col="value", bounds=SPAN_BOUNDS)
+    return sm.select(
+        "event_type", "call_count", "total_duration",
+        F.concat_ws(",", F.col("bucket_counts").cast("array<string>"))
+        .alias("bucket_counts_s"))
 
 
 def q_window_rollup(spark, sf_dir):
@@ -204,15 +210,17 @@ def q_window_rollup(spark, sf_dir):
 
 
 def q_trace_sessions(spark, sf_dir):
+    """Batch sessionize (groupbytrace analog).  The event sequence is
+    serialized '|'-joined for the driver canon (no raw array columns)."""
     return (_events(spark, sf_dir)
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
                  .alias("first_ts"),
-                 F.transform(
+                 F.array_join(F.transform(
                      F.array_sort(F.collect_list(
                          F.struct("ts", "event_id", "event_type"))),
-                     lambda s: s.event_type).alias("event_seq")))
+                     lambda s: s.event_type), "|").alias("event_seq_s")))
 
 
 def q_hec_parse(spark, sf_dir, tok_dir):
@@ -310,7 +318,10 @@ votes AS (
   FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
   GROUP BY id, b
 ), fp AS (
-  SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+  -- CAST: DuckDB sum(BIGINT) returns HUGEINT, which pandas materializes
+  -- as float64 and the driver canon then %.6g-truncates (round-1 red).
+  SELECT id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
   FROM votes GROUP BY id
 )"""
 
@@ -578,7 +589,10 @@ FROM scored QUALIFY rank <= 3""",
   FROM grid g LEFT JOIN per p ON p.event_type = g.event_type AND p.bucket = g.i
   GROUP BY g.event_type
 )
-SELECT s.event_type, s.call_count, s.total_duration, h.bucket_counts
+SELECT s.event_type, s.call_count, s.total_duration,
+       array_to_string(list_transform(h.bucket_counts,
+                                      x -> CAST(x AS VARCHAR)), ',')
+           AS bucket_counts_s
 FROM (SELECT event_type, count(*)::BIGINT AS call_count,
              sum(value) AS total_duration
       FROM events GROUP BY 1) s
@@ -616,7 +630,8 @@ FROM events GROUP BY 1, 2""",
 
         "trace_sessions": """SELECT user_id, count(*)::BIGINT AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
-       list(event_type ORDER BY ts, event_id) AS event_seq
+       array_to_string(list(event_type ORDER BY ts, event_id), '|')
+           AS event_seq_s
 FROM events GROUP BY user_id""",
 
         "hec_parse": f"""SELECT
