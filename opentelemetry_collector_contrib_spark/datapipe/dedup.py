@@ -17,9 +17,9 @@ Scale notes (100 TB):
   the exploded shingles (no per-hash pass); band buckets then
   equi-join — the classic sub-quadratic path; candidate pairs are
   verified with exact Jaccard.
-- SimHash: 64 -> 32-bit fingerprint via bit-vote aggregation; pairs
-  within Hamming distance via xor+bit_count over block-partitioned
-  candidates.
+- SimHash: 60-bit fingerprint via bit-vote aggregation; pairs within
+  Hamming distance via xor+bit_count over block-partitioned candidates
+  (4 x 15-bit blocks at max_hamming=3 -> 32k buckets/block).
 """
 
 from __future__ import annotations
@@ -216,14 +216,20 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.5, k: int = 3,
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 60 bits = 15 md5 hex digits: fits a signed int64 / DuckDB BIGINT with
+# headroom (no HUGEINT promotion in the oracle's sum, no sign-bit
+# wrangling), and splits into 4 x 15-bit blocks for max_hamming=3 —
+# 32k buckets per block, so at N docs each (blk, val) bucket holds
+# ~N/2^15 rows.  The round-1 32-bit / 8-bit-block version degenerated
+# toward quadratic at billions of docs (~N/256 per bucket).
+SIMHASH_BITS = 60
 
 
 def _simhash_py(text: str | None) -> int | None:
     """Pure-Python/numpy twin of the simhash computation: md5-based
-    portable word hashes, per-bit +/-1 votes, sign -> bit.  Returns
-    None for word-less docs (they produce no fingerprint, matching the
-    explode-based formulation)."""
+    portable word hashes (first 15 hex digits = 60 bits), per-bit +/-1
+    votes, sign -> bit.  Returns None for word-less docs (they produce
+    no fingerprint, matching the explode-based formulation)."""
     import hashlib
 
     import numpy as np
@@ -231,7 +237,7 @@ def _simhash_py(text: str | None) -> int | None:
     if not words:
         return None
     hs = np.fromiter(
-        (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in words),
+        (int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in words),
         dtype=np.int64, count=len(words))
     bits = (hs[:, None] >> np.arange(SIMHASH_BITS)) & 1
     s = (bits * 2 - 1).sum(axis=0)
@@ -267,17 +273,32 @@ def simhash_near_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
                     F.col("b.id").alias("id_b"), "hamming"))
 
 
+def simhash_block_bounds(max_hamming: int,
+                         bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(shift, width) per block: max_hamming+1 blocks that PARTITION all
+    ``bits`` bits (pigeonhole needs full coverage); remainder bits go to
+    the leading blocks when bits % nblocks != 0."""
+    nblocks = max_hamming + 1
+    base, rem = divmod(bits, nblocks)
+    bounds, shift = [], 0
+    for i in range(nblocks):
+        width = base + (1 if i < rem else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
 def simhash_near_pairs_blocked(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Scale path: split the fingerprint into (max_hamming+1) blocks;
     equi-join on (block_idx, block_value) — any pair within max_hamming
-    shares at least one identical block (pigeonhole)."""
-    nblocks = max_hamming + 1
-    width = SIMHASH_BITS // nblocks
+    shares at least one identical block (pigeonhole).  At 60 bits /
+    max_hamming=3 each block is 15 bits -> 32k buckets per block."""
     blocks = F.array(*[
         F.struct(F.lit(i).alias("blk"),
-                 F.shiftright(F.col("simhash"), i * width)
+                 F.shiftright(F.col("simhash"), shift)
                  .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
-        for i in range(nblocks)])
+        for i, (shift, width) in
+        enumerate(simhash_block_bounds(max_hamming))])
     ex = (fp.select("id", "simhash", F.explode(blocks).alias("b"))
           .select("id", "simhash", F.col("b.blk").alias("blk"),
                   F.col("b.val").alias("val")))

@@ -20,8 +20,11 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 RING_POSITIONS = 36000     # consistent_hashing.go:28 (maxPositions)
 VPOINTS = 100              # consistent_hashing.go:27 (defaultWeight)
@@ -43,21 +46,42 @@ def ring_route_column(key: Column, endpoints: list[str]) -> Column:
     """Backend for a key per the ring lookup (consistent_hashing.go:44-68:
     first ring position >= hash(key) % RING_POSITIONS, wrapping).
 
-    Compiled to a bucketized lookup: the sorted ring positions become a
-    literal array; the index is found with binary-search-free
-    ``aggregate`` over boundaries — O(ring) per row but fully codegen,
-    and ring size is bounded (endpoints*100)."""
+    crc32 + pmod stay JVM-side (codegen); the position->owner lookup is
+    ONE Arrow hop over a single int column with a vectorized binary
+    search (np.searchsorted) over the precomputed ring.  The earlier
+    expression form (F.filter over a 400-literal array) was an
+    interpreted HOF — O(ring) comparisons per row with no codegen."""
     ring = build_ring(endpoints)
-    positions = [p for p, _ in ring]
-    owners = [e for _, e in ring]
+    positions = np.array([p for p, _ in ring], dtype=np.int64)
+    owners = np.array([e for _, e in ring], dtype=object)
+
+    @F.pandas_udf(T.StringType())
+    def _ring_lookup(h: pd.Series) -> pd.Series:
+        # first index with positions[idx] >= h; == len -> wrap to 0.
+        # Sorted-duplicate positions resolve to the first (same as the
+        # reference's linear scan over the sorted ring).
+        idx = np.searchsorted(positions, h.to_numpy(), side="left")
+        idx[idx >= len(positions)] = 0
+        return pd.Series(owners[idx])
+
     h = F.pmod(F.crc32(key.cast("binary")), F.lit(RING_POSITIONS))
-    # index of first position >= h = count of positions < h (ring is
-    # sorted); count == size means wrap to 0.  Pure codegen, O(ring).
-    pos_arr = F.array(*[F.lit(p) for p in positions])
-    idx = F.size(F.filter(pos_arr, lambda x: x < h))
-    idx = F.when(idx >= F.size(pos_arr), F.lit(0)).otherwise(idx)
-    owner_arr = F.array(*[F.lit(o) for o in owners])
-    return F.element_at(owner_arr, idx + 1)
+    return _ring_lookup(h)
+
+
+CRC32_POLY = 0xEDB88320        # reflected IEEE 802.3 polynomial
+
+
+def crc32_table() -> list[int]:
+    """The standard 256-entry byte-at-a-time CRC-32 table (same values
+    zlib.crc32 uses) — inlined as literals into the DuckDB oracle so the
+    ring route is hash-checkable without a native crc32 function."""
+    tab = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ CRC32_POLY if c & 1 else c >> 1
+        tab.append(c)
+    return tab
 
 
 def batch_per_attr(df: DataFrame, attr: str, n_partitions: int | None = None) -> DataFrame:

@@ -238,14 +238,49 @@ def q_media_features(spark, sf_dir, tok_dir):
 
 
 def q_ring_route(spark, sf_dir, tok_dir):
-    """Consistent-hash ring fan-out counts (crc32 ring — no DuckDB crc32,
-    so rows-only here; exact ring parity vs a pure-Python reference is
-    asserted in tests/test_partitioners.py)."""
+    """Consistent-hash ring fan-out counts.  Oracle-checked: DuckDB has
+    no crc32, so the oracle computes it in SQL (256-entry table literal
+    + list_reduce over the key's bytes, _ring_oracle_sql); exact ring
+    parity vs a pure-Python reference is also asserted in
+    tests/test_metrics_and_filters.py."""
     df = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
     return (df.withColumn("backend",
                           ring_route_column(F.col("doc_id"), RING_BACKENDS))
             .groupBy("backend")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _ring_oracle_sql(tok_dir: str) -> str:
+    """crc32-ring route in pure DuckDB SQL: crc32 via the standard
+    256-entry table (literal list) folded over the key's ASCII codes
+    with list_reduce, then the ring lookup as count-of-positions < h
+    over the inlined sorted ring (consistent_hashing.go:44-68)."""
+    from .operators.partitioners import (RING_POSITIONS, build_ring,
+                                         crc32_table)
+    tab = "[" + ", ".join(str(x) for x in crc32_table()) + "]"
+    ring = build_ring(RING_BACKENDS)
+    rp = "[" + ", ".join(str(p) for p, _ in ring) + "]"
+    ro = "[" + ", ".join(f"'{o}'" for _, o in ring) + "]"
+    return f"""WITH tab AS (SELECT {tab} AS t),
+ring AS (SELECT {rp} AS rp, {ro} AS ro),
+codes AS (
+  SELECT list_transform(range(1, length(doc_id) + 1),
+                        i -> ascii(doc_id[i])) AS cs
+  FROM read_parquet('{tok_dir}/tokens.parquet')
+),
+crc AS (
+  SELECT xor(list_reduce(list_prepend(4294967295::BIGINT, cs),
+                         (c, b) -> xor(c >> 8, t[(xor(c, b) & 255) + 1])),
+             4294967295::BIGINT) % {RING_POSITIONS} AS h
+  FROM codes CROSS JOIN tab
+),
+routed AS (
+  SELECT ro[(CASE WHEN len(list_filter(rp, p -> p < h)) >= len(rp)
+                  THEN 0 ELSE len(list_filter(rp, p -> p < h)) END) + 1]
+             AS backend
+  FROM crc CROSS JOIN ring
+)
+SELECT backend, count(*)::BIGINT AS n FROM routed GROUP BY backend"""
 
 
 # ---------------------------------------------------------------------------
@@ -308,14 +343,16 @@ def _band_union(sig_src: str = "sig") -> str:
 
 
 def _simhash_cte(src: str = "corpus") -> str:
-    h = portable_hash_sql("w")
+    # 60-bit word hash (15 md5 hex digits) — twin of dedup._simhash_py;
+    # 60 bits keep the fingerprint sum inside BIGINT range.
+    h = "CAST(('0x' || substr(md5(CAST(w AS VARCHAR)), 1, 15)) AS BIGINT)"
     return f"""docs AS (
   SELECT id, {WORDS_SQL} AS words FROM {src}
 ), w AS (SELECT id, unnest(words) AS w FROM docs),
 h AS (SELECT id, {h} AS h FROM w),
 votes AS (
   SELECT id, b, sum(((h >> b) & 1) * 2 - 1) AS s
-  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
   GROUP BY id, b
 ), fp AS (
   -- CAST: DuckDB sum(BIGINT) returns HUGEINT, which pandas materializes
@@ -654,6 +691,8 @@ FROM read_parquet('{d}/hec.parquet')""",
              % 240) AS INT) AS height,
   true AS ok
 FROM read_parquet('{d}/media.parquet')""",
+
+        "ring_route": _ring_oracle_sql(d),
     }
 
 

@@ -76,6 +76,47 @@ def test_simhash_identical_and_blocked_equals_bruteforce(spark):
     assert brute == blocked                # pigeonhole blocking is exact
 
 
+def test_simhash_block_bounds_partition_all_bits():
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+        SIMHASH_BITS, simhash_block_bounds)
+    assert SIMHASH_BITS == 60              # fits BIGINT sum in the oracle
+    for mh in (1, 2, 3, 6):
+        bounds = simhash_block_bounds(mh)
+        assert len(bounds) == mh + 1
+        assert sum(w for _, w in bounds) == SIMHASH_BITS   # full coverage
+        shift = 0
+        for s, w in bounds:                # contiguous, no overlap
+            assert s == shift and w > 0
+            shift += w
+
+
+def test_simhash_block_buckets_spread(spark):
+    """The 15-bit blocks must spread random docs thinly — the scale
+    property the 8-bit round-1 blocks lacked (~N/256 per bucket)."""
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+        simhash_block_bounds)
+    import hashlib
+    n = 400
+    # fully-disjoint random word sets -> near-uniform fingerprints
+    # (shared-vocabulary docs legitimately cluster: that's the operator)
+    docs = spark.createDataFrame(
+        [(f"r{i}", " ".join(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8]
+                            for j in range(12)))
+         for i in range(n)], "doc_id string, text string")
+    fp = simhash_fingerprints(docs)
+    bounds = simhash_block_bounds(3)
+    blocks = F.array(*[
+        F.struct(F.lit(i).alias("blk"),
+                 F.shiftright(F.col("simhash"), s)
+                 .bitwiseAND(F.lit((1 << w) - 1)).alias("val"))
+        for i, (s, w) in enumerate(bounds)])
+    sizes = (fp.select(F.explode(blocks).alias("b"))
+             .groupBy("b.blk", "b.val").count().collect())
+    # random-ish 15-bit blocks over 400 docs: collisions are rare —
+    # no bucket should hold more than ~1% of docs
+    assert max(r["count"] for r in sizes) <= 4
+
+
 VECS = [
     ("v1", [1.0, 0.0, 0.0, 0.0]),
     ("v2", [0.9, 0.1, 0.0, 0.0]),
