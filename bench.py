@@ -47,9 +47,12 @@ SCALING_SF_DIR = os.environ.get("SPARK_GRAFT_SCALE_SF_DIR", "/root/testdata/sf2"
 
 
 def _force(df) -> int:
-    """Run the full plan; cheap row count via aggregation (no collect of
-    data rows — a single count row comes back)."""
-    return df.count()
+    """Run the FULL plan end-to-end via the no-op sink.  count() is NOT
+    a valid force: Catalyst prunes unused deterministic projections —
+    including pandas UDFs — under count(), so map-only queries would
+    time little more than a parquet scan."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
 
 
 def run_queries(spark, sf_dir: str, names: list[str]) -> tuple[dict, int]:

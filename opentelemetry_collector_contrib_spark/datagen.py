@@ -128,10 +128,16 @@ def gen_tokens(rng: np.random.Generator, n: int) -> pa.Table:
     # offsets (per-row list building is ~100x slower at sf >= 1)
     lens = np.fromiter((len(l) for l in lines), dtype=np.int64, count=n)
     flat = np.frombuffer("".join(lines).encode("ascii"), dtype=np.uint8)
-    offsets = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(lens, out=offsets[1:])
+    # cumsum in int64 FIRST: an int32 out-array silently wraps once the
+    # corpus exceeds 2^31 bytes (~sf4), corrupting the ListArray
+    offsets64 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets64[1:])
+    if offsets64[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"corpus is {offsets64[-1]} bytes — exceeds int32 list offsets; "
+            "generate in chunks or switch to pa.large_list")
     tokens_arr = pa.ListArray.from_arrays(
-        pa.array(offsets, pa.int32()),
+        pa.array(offsets64.astype(np.int32), pa.int32()),
         pa.array(flat.astype(np.int32), pa.int32()))
     return pa.table({
         "doc_id": pa.array([f"doc-{i:08d}" for i in range(n)], pa.string()),

@@ -94,8 +94,13 @@ def lsh_buckets(df: DataFrame, dim: int, n_planes: int = 8,
                 n_tables: int = 2, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """Assign each vector its LSH bucket signature per table — ONE Arrow
-    hop computing all n_tables x n_planes signs as a single matrix
-    product per batch (the per-plane Catalyst fold was interpreted)."""
+    hop computing all n_tables x n_planes signs per batch.
+
+    The dot products accumulate LEFT-ASSOCIATIVELY over dimensions
+    (vectorized across rows x planes, one fused add per dimension) so
+    every sign bit is IEEE-bit-identical to the DuckDB oracle's inlined
+    ``v[1]*c0 + v[2]*c1 + ...`` sum — a matmul's pairwise summation
+    could flip a bucket bit on a dot product within rounding of zero."""
     import numpy as np
     C = np.array([[[plane_coeff(t, p, d) for d in range(dim)]
                    for p in range(n_planes)] for t in range(n_tables)])
@@ -107,7 +112,10 @@ def lsh_buckets(df: DataFrame, dim: int, n_planes: int = 8,
         V = np.stack(v.to_numpy()).astype(np.float64)
         per_table = []
         for t in range(n_tables):
-            S = V @ C[t].T > 0                      # (rows, planes) signs
+            acc = V[:, 0:1] * C[t][None, :, 0]      # (rows, planes)
+            for d in range(1, dim):
+                acc = acc + V[:, d:d + 1] * C[t][None, :, d]
+            S = acc > 0
             per_table.append(["".join("1" if b else "0" for b in row)
                               for row in S])
         return pd.Series([list(row) for row in zip(*per_table)])
@@ -120,16 +128,25 @@ def lsh_buckets(df: DataFrame, dim: int, n_planes: int = 8,
 def lsh_topk(df: DataFrame, dim: int, k: int = 5, n_planes: int = 8,
              n_tables: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: score only bucket-sharing candidates."""
-    b = lsh_buckets(df, dim, n_planes, n_tables, id_col, vec_col)
+    """Approximate top-k: score only bucket-sharing candidates.  The
+    candidate distinct runs over bare (query_id, neighbor_id) pairs —
+    the vectors join back AFTER dedup, so the wide dedup shuffle never
+    carries the embedding payloads."""
+    b = (lsh_buckets(df, dim, n_planes, n_tables, id_col, vec_col)
+         .drop("v"))
     l, r = b.alias("l"), b.alias("r")
     cand = (l.join(r, (F.col("l.table") == F.col("r.table"))
                    & (F.col("l.bucket") == F.col("r.bucket"))
                    & (F.col("l.id") != F.col("r.id")))
             .select(F.col("l.id").alias("query_id"),
-                    F.col("r.id").alias("neighbor_id"),
-                    F.col("l.v").alias("qv"), F.col("r.v").alias("nv"))
+                    F.col("r.id").alias("neighbor_id"))
             .dropDuplicates(["query_id", "neighbor_id"]))
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = (cand
+            .join(v.select(F.col("id").alias("query_id"),
+                           F.col("v").alias("qv")), "query_id")
+            .join(v.select(F.col("id").alias("neighbor_id"),
+                           F.col("v").alias("nv")), "neighbor_id"))
     scored = cand.select(
         "query_id", "neighbor_id",
         F.round(cosine_batch_udf(F.col("qv"), F.col("nv")), 6).alias("cosine"))

@@ -33,9 +33,20 @@ GIT_SHA_RX = r"GIT_SHA=(\w+)"                          # k8sprocessor/config.go:
 
 def prepare_pods_dim(pods: DataFrame) -> DataFrame:
     """Precompute enrichment columns on the dimension side (client.go:186-239)
-    and drop ignored pods (client.go:304-329)."""
+    and drop ignored pods (client.go:304-329).
+
+    Same-IP conflicts resolve to the NEWEST StartTime (client.go:278-283:
+    a recreated pod reuses the IP; the newest owner wins), tie-broken by
+    pod_name for determinism.  Without this, duplicate pod_ip rows in
+    the dimension would fan out fact rows in the broadcast join."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("pod_ip").orderBy(
+        F.col("start_time").desc(), F.col("pod_name").asc())
     return (pods
             .filter(~F.col("ignore"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
             .withColumn("deployment",
                         F.regexp_extract(F.col("pod_name"), DEPLOYMENT_RX, 1))
             .withColumn("git_sha",

@@ -173,6 +173,11 @@ def run_from_config(spark: SparkSession, cfg: dict,
                      if c in branch.columns]
         branch = serialize_records(branch.drop("sinks"), sink,
                                    attr_cols=attr_cols)
+        # observe the routed count on the write itself — no read-back
+        # (which also crashed on zero-row sinks: only _SUCCESS on disk)
+        from pyspark.sql import Observation
+        obs = Observation()
+        branch = branch.observe(obs, F.count(F.lit(1)).alias("n"))
         write_sink(branch, sink)
-        counts[sink_name] = spark.read.parquet(sink.path).count()
+        counts[sink_name] = int(obs.get["n"])
     return counts

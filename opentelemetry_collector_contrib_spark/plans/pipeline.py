@@ -72,6 +72,11 @@ def build_lineage(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
 ATTR_COLS = ["source", "severity_text", "namespace", "deployment", "pod_name"]
 
 
+def _unit_count_aggs(units: list[int]) -> list:
+    return [F.coalesce(F.sum(F.when(F.col("unit") == u, 1).otherwise(0)),
+                       F.lit(0)).alias(f"u{u}") for u in units]
+
+
 def _process_units(df: DataFrame, cfg: PipelineConfig,
                    units: list[int]) -> dict[int, dict]:
     """ONE pass over the pending units per sink: the branch is written
@@ -81,13 +86,22 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
     partition-overwrite replaces only the written ``unit=K`` dirs —
     completed units from earlier runs are never touched.
 
-    All metrics derive from the WRITTEN parquet (cheap column scans);
-    rows_in falls out as countDistinct(doc_id) over the outputs (every
-    row routes somewhere: misses take the default route)."""
+    All metrics are collected with ``Observation`` aggregates ON the
+    write pass itself: per-unit input counts observe the pre-fan-out
+    lineage, per-sink routed counts observe each sink branch.  (The
+    round-1 version re-read every sink's written parquet and ran a
+    count_distinct over their union — a second full output scan plus a
+    wide shuffle at 100 TB just for manifest metrics, and it crashed
+    when a sink routed zero rows or kept no doc_id column.)"""
+    from pyspark.sql import Observation
     t0 = time.time()
-    spark = df.sparkSession
+    # input-side counts: one row per doc pre-fan-out, so a plain
+    # conditional count per unit == distinct docs routed anywhere
+    # (misses take the default route).  Fires with the first write.
+    in_obs = Observation()
+    df = df.observe(in_obs, *_unit_count_aggs(units))
     per_sink: dict[str, dict[int, int]] = {}
-    id_frames = []
+    branch_obs: dict[str, "Observation"] = {}
     for sink_name in cfg.routes.all_sinks():
         sink = cfg.sink_cfg(sink_name)
         branch = df.filter(F.array_contains(F.col("sinks"), sink_name))
@@ -95,22 +109,17 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
         out_cols = ["unit", "doc_id", "tokens", "n_tok", "payload",
                     "metadata_signature", *ATTR_COLS]
         branch = branch.select(*[c for c in out_cols if c in branch.columns])
+        obs = Observation()
+        branch = branch.observe(obs, *_unit_count_aggs(units))
         if cfg.salt_partitions:
             branch = salted_repartition(branch, "source", cfg.salt_partitions)
         write_sink(branch, sink, partition_cols=["unit"])
-        written = spark.read.parquet(sink.path).filter(
-            F.col("unit").isin(units))
-        per_sink[sink_name] = {
-            r["unit"]: r["n"] for r in
-            written.groupBy("unit").agg(F.count(F.lit(1)).alias("n")).collect()}
-        if "doc_id" in written.columns:
-            id_frames.append(written.select("unit", "doc_id"))
-    ids = id_frames[0]
-    for f_ in id_frames[1:]:
-        ids = ids.unionByName(f_)
-    rows_in_per_unit = {
-        r["unit"]: r["n"] for r in
-        ids.groupBy("unit").agg(F.count_distinct("doc_id").alias("n")).collect()}
+        branch_obs[sink_name] = obs
+    for sink_name, obs in branch_obs.items():
+        got = obs.get
+        per_sink[sink_name] = {u: int(got[f"u{u}"]) for u in units}
+    rows_in_got = in_obs.get
+    rows_in_per_unit = {u: int(rows_in_got[f"u{u}"]) for u in units}
     wall_ms = int((time.time() - t0) * 1000)
     out: dict[int, dict] = {}
     for u in units:
@@ -163,16 +172,33 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
     }
 
 
+def sink_has_data(path: str) -> bool:
+    """True when the sink dir holds at least one data file (a sink that
+    routed zero rows writes only _SUCCESS; reading it back throws
+    'Unable to infer schema')."""
+    import os
+    for root, _dirs, files in os.walk(path):
+        if any(not f.startswith(("_", ".")) for f in files):
+            return True
+    return False
+
+
 def aggregate_manifest(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     """Per-sink aggregate counts over the written outputs — the
-    groupbyattrs-style verification frame (FIXTURES §5.2)."""
+    groupbyattrs-style verification frame (FIXTURES §5.2).  Empty sinks
+    (zero routed rows) are skipped, not crashed on."""
     frames = []
     for sink_name in cfg.routes.all_sinks():
         sink = cfg.sink_cfg(sink_name)
+        if not sink_has_data(sink.path):
+            continue
         df = spark.read.parquet(f"{sink.path}/unit=*")
         frames.append(df.groupBy("source", "severity_text")
                         .agg(F.count(F.lit(1)).alias("n"))
                         .withColumn("sink", F.lit(sink_name)))
+    if not frames:
+        return spark.createDataFrame(
+            [], "source string, severity_text string, n long, sink string")
     out = frames[0]
     for f_ in frames[1:]:
         out = out.unionByName(f_)

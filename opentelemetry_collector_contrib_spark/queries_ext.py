@@ -377,10 +377,10 @@ _DOT_SQL = ("list_reduce([a.v[i] * b.v[i] for i in "
 
 def _lsh_bucket_sql(table: int, n_planes: int = 8, dim: int = 64) -> str:
     """Bucket-signature SQL for one LSH table: the hyperplane
-    coefficients are md5-derived constants (similarity._plane_sign), so
+    coefficients are md5-derived constants (similarity.plane_coeff), so
     they are precomputed here in Python and inlined as literals — the
-    dot products then run in the same left-assoc double order as the
-    Spark fold."""
+    inlined sum is left-associative, matching the lsh_buckets UDF's
+    per-dimension accumulation bit-for-bit (not a pairwise matmul)."""
     from .datapipe.similarity import plane_coeff as coeff
 
     bits = []

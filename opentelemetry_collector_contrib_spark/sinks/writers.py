@@ -40,6 +40,8 @@ class SinkConfig:
     label_allowlist: list[str] | None = None       # loki config.go:30-32
     source_templates: dict[str, str] = field(default_factory=dict)  # source_format.go:33-87
     max_records_per_file: int = 1_048_576          # sender.go:56 buffer cap
+    table_format: str = "parquet"                  # 'iceberg' when the jar is present
+                                                   # (path = catalog.db.table)
 
 
 def split_metadata_keys(columns: list[str], regexes: list[str],
@@ -105,6 +107,21 @@ def write_sink(df: DataFrame, cfg: SinkConfig,
         keep = [c for c in df.columns
                 if c in cfg.label_allowlist or c in (partition_cols or [])]
         df = df.select(*keep)
+    if cfg.table_format == "iceberg":
+        from ..sources.tokens_source import iceberg_available
+        if not iceberg_available(df.sparkSession):
+            raise RuntimeError(
+                "sink table_format='iceberg' but the Iceberg runtime jar "
+                "is not on the classpath (see sources.iceberg_conf)")
+        writer = df.writeTo(cfg.path).using("iceberg") \
+            .option("write.parquet.row-group-size-bytes", "134217728")
+        if partition_cols:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
+        # idempotent per-run replace == the dynamic-overwrite semantics
+        # of the parquet path; Iceberg commits atomically (the real
+        # version of sinks/maintenance.publish_snapshot)
+        writer.createOrReplace()
+        return
     writer = (df.write.mode(mode)
               .option("maxRecordsPerFile", cfg.max_records_per_file))
     if partition_cols:

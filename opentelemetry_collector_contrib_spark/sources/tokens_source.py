@@ -25,13 +25,44 @@ from pyspark.sql import functions as F
 from ..functions.tokens import decode_tokens_udf
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the JVM classpath
+    (the sandbox ships without it; a real deployment adds
+    iceberg-spark-runtime via --packages/--jars)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def iceberg_conf(warehouse: str, catalog: str = "otel") -> dict[str, str]:
+    """SparkSession conf for a Hadoop-type Iceberg catalog rooted at
+    ``warehouse`` — pass as ``get_spark(extra_conf=iceberg_conf(...))``.
+    Tables are then addressed as '<catalog>.<db>.<table>'."""
+    return {
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
 def read_tokens(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """Scan the tokens table: (doc_id, tokens, n_tok, source)."""
+    """Scan the tokens table: (doc_id, tokens, n_tok, source).
+
+    fmt='iceberg' reads ``path`` as a catalog table name when the
+    runtime jar is present, and RAISES (never silently degrades) when
+    it is absent — the parquet stand-in is an explicit caller choice,
+    mirroring how the snapshot publish (sinks/maintenance.py) stands in
+    for the Iceberg commit."""
     if fmt == "iceberg":
-        try:
-            return spark.read.format("iceberg").load(path)
-        except Exception:  # catalog jar absent in sandbox — parquet stand-in
-            pass
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "fmt='iceberg' requested but the Iceberg Spark runtime jar "
+                "is not on the classpath; add iceberg-spark-runtime via "
+                "--packages, or call with fmt='parquet'")
+        return spark.read.format("iceberg").load(path)
     return spark.read.parquet(path)
 
 

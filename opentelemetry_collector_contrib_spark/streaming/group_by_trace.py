@@ -29,7 +29,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = ("trace_id string, n_spans int, span_ids array<string>, "
                  "complete boolean")
-STATE_SCHEMA = "span_ids array<string>"
+STATE_SCHEMA = "span_ids array<string>, deadline long"
 
 
 def _buffer_and_release(wait_duration_ms: int):
@@ -38,22 +38,32 @@ def _buffer_and_release(wait_duration_ms: int):
         (trace_id,) = key
         if state.hasTimedOut:
             # wait_duration elapsed -> release the buffered trace
-            (span_ids,) = state.get
+            (span_ids, _deadline) = state.get
             state.remove()
             yield pd.DataFrame({"trace_id": [trace_id],
                                 "n_spans": [len(span_ids)],
                                 "span_ids": [list(span_ids)],
                                 "complete": [True]})
             return
-        buffered: list[Any] = list(state.get[0]) if state.exists else []
-        first_arrival = not state.exists
+        # the reference arms the timer at FIRST arrival
+        # (processor.go:128-139); later spans must NOT extend it.  But
+        # Spark's GroupState contract CLEARS the timeout on every
+        # invocation that carries new data, so the first-arrival
+        # deadline is persisted in state and the timeout re-armed to
+        # that same absolute deadline on every call — otherwise a trace
+        # whose spans span >1 micro-batch would never time out (silent
+        # data loss + unbounded state).
+        now = state.getCurrentProcessingTimeMs()
+        if state.exists:
+            buffered: list[Any] = list(state.get[0])
+            deadline = int(state.get[1])
+        else:
+            buffered = []
+            deadline = now + wait_duration_ms
         for pdf in pdfs:
             buffered.extend(pdf["span_id"].tolist())
-        state.update((buffered,))
-        if first_arrival:
-            # the reference arms the timer at FIRST arrival
-            # (processor.go:128-139); later spans do not extend it
-            state.setTimeoutDuration(wait_duration_ms)
+        state.update((buffered, deadline))
+        state.setTimeoutDuration(max(deadline - now, 1))
         yield pd.DataFrame({"trace_id": pd.Series([], dtype="object"),
                             "n_spans": pd.Series([], dtype="int32"),
                             "span_ids": pd.Series([], dtype="object"),

@@ -65,6 +65,28 @@ def test_prepare_pods_dim(spark):
     assert out[0]["git_sha"] == "abc12"
 
 
+def test_pods_dim_duplicate_ip_newest_start_time_wins(spark):
+    """Same-IP conflict: the pod with the newest StartTime owns the IP
+    (kube/client.go:278-283); duplicate-IP dim rows must NOT fan out
+    fact rows through the broadcast join."""
+    pods = spark.createDataFrame(
+        [("10.0.0.1", "app-old-aaaaa-11111", "ns1", "n1",
+          "2020-01-01T00:00:00Z", "GIT_SHA=old11 X", False),
+         ("10.0.0.1", "app-new-bbbbb-22222", "ns2", "n2",
+          "2021-06-01T00:00:00Z", "GIT_SHA=new22 X", False)],
+        "pod_ip string, pod_name string, namespace string, node_name string, "
+        "start_time string, labels_raw string, ignore boolean")
+    dim = prepare_pods_dim(pods)
+    got = dim.collect()
+    assert len(got) == 1
+    assert got[0]["pod_name"] == "app-new-bbbbb-22222"
+    events = spark.createDataFrame([("d1", "10.0.0.1"), ("d2", "10.0.0.1")],
+                                   "doc_id string, pod_ip string")
+    out = broadcast_enrich(events, dim, "pod_ip")
+    assert out.count() == 2                     # row count stable
+    assert all(r["git_sha"] == "new22" for r in out.collect())
+
+
 def test_routing_table_and_default(spark):
     df = spark.createDataFrame(
         [("r1", "a"), ("r2", "b"), ("r3", "zzz"), ("r4", None)],

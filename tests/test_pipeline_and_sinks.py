@@ -275,6 +275,51 @@ def test_group_by_trace_stateful_stream(spark, tmp_path):
         q.stop()
 
 
+def test_group_by_trace_spans_across_micro_batches(spark, tmp_path):
+    """Spans of ONE trace arriving in TWO micro-batches must still
+    release wait_duration after the FIRST arrival: Spark's GroupState
+    clears the processing-time timeout on every invocation with new
+    data, so the operator must re-arm it to the stored first-arrival
+    deadline (the round-1 code armed it only once -> the second batch
+    cancelled the timer and the trace never emitted)."""
+    import time as _t
+    from opentelemetry_collector_contrib_spark.streaming.group_by_trace import (
+        group_by_trace_stream)
+    src = tmp_path / "spans_in2"
+    src.mkdir()
+    spark.createDataFrame([("tX", "s1")], "trace_id string, span_id string") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    stream = (spark.readStream.schema("trace_id string, span_id string")
+              .parquet(str(src)))
+    out = group_by_trace_stream(stream, wait_duration_ms=8000)
+    q = (out.writeStream.format("memory").queryName("t_gbt2")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_gbt2")).start())
+    try:
+        # wait until batch 1 (s1) is ingested, THEN append the second
+        # span so it lands in a later micro-batch of the same trace
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+                break
+            _t.sleep(0.5)
+        spark.createDataFrame([("tX", "s2")],
+                              "trace_id string, span_id string") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            if spark.sql("SELECT * FROM t_gbt2").count() >= 1:
+                break
+            _t.sleep(2)
+        got = {r["trace_id"]: r for r in
+               spark.sql("SELECT * FROM t_gbt2").collect()}
+        assert "tX" in got, "trace never released (timer cancelled?)"
+        assert sorted(got["tX"]["span_ids"]) == ["s1", "s2"]
+        assert got["tX"]["n_spans"] == 2
+    finally:
+        q.stop()
+
+
 def test_rotated_multifile_ingest_exactly_once(spark, sf_dir, tmp_path):
     """The file-rotation e2e analog (stanzareceiver e2e_test.go:109-199):
     input split across 3 'rotated' files; two sequential runs over the

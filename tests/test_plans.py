@@ -50,10 +50,13 @@ def test_enrich_is_broadcast_join_no_shuffle(spark, sf_dir):
     plan = plan_of(_lineage(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # the fact side is never exchanged: the only exchange is the
-    # broadcast of the tiny dimension
-    exchanges = re.findall(r"\b(\w*Exchange)\b", plan)
-    assert all(e == "BroadcastExchange" for e in exchanges), exchanges
+    # the FACT side is never exchanged: the only allowed exchanges are
+    # the broadcast of the tiny dimension and the dimension-side
+    # pod_ip dedup window (O(pods) rows, pre-broadcast)
+    for m in re.finditer(r"(?<!Broadcast)Exchange (\w+)\(([^,)]*)", plan):
+        kind, first_key = m.group(1), m.group(2)
+        assert kind == "hashpartitioning" and first_key.startswith("pod_ip"), \
+            (kind, first_key)
 
 
 def test_ignored_pods_filter_pushed_to_dim_scan(spark, sf_dir):
