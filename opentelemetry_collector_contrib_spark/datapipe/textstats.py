@@ -1,16 +1,29 @@
 """Text analysis for training-data pipelines: language ID, quality
 scoring, token counting, document fingerprinting.
 
-All pure Catalyst expressions (split/regexp/aggregate) — zero Python in
-the row loop; each has an exact ANSI-SQL twin for the DuckDB oracle.
+Two implementations with identical results:
+- ``text_features``: the HOT PATH — every stat for a document computed
+  in ONE Arrow hop (fused pandas UDF).  The Catalyst forms below lean
+  on array higher-order functions (filter/aggregate), which are
+  interpreted per row (no codegen) — measured 10-50x slower than the
+  Arrow batch on this workload.  Only the final round(…, 6) stays in
+  Catalyst so the decimal rounding rule matches the DuckDB oracle's.
+- the per-feature Catalyst expressions (lang_id, quality_features, …):
+  kept as the plan-only/parity reference, pinned equal to the fused
+  path by tests/test_textstats parity tests.
 """
 
 from __future__ import annotations
 
+import hashlib
+import re as _re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .dedup import norm_words
+from .dedup import _norm_words_py, norm_words
 
 # tiny committed stopword inventories (top function words per language)
 STOPWORDS = {
@@ -90,3 +103,87 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     normalized word sequence (whitespace/punct/case-insensitive)."""
     normed = F.array_join(norm_words(F.col(text_col)), " ")
     return df.withColumn("fingerprint", F.md5(normed))
+
+
+# ---------------------------------------------------------------------------
+# fused Arrow path (the hot path)
+# ---------------------------------------------------------------------------
+
+_PUNCT_RX = _re.compile(r"[^\w\s]", _re.ASCII)
+_BPE_RX = _re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+")
+_SW_SETS = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+
+_TEXTSTATS_TYPE = T.StructType([
+    T.StructField("pred_lang", T.StringType()),
+    T.StructField("n_chars_m", T.IntegerType()),
+    T.StructField("n_words", T.IntegerType()),
+    T.StructField("n_punct", T.IntegerType()),
+    T.StructField("n_bpe", T.IntegerType()),
+    T.StructField("mean_wlen_raw", T.DoubleType()),
+    T.StructField("punct_r_raw", T.DoubleType()),
+    T.StructField("sw_r_raw", T.DoubleType()),
+    T.StructField("score_raw", T.DoubleType()),
+    T.StructField("fingerprint", T.StringType()),
+])
+
+
+def _textstats_one(t: str | None) -> dict:
+    """All stats for one document — the exact arithmetic (operand
+    order, int/int double division, left-assoc score sum) of the
+    Catalyst expressions above / the DuckDB oracle."""
+    t = t or ""
+    words = _norm_words_py(t)
+    n_chars = len(t)
+    n_words = len(words)
+    n_punct = len(_PUNCT_RX.findall(t))
+    n_bpe = len(_BPE_RX.findall(t))
+    hits = {lang: sum(1 for w in words if w in _SW_SETS[lang])
+            for lang in LANGS}
+    # earliest language in LANGS with the (>=1) max hit count wins —
+    # identical to the reversed-iteration argmax in lang_id()
+    best, best_hits = "unk", 0
+    for lang in reversed(LANGS):
+        if hits[lang] >= max(best_hits, 1):
+            best = lang
+        best_hits = max(best_hits, hits[lang])
+    mean_wlen = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    punct_r = (n_punct / n_chars) if n_chars else 0.0
+    sw_r = (hits["en"] / n_words) if n_words else 0.0
+    score = (min(n_words / 20.0, 1.0) * 0.4
+             + (0.3 if 3 <= mean_wlen <= 10 else 0.0)
+             + min(sw_r * 5.0, 0.2)
+             + (0.1 if punct_r < 0.1 else 0.0))
+    return {
+        "pred_lang": best, "n_chars_m": n_chars, "n_words": n_words,
+        "n_punct": n_punct, "n_bpe": n_bpe, "mean_wlen_raw": mean_wlen,
+        "punct_r_raw": punct_r, "sw_r_raw": sw_r, "score_raw": score,
+        "fingerprint": hashlib.md5(" ".join(words).encode()).hexdigest(),
+    }
+
+
+@F.pandas_udf(_TEXTSTATS_TYPE)
+def _textstats_udf(text: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([_textstats_one(t) for t in text])
+
+
+def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fused hot path: lang-ID + quality features + BPE-ish count +
+    fingerprint in ONE Arrow hop (vs 4x interpreted array HOFs per row
+    in the expression forms).  Output columns and values are identical
+    to lang_id |> quality_features |> bpe count |> fingerprint; the
+    round(…, 6) runs in Catalyst so decimal rounding matches the
+    oracle."""
+    s = _textstats_udf(F.col(text_col))
+    return (df.withColumn("_ts", s)
+            .withColumn("pred_lang", F.col("_ts.pred_lang"))
+            .withColumn("n_chars_m", F.col("_ts.n_chars_m"))
+            .withColumn("n_words", F.col("_ts.n_words"))
+            .withColumn("n_punct", F.col("_ts.n_punct"))
+            .withColumn("n_bpe", F.col("_ts.n_bpe"))
+            .withColumn("mean_word_len", F.round(F.col("_ts.mean_wlen_raw"), 6))
+            .withColumn("punct_ratio", F.round(F.col("_ts.punct_r_raw"), 6))
+            .withColumn("stopword_ratio", F.round(F.col("_ts.sw_r_raw"), 6))
+            .withColumn("quality_score", F.round(F.col("_ts.score_raw"), 6))
+            .withColumn("fingerprint", F.col("_ts.fingerprint"))
+            .drop("_ts"))

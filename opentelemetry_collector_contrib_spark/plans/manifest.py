@@ -68,7 +68,7 @@ class RunManifest:
             self.entries() or [],
             schema=("run_id string, unit long, status string, "
                     "completed_at double, rows_in long, rows_routed long, "
-                    "wall_ms long, sink_counts string"))
+                    "wall_ms long, sink_counts string, sink_dropped string"))
 
 
 def unit_column(n_units: int, key: str = "doc_id") -> F.Column:

@@ -33,7 +33,8 @@ from ..operators.enrich import broadcast_enrich, prepare_pods_dim
 from ..operators.partitioners import salted_repartition
 from ..operators.regex_parser import RegexParser, kv_extract
 from ..operators.routing import RoutingTable, DEFAULT_ROUTES, with_route
-from ..sinks.writers import SinkConfig, serialize_records, write_sink
+from ..sinks.writers import (SinkConfig, quarantine_path, serialize_records,
+                             split_valid, write_sink)
 from ..sources.tokens_source import read_tokens, with_body
 from .manifest import RunManifest, unit_column
 
@@ -101,7 +102,9 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
     in_obs = Observation()
     df = df.observe(in_obs, *_unit_count_aggs(units))
     per_sink: dict[str, dict[int, int]] = {}
+    dropped: dict[str, dict[int, int]] = {}
     branch_obs: dict[str, "Observation"] = {}
+    drop_obs: dict[str, "Observation"] = {}
     for sink_name in cfg.routes.all_sinks():
         sink = cfg.sink_cfg(sink_name)
         branch = df.filter(F.array_contains(F.col("sinks"), sink_name))
@@ -109,6 +112,18 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
         out_cols = ["unit", "doc_id", "tokens", "n_tok", "payload",
                     "metadata_signature", *ATTR_COLS]
         branch = branch.select(*[c for c in out_cols if c in branch.columns])
+        if sink.max_payload_bytes is not None or sink.required_attrs:
+            # partial-error analog (exporter.go:99-108): constraint
+            # violations quarantine per-unit instead of failing the
+            # unit; reprocess_quarantine re-sends only those rows.
+            # (One extra action for the quarantine branch — only when
+            # constraints are configured on the sink.)
+            branch, bad = split_valid(branch, sink)
+            dobs = Observation()
+            bad = bad.observe(dobs, *_unit_count_aggs(units))
+            (bad.write.mode("overwrite").partitionBy("unit")
+                .parquet(quarantine_path(sink)))
+            drop_obs[sink_name] = dobs
         obs = Observation()
         branch = branch.observe(obs, *_unit_count_aggs(units))
         if cfg.salt_partitions:
@@ -118,15 +133,21 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
     for sink_name, obs in branch_obs.items():
         got = obs.get
         per_sink[sink_name] = {u: int(got[f"u{u}"]) for u in units}
+    for sink_name, obs in drop_obs.items():
+        got = obs.get
+        dropped[sink_name] = {u: int(got[f"u{u}"]) for u in units}
     rows_in_got = in_obs.get
     rows_in_per_unit = {u: int(rows_in_got[f"u{u}"]) for u in units}
     wall_ms = int((time.time() - t0) * 1000)
     out: dict[int, dict] = {}
     for u in units:
         counts = {s: per_sink[s].get(u, 0) for s in per_sink}
+        drops = {s: dropped[s].get(u, 0) for s in dropped
+                 if dropped[s].get(u, 0)}
         out[u] = {"rows_in": rows_in_per_unit.get(u, 0),
                   "rows_routed": sum(counts.values()),
                   "sink_counts": str(counts),
+                  "sink_dropped": str(drops),
                   "wall_ms": wall_ms // max(len(units), 1)}
     return out
 

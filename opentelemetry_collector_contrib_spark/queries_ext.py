@@ -24,8 +24,7 @@ from .datapipe.hashing import (MERSENNE_P, NUM_HASHES, BANDS, ROWS_PER_BAND,
                                _A, _B, portable_hash_sql)
 from .datapipe.multimodal import extract_features
 from .datapipe.similarity import cosine_topk, lsh_topk
-from .datapipe.textstats import (LANGS, STOPWORDS, bpe_ish_token_count,
-                                 fingerprint, lang_id, quality_features)
+from .datapipe.textstats import LANGS, STOPWORDS, text_features
 from .operators.carbon import CarbonRegexRule, apply_regex_rules, parse_plaintext
 from .operators.spanmetrics import span_metrics
 from .operators.filters import SamplingPolicy, tail_sample
@@ -121,17 +120,16 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_textstats(spark, sf_dir):
-    df = lang_id(_docs(spark, sf_dir))
-    df = quality_features(df)
-    df = df.withColumn("n_bpe", bpe_ish_token_count(F.col("text")))
-    df = fingerprint(df)
+    """Fused Arrow path (ONE Python hop for all stats); the per-feature
+    Catalyst forms are pinned equal in tests/test_textstats parity."""
+    df = text_features(_docs(spark, sf_dir))
     return df.select("doc_id", "pred_lang", "n_chars_m", "n_words", "n_punct",
                      "mean_word_len", "punct_ratio", "stopword_ratio",
                      "quality_score", "n_bpe", "fingerprint")
 
 
 def q_langid_agg(spark, sf_dir):
-    return (lang_id(_docs(spark, sf_dir))
+    return (text_features(_docs(spark, sf_dir))
             .groupBy("lang", "pred_lang")
             .agg(F.count(F.lit(1)).alias("n")))
 

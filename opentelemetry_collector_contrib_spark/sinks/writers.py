@@ -42,6 +42,12 @@ class SinkConfig:
     max_records_per_file: int = 1_048_576          # sender.go:56 buffer cap
     table_format: str = "parquet"                  # 'iceberg' when the jar is present
                                                    # (path = catalog.db.table)
+    # partial-error semantics (exporter.go:99-108,186-201: a failed send
+    # carries ONLY the dropped records forward): rows violating these
+    # constraints quarantine to <path>__quarantine instead of failing
+    # the whole unit.  None/[] disables (default: everything ships).
+    max_payload_bytes: int | None = None           # config.go:113 (1 MiB body)
+    required_attrs: list[str] = field(default_factory=list)
 
 
 def split_metadata_keys(columns: list[str], regexes: list[str],
@@ -95,6 +101,67 @@ def serialize_records(df: DataFrame, cfg: SinkConfig,
     for header, tmpl in cfg.source_templates.items():
         out = out.withColumn(header, source_template_expr(tmpl))
     return out
+
+
+def reject_reason(cfg: SinkConfig) -> F.Column:
+    """NULL when the row satisfies every sink constraint, else the first
+    violated constraint's name (evaluation order: size, then required
+    attrs — matching the exporter's pre-send validation order)."""
+    reasons = []
+    if cfg.max_payload_bytes is not None:
+        reasons.append(F.when(F.length("payload") > cfg.max_payload_bytes,
+                              F.lit("payload_too_large")))
+    for a in cfg.required_attrs:
+        reasons.append(F.when(F.col(a).isNull(), F.lit(f"missing_{a}")))
+    if not reasons:
+        return F.lit(None).cast("string")
+    return F.coalesce(*reasons, F.lit(None).cast("string")) \
+        if len(reasons) > 1 else reasons[0]
+
+
+def quarantine_path(cfg: SinkConfig) -> str:
+    return f"{cfg.path.rstrip('/')}__quarantine"
+
+
+def split_valid(df: DataFrame, cfg: SinkConfig) -> tuple[DataFrame, DataFrame]:
+    """(valid rows, quarantined rows+reject_reason).  The batch analog
+    of PartialLogsError (sumologicexporter/exporter.go:99-108,186-201):
+    a unit never fails wholesale — rows violating sink constraints are
+    set aside with their reason, the rest ship."""
+    tagged = df.withColumn("reject_reason", reject_reason(cfg))
+    good = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    bad = tagged.filter(F.col("reject_reason").isNotNull())
+    return good, bad
+
+
+def reprocess_quarantine(spark, cfg: SinkConfig,
+                         partition_cols: list[str] | None = None) -> int:
+    """Retry ONLY the dropped records (exporter.go:186-201: the retry
+    carries the PartialLogsError payload, never the full batch): rows in
+    the quarantine that now satisfy the (possibly relaxed) constraints
+    move into the sink; still-failing rows stay quarantined.  Returns
+    the number of rows re-sent."""
+    import os
+    qp = quarantine_path(cfg)
+    if not any(not f.startswith(("_", "."))
+               for _r, _d, fs in os.walk(qp) for f in fs):
+        return 0
+    from pyspark.sql import Observation
+    q = spark.read.parquet(qp).drop("reject_reason")
+    good, bad = split_valid(q, cfg)
+    obs = Observation()
+    good = good.observe(obs, F.count(F.lit(1)).alias("n"))
+    write_sink(good, cfg, partition_cols=partition_cols, mode="append")
+    # rewrite the quarantine to only the still-failing rows (staging +
+    # atomic swap so a crash never loses quarantined records)
+    staging = qp + "__retry"
+    bad.write.mode("overwrite").parquet(staging)
+    import shutil
+    backup = qp + "__old"
+    os.rename(qp, backup)
+    os.rename(staging, qp)
+    shutil.rmtree(backup)
+    return int(obs.get["n"])
 
 
 def write_sink(df: DataFrame, cfg: SinkConfig,

@@ -76,6 +76,25 @@ def test_simhash_identical_and_blocked_equals_bruteforce(spark):
     assert brute == blocked                # pigeonhole blocking is exact
 
 
+def test_text_features_fused_equals_catalyst(spark):
+    """The fused Arrow hot path must be value-identical to the
+    per-feature Catalyst expression forms (incl. rounding and ties)."""
+    from opentelemetry_collector_contrib_spark.datapipe.textstats import (
+        text_features)
+    edge = [("e1", ""), ("e2", "!!! ??? ..."), ("e3", "the the the"),
+            ("e4", "der die und the and of xx yy zz 123 456")]
+    docs = spark.createDataFrame(DOCS + edge, "doc_id string, text string")
+    cols = ["doc_id", "pred_lang", "n_chars_m", "n_words", "n_punct",
+            "mean_word_len", "punct_ratio", "stopword_ratio",
+            "quality_score", "n_bpe", "fingerprint"]
+    fused = text_features(docs).select(*cols)
+    cat = fingerprint(
+        quality_features(lang_id(docs))
+        .withColumn("n_bpe", bpe_ish_token_count(F.col("text")))).select(*cols)
+    assert sorted(map(tuple, fused.collect())) == \
+        sorted(map(tuple, cat.collect()))
+
+
 def test_simhash_block_bounds_partition_all_bits():
     from opentelemetry_collector_contrib_spark.datapipe.dedup import (
         SIMHASH_BITS, simhash_block_bounds)

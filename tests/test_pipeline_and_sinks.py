@@ -92,6 +92,41 @@ def _cfg(sf_dir, out_dir, n_units=4):
         out_dir=out_dir, n_units=n_units)
 
 
+def test_partial_error_quarantine_and_retry(spark, sf_dir, tmp_path):
+    """PartialLogsError analog (sumologicexporter/exporter.go:99-108,
+    186-201): rows violating a sink constraint quarantine per-unit
+    (the unit still completes), the manifest records the dropped
+    counts, and the retry re-sends ONLY the dropped rows."""
+    from opentelemetry_collector_contrib_spark.sinks.writers import (
+        quarantine_path, reprocess_quarantine)
+    cfg = _cfg(sf_dir, str(tmp_path / "out"))
+    # sumologic sink: absurdly small body cap -> most rows quarantine
+    sumo = cfg.sink_cfg("sumologic")
+    sumo.max_payload_bytes = 60
+    res = run_pipeline(spark, cfg)
+    assert res["status"] == "complete"
+    written = spark.read.parquet(f"{sumo.path}/unit=*")
+    q = spark.read.parquet(quarantine_path(sumo))
+    assert q.count() > 0
+    assert written.count() > 0
+    # disjoint split: every routed row is in exactly one of the two
+    assert written.filter(F.length("payload") > 60).count() == 0
+    assert q.filter(F.length("payload") <= 60).count() == 0
+    assert set(r["reject_reason"] for r in q.select("reject_reason")
+               .distinct().collect()) == {"payload_too_large"}
+    # manifest records the per-unit drop counts
+    manifest = RunManifest(f"{cfg.out_dir}/_manifest", run_id=res["run_id"])
+    assert any("sumologic" in e.get("sink_dropped", "")
+               for e in manifest.entries())
+    # retry with the cap lifted: ONLY the dropped rows are re-sent
+    before, q_before = written.count(), q.count()
+    sumo.max_payload_bytes = None
+    resent = reprocess_quarantine(spark, sumo, partition_cols=["unit"])
+    assert resent == q_before
+    assert spark.read.parquet(f"{sumo.path}/unit=*").count() == \
+        before + q_before
+
+
 def test_unit_column_stable(spark):
     df = spark.createDataFrame([(f"doc-{i}",) for i in range(50)],
                                "doc_id string")
