@@ -186,18 +186,30 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.5, k: int = 3,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      persist: bool = True) -> DataFrame:
     """LSH candidates verified with exact Jaccard — computed ONLY for the
     candidate pairs (the production path: sub-quadratic candidate
     generation, per-candidate verify; never the all-pairs join).
 
     The verify joins each candidate pair back to its two shingle sets
     (broadcastable when candidates are few after banding) and intersects
-    the distinct-shingle arrays in-plan (array_intersect, codegen)."""
-    cand = lsh_candidate_pairs(minhash_signatures(df, k, text_col, id_col))
+    the distinct-shingle arrays in-plan (array_intersect, codegen).
+
+    ``persist`` caches the shingle frame, which this plan consumes THREE
+    times (signature aggregation + both verify sides) — without it the
+    Arrow shingler re-runs on every consumption.  O(docs x shingles),
+    spills to disk."""
     sh = (df.select(F.col(id_col).alias("id"),
                     shingles_udf(k)(F.col(text_col)).alias("sh"))
           .withColumn("sz", F.size("sh")))
+    if persist:
+        sh = sh.persist()
+    ex = (sh.select("id", F.explode("sh").alias("g"))
+          .withColumn("h", portable_hash(F.col("g"))))
+    aggs = [F.min(minhash_expr(F.col("h"), i)).alias(f"mh{i}")
+            for i in range(NUM_HASHES)]
+    cand = lsh_candidate_pairs(ex.groupBy("id").agg(*aggs))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
                   F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
@@ -246,7 +258,35 @@ def _simhash_py(text: str | None) -> int | None:
 
 @F.pandas_udf(T.LongType())
 def _simhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(_simhash_py)
+    """Batch twin of _simhash_py with a per-batch word->hash cache:
+    vocabulary is Zipfian, so most md5 calls are repeats — caching cuts
+    the per-word hashing (the dominant cost) by the batch's
+    type-token ratio."""
+    import hashlib
+
+    import numpy as np
+    cache: dict[str, int] = {}
+
+    def h(w: str) -> int:
+        v = cache.get(w)
+        if v is None:
+            v = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            cache[w] = v
+        return v
+
+    shifts = np.arange(SIMHASH_BITS)
+    out: list[int | None] = []
+    for t in text:
+        words = _norm_words_py(t)
+        if not words:
+            out.append(None)
+            continue
+        hs = np.fromiter((h(w) for w in words), dtype=np.int64,
+                         count=len(words))
+        bits = (hs[:, None] >> shifts) & 1
+        s = (bits * 2 - 1).sum(axis=0)
+        out.append(int(((s > 0).astype(np.int64) << shifts).sum()))
+    return pd.Series(out, dtype="object")
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
@@ -288,11 +328,20 @@ def simhash_block_bounds(max_hamming: int,
     return bounds
 
 
-def simhash_near_pairs_blocked(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs_blocked(fp: DataFrame, max_hamming: int = 3,
+                               persist: bool = True) -> DataFrame:
     """Scale path: split the fingerprint into (max_hamming+1) blocks;
     equi-join on (block_idx, block_value) — any pair within max_hamming
     shares at least one identical block (pigeonhole).  At 60 bits /
-    max_hamming=3 each block is 15 bits -> 32k buckets per block."""
+    max_hamming=3 each block is 15 bits -> 32k buckets per block.
+
+    ``persist`` caches the (id, simhash) frame before the self-join:
+    Spark recomputes each side of a self-join from the source, which
+    would run the fingerprint UDF (and the upstream text scan) TWICE.
+    The cached frame is O(docs) x 16 bytes — negligible next to the
+    corpus at any scale (spills to disk if not)."""
+    if persist:
+        fp = fp.persist()
     blocks = F.array(*[
         F.struct(F.lit(i).alias("blk"),
                  F.shiftright(F.col("simhash"), shift)

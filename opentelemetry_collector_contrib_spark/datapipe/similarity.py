@@ -127,13 +127,17 @@ def lsh_buckets(df: DataFrame, dim: int, n_planes: int = 8,
 
 def lsh_topk(df: DataFrame, dim: int, k: int = 5, n_planes: int = 8,
              n_tables: int = 2, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", persist: bool = True) -> DataFrame:
     """Approximate top-k: score only bucket-sharing candidates.  The
     candidate distinct runs over bare (query_id, neighbor_id) pairs —
     the vectors join back AFTER dedup, so the wide dedup shuffle never
-    carries the embedding payloads."""
+    carries the embedding payloads.  ``persist`` caches the tiny
+    (id, table, bucket) frame so the sign UDF doesn't re-run for both
+    sides of the self-join."""
     b = (lsh_buckets(df, dim, n_planes, n_tables, id_col, vec_col)
          .drop("v"))
+    if persist:
+        b = b.persist()
     l, r = b.alias("l"), b.alias("r")
     cand = (l.join(r, (F.col("l.table") == F.col("r.table"))
                    & (F.col("l.bucket") == F.col("r.bucket"))

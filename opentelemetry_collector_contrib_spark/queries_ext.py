@@ -119,6 +119,14 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(_emb(spark, sf_dir), dim=64, k=3)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Scale-path ANN #2: inverted-file (IVF) probe search with a
+    deterministic seeded coarse quantizer — complements the LSH path
+    (ann_lsh); oracle-checked via inlined centroid expressions."""
+    from .datapipe.ivf import ivf_topk
+    return ivf_topk(_emb(spark, sf_dir), dim=64, k=3)
+
+
 def q_textstats(spark, sf_dir):
     """Fused Arrow path (ONE Python hop for all stats); the per-feature
     Catalyst forms are pinned equal in tests/test_textstats parity."""
@@ -389,6 +397,32 @@ def _lsh_bucket_sql(table: int, n_planes: int = 8, dim: int = 64) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
+def _ann_ivf_oracle_sql() -> str:
+    """IVF probe search in DuckDB: centroid distances inlined as
+    left-assoc expressions (datapipe/ivf.py builders), earliest-argmin
+    assignment, nprobe=2 probes, scoring identical to ann_topk."""
+    from .datapipe.ivf import ivf_assign_sql, ivf_probe2_sql
+    return f"""WITH {_VEC_CTE}, {ivf_assign_sql(64)},
+probed AS (
+  SELECT id, list_id, {ivf_probe2_sql()} AS probe2 FROM ivf_a
+), qprobes AS (
+  SELECT id, list_id AS probe FROM probed
+  UNION ALL
+  SELECT id, probe2 FROM probed
+), cand AS (
+  SELECT q.id AS query_id, t.id AS neighbor_id
+  FROM qprobes q JOIN ivf_a t ON q.probe = t.list_id AND q.id <> t.id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_DOT_SQL} / (a.nrm * b.nrm), 6) AS cosine
+  FROM cand c JOIN nv a ON a.id = c.query_id JOIN nv b ON b.id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM scored QUALIFY rank <= 3"""
+
+
 def _span_bucket_sql(value_sql: str, bounds: list[float]) -> str:
     terms = " + ".join(
         f"CASE WHEN {value_sql} > {float(b)!r} THEN 1 ELSE 0 END"
@@ -609,6 +643,8 @@ SELECT query_id, neighbor_id, cosine,
                           ORDER BY cosine DESC, neighbor_id) AS rank
 FROM scored QUALIFY rank <= 3""",
 
+        "ann_ivf": _ann_ivf_oracle_sql(),
+
         "span_metrics": f"""WITH b AS (
   SELECT event_type, value,
          {_span_bucket_sql('value', [5.0, 25.0, 100.0, 250.0, 490.0])} AS bucket
@@ -710,6 +746,7 @@ def extra_queries(tok_dir_for) -> dict:
         "ann_topk": q_ann_topk,
         "embed_neardup": q_embed_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "textstats": q_textstats,
         "langid_agg": q_langid_agg,
         "carbon_parse": with_tok(q_carbon_parse),
