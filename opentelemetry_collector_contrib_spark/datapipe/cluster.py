@@ -1,0 +1,98 @@
+"""Duplicate-cluster assembly: connected components over near-dup
+pairs.
+
+A real dedup pipeline doesn't stop at pairs — it groups transitively
+connected documents into clusters and keeps one survivor per cluster
+(pair (A,B) + pair (B,C) must collapse A,B,C together even when (A,C)
+was never emitted).  This is min-label propagation expressed as
+DataFrame joins:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+iterated to fixpoint; every node ends with the minimum id of its
+component (deterministic cluster ids, any engine agrees).
+
+Scale notes (10^9 docs): each iteration is ONE shuffle keyed by node id
+(join edges->labels + min-aggregate); the iteration count is the
+component diameter — near-dup clusters are shallow (pairs share a
+common template, diameters of 2-4), so 3-6 iterations in practice.
+Frames are persisted per iteration and the previous one unpersisted, so
+lineage stays O(1) deep.  For adversarial long-chain graphs, the
+alternating small-star/large-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond") drops iterations to
+O(log d); the propagation loop below is the simple variant that wins
+for shallow dedup graphs.
+
+The DuckDB oracle twin is a recursive CTE computing the same min label
+over the reachability set (cluster_oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """nodes: (id), pairs: (id_a, id_b) undirected.  Returns
+    (id, cluster_id) where cluster_id = min id of the component
+    (singletons keep their own id)."""
+    sym = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+           .unionByName(
+               pairs.select(F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst")))
+           .persist())
+    # localCheckpoint (not just persist) each iteration: it TRUNCATES
+    # the logical plan, keeping analysis cost and plan depth O(1) across
+    # iterations — with bare persist the plan nests one join deeper per
+    # iteration and Catalyst analysis blows up after ~10 rounds.  On a
+    # cluster that cares about executor loss, swap for a reliable
+    # checkpoint dir (sc.setCheckpointDir + .checkpoint()).
+    labels = nodes.select("id", F.col("id").alias("label")) \
+        .localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.select(F.col("id").alias("src"),
+                                      F.col("label").alias("src_label")),
+                        "src")
+               .groupBy(F.col("dst").alias("id"))
+               .agg(F.min("src_label").alias("nbr_label")))
+        new_labels = (labels.join(nbr, "id", "left")
+                      .select("id",
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr_label"),
+                                                 F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.select("id", F.col("label").alias("new_label"))
+                   .join(labels, "id")
+                   .filter(F.col("new_label") != F.col("label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+def cluster_survivors(docs: DataFrame, clusters: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """One survivor per cluster: the cluster_id row itself (min id) —
+    the deterministic keep-first policy applied transitively."""
+    return (docs.join(clusters.withColumnRenamed("id", id_col), id_col)
+            .filter(F.col(id_col) == F.col("cluster_id")))
+
+
+def cluster_oracle_sql(nodes_sql: str, pairs_sql: str) -> str:
+    """DuckDB twin: recursive min-label reachability.  ``nodes_sql``
+    must yield (id), ``pairs_sql`` (id_a, id_b); embed under a
+    WITH RECURSIVE prefix."""
+    return f"""edges AS (
+  SELECT id_a AS a, id_b AS b FROM ({pairs_sql})
+  UNION ALL
+  SELECT id_b, id_a FROM ({pairs_sql})
+), reach(id, label) AS (
+    SELECT id, id FROM ({nodes_sql})
+  UNION
+    SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+)"""

@@ -105,6 +105,18 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs_blocked(fp, max_hamming=3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: connected components (min-label
+    propagation) over the simhash near-pair graph — pair (A,B)+(B,C)
+    collapses A,B,C even though (A,C) was never emitted."""
+    from .datapipe.cluster import connected_components
+    corpus = _near_corpus(spark, sf_dir)
+    fp = simhash_fingerprints(corpus)
+    pairs = simhash_near_pairs_blocked(fp, max_hamming=3).select("id_a", "id_b")
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    return connected_components(nodes, pairs)
+
+
 def q_ann_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), k=3)
 
@@ -241,6 +253,17 @@ def q_hec_parse(spark, sf_dir, tok_dir):
 def q_media_features(spark, sf_dir, tok_dir):
     df = spark.read.parquet(os.path.join(tok_dir, "media.parquet"))
     return extract_features(df.select("media_id", "kind", "payload"), fake=True)
+
+
+def q_token_freq(spark, sf_dir, tok_dir):
+    """Vocabulary frequency over the raw token streams (training-data
+    vocab stats): explode + two-phase count, top-50 by (count desc,
+    token asc) — the shuffle carries O(vocab), not O(tokens)."""
+    df = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    return (df.select(F.explode("tokens").alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("tok").asc())
+            .limit(50))
 
 
 def q_ring_route(spark, sf_dir, tok_dir):
@@ -397,6 +420,19 @@ def _lsh_bucket_sql(table: int, n_planes: int = 8, dim: int = 64) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
+def _dedup_clusters_oracle_sql() -> str:
+    """Recursive min-label reachability over the simhash near-pair
+    graph (datapipe/cluster.py twin)."""
+    from .datapipe.cluster import cluster_oracle_sql
+    cc = cluster_oracle_sql(
+        "SELECT id FROM corpus",
+        "SELECT a.id AS id_a, b.id AS id_b FROM fp a JOIN fp b "
+        "ON a.id < b.id WHERE bit_count(xor(a.simhash, b.simhash)) <= 3")
+    return f"""WITH RECURSIVE {NEAR_CORPUS_SQL}, {_simhash_cte()},
+{cc}
+SELECT id, min(label) AS cluster_id FROM reach GROUP BY id"""
+
+
 def _ann_ivf_oracle_sql() -> str:
     """IVF probe search in DuckDB: centroid distances inlined as
     left-assoc expressions (datapipe/ivf.py builders), earliest-argmin
@@ -524,6 +560,8 @@ SELECT a.id AS id_a, b.id AS id_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM fp a JOIN fp b ON a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
 
         "ann_topk": f"""WITH {_VEC_CTE},
 p AS (
@@ -727,6 +765,10 @@ FROM read_parquet('{d}/hec.parquet')""",
 FROM read_parquet('{d}/media.parquet')""",
 
         "ring_route": _ring_oracle_sql(d),
+
+        "token_freq": f"""SELECT tok, count(*)::BIGINT AS n
+FROM (SELECT unnest(tokens) AS tok FROM read_parquet('{d}/tokens.parquet'))
+GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""",
     }
 
 
@@ -739,6 +781,7 @@ def extra_queries(tok_dir_for) -> dict:
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_sig": q_minhash_sig,
         "minhash_lsh": q_minhash_lsh,
         "simhash_fp": q_simhash_fp,
@@ -760,4 +803,5 @@ def extra_queries(tok_dir_for) -> dict:
         "hec_parse": with_tok(q_hec_parse),
         "media_features": with_tok(q_media_features),
         "ring_route": with_tok(q_ring_route),
+        "token_freq": with_tok(q_token_freq),
     }
