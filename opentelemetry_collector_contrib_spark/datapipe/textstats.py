@@ -167,6 +167,74 @@ def _textstats_udf(text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame([_textstats_one(t) for t in text])
 
 
+_REP_TYPE = T.StructType([
+    T.StructField("n_2grams", T.IntegerType()),
+    T.StructField("top_2gram_count", T.IntegerType()),
+    T.StructField("top_2gram_frac", T.DoubleType()),
+    T.StructField("dup_word_frac", T.DoubleType()),
+])
+
+
+@F.pandas_udf(_REP_TYPE)
+def _repetition_udf(text: pd.Series) -> pd.DataFrame:
+    """Repetition features (the Gopher-rules style quality signals):
+    coverage of the most frequent word 2-gram and the duplicate-word
+    fraction.  One Arrow hop; int/int double divisions match the
+    DuckDB oracle's CAST(...)/... arithmetic."""
+    from collections import Counter
+    rows = []
+    for t in text:
+        words = _norm_words_py(t)
+        n = len(words)
+        grams = [f"{words[i]} {words[i + 1]}" for i in range(n - 1)]
+        total = len(grams)
+        topc = max(Counter(grams).values()) if grams else 0
+        rows.append({
+            "n_2grams": total,
+            "top_2gram_count": topc,
+            "top_2gram_frac": (topc / total) if total else 0.0,
+            "dup_word_frac": (1.0 - len(set(words)) / n) if n else 0.0,
+        })
+    return pd.DataFrame(rows)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc repetition features; round stays in Catalyst for oracle
+    decimal parity (like text_features)."""
+    s = _repetition_udf(F.col(text_col))
+    return (df.withColumn("_r", s)
+            .withColumn("n_2grams", F.col("_r.n_2grams"))
+            .withColumn("top_2gram_count", F.col("_r.top_2gram_count"))
+            .withColumn("top_2gram_frac", F.round(F.col("_r.top_2gram_frac"), 6))
+            .withColumn("dup_word_frac", F.round(F.col("_r.dup_word_frac"), 6))
+            .drop("_r"))
+
+
+# PII scrubbing (training pipelines redact before training).  Patterns
+# restricted to syntax with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS = {
+    # order matters: IPs first (an email never matches the IP pattern)
+    "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "body",
+              out_col: str = "scrubbed") -> DataFrame:
+    """Redact PII patterns and count redactions per kind — all JVM-side
+    (regexp_replace / regexp_extract_all, no Python on the row path).
+    Replacement tokens are '[IP]' / '[EMAIL]'."""
+    out = df
+    scrubbed = F.col(text_col)
+    for kind, rx in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0))))
+        scrubbed = F.regexp_replace(scrubbed, rx, f"[{kind.upper()}]")
+    return out.withColumn(out_col, scrubbed)
+
+
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Fused hot path: lang-ID + quality features + BPE-ish count +
     fingerprint in ONE Arrow hop (vs 4x interpreted array HOFs per row

@@ -50,7 +50,8 @@ from ..operators.json_parser import json_parser
 from ..operators.regex_parser import DEFAULT_LOG_PATTERN, RegexParser, kv_extract
 from ..operators.resource_detection import resource_detection
 from ..operators.routing import RoutingTable, with_route
-from ..sinks.writers import SinkConfig, serialize_records, write_sink
+from ..sinks.writers import (SinkConfig, quarantine_path, serialize_records,
+                             split_valid, write_sink)
 from ..sources.tokens_source import read_tokens
 
 Stage = Callable[[DataFrame], DataFrame]
@@ -164,7 +165,9 @@ def run_from_config(spark: SparkSession, cfg: dict,
             metadata_regexes=list(e.get("metadata_regexes", [])),
             label_allowlist=e.get("label_allowlist"),
             source_templates=dict(e.get("source_templates", {})),
-            max_records_per_file=e.get("max_records_per_file", 1_048_576))
+            max_records_per_file=e.get("max_records_per_file", 1_048_576),
+            max_payload_bytes=e.get("max_payload_bytes"),
+            required_attrs=list(e.get("required_attrs", [])))
         branch = routed
         if "sinks" in routed.columns:
             branch = routed.filter(F.array_contains(F.col("sinks"), sink_name))
@@ -173,6 +176,9 @@ def run_from_config(spark: SparkSession, cfg: dict,
                      if c in branch.columns]
         branch = serialize_records(branch.drop("sinks"), sink,
                                    attr_cols=attr_cols)
+        if sink.max_payload_bytes is not None or sink.required_attrs:
+            branch, bad = split_valid(branch, sink)
+            bad.write.mode("overwrite").parquet(quarantine_path(sink))
         # observe the routed count on the write itself — no read-back
         # (which also crashed on zero-row sinks: only _SUCCESS on disk)
         from pyspark.sql import Observation

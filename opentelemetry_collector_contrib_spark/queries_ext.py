@@ -148,6 +148,14 @@ def q_textstats(spark, sf_dir):
                      "quality_score", "n_bpe", "fingerprint")
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per doc."""
+    from .datapipe.textstats import repetition_stats
+    return (repetition_stats(_docs(spark, sf_dir))
+            .select("doc_id", "n_2grams", "top_2gram_count",
+                    "top_2gram_frac", "dup_word_frac"))
+
+
 def q_langid_agg(spark, sf_dir):
     return (text_features(_docs(spark, sf_dir))
             .groupBy("lang", "pred_lang")
@@ -253,6 +261,18 @@ def q_hec_parse(spark, sf_dir, tok_dir):
 def q_media_features(spark, sf_dir, tok_dir):
     df = spark.read.parquet(os.path.join(tok_dir, "media.parquet"))
     return extract_features(df.select("media_id", "kind", "payload"), fake=True)
+
+
+def q_pii_scrub(spark, sf_dir, tok_dir):
+    """PII redaction over decoded log bodies (training pipelines scrub
+    before training): replace IPs/emails, count redactions.  Entirely
+    JVM-side — decode in codegen, regexp_replace/extract_all."""
+    from .datapipe.textstats import scrub_pii
+    from .sources.tokens_source import read_tokens, with_body
+    df = with_body(read_tokens(
+        spark, os.path.join(tok_dir, "tokens.parquet")))
+    return (scrub_pii(df, "body")
+            .select("doc_id", "scrubbed", "n_ip", "n_email"))
 
 
 def q_token_freq(spark, sf_dir, tok_dir):
@@ -591,6 +611,29 @@ SELECT doc_id, {_pred_lang_sql()} AS pred_lang,
        md5(array_to_string(words, ' ')) AS fingerprint
 FROM g""",
 
+        "repetition": f"""WITH d AS (
+  SELECT doc_id, {WORDS_SQL} AS words FROM documents
+), g AS (
+  SELECT doc_id, words,
+         [words[i] || ' ' || words[i+1]
+          for i in generate_series(1, greatest(len(words) - 1, 0))] AS grams
+  FROM d
+), ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+cnt AS (SELECT doc_id, gram, count(*)::INT AS c FROM ex GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS topc, CAST(sum(c) AS INT) AS total
+        FROM cnt GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(t.total, 0) AS n_2grams,
+       coalesce(t.topc, 0) AS top_2gram_count,
+       round(CASE WHEN coalesce(t.total, 0) > 0
+                  THEN CAST(t.topc AS DOUBLE) / t.total ELSE 0.0 END, 6)
+           AS top_2gram_frac,
+       round(CASE WHEN len(d.words) > 0
+                  THEN 1.0 - CAST(len(list_distinct(d.words)) AS DOUBLE)
+                             / len(d.words)
+                  ELSE 0.0 END, 6) AS dup_word_frac
+FROM d LEFT JOIN top t USING (doc_id)""",
+
         "langid_agg": f"""WITH d0 AS (SELECT doc_id, lang, text FROM documents),
 d AS (SELECT doc_id, lang, {WORDS_SQL} AS words FROM d0),
 f AS (SELECT doc_id, lang, {', '.join(
@@ -769,6 +812,22 @@ FROM read_parquet('{d}/media.parquet')""",
         "token_freq": f"""SELECT tok, count(*)::BIGINT AS n
 FROM (SELECT unnest(tokens) AS tok FROM read_parquet('{d}/tokens.parquet'))
 GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""",
+
+        "pii_scrub": f"""WITH raw AS (
+  SELECT doc_id,
+         array_to_string(list_transform(tokens, t -> chr(t)), '') AS body
+  FROM read_parquet('{d}/tokens.parquet')
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(body, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[IP]', 'g'),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g')
+      AS scrubbed,
+  len(regexp_extract_all(body, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))::INT
+      AS n_ip,
+  len(regexp_extract_all(body,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::INT AS n_email
+FROM raw""",
     }
 
 
@@ -791,6 +850,7 @@ def extra_queries(tok_dir_for) -> dict:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "textstats": q_textstats,
+        "repetition": q_repetition,
         "langid_agg": q_langid_agg,
         "carbon_parse": with_tok(q_carbon_parse),
         "metrics_combine": with_tok(q_metrics_combine),
@@ -804,4 +864,5 @@ def extra_queries(tok_dir_for) -> dict:
         "media_features": with_tok(q_media_features),
         "ring_route": with_tok(q_ring_route),
         "token_freq": with_tok(q_token_freq),
+        "pii_scrub": with_tok(q_pii_scrub),
     }

@@ -95,6 +95,48 @@ def test_text_features_fused_equals_catalyst(spark):
         sorted(map(tuple, cat.collect()))
 
 
+def test_repetition_stats_matches_python(spark):
+    from collections import Counter
+    from opentelemetry_collector_contrib_spark.datapipe.textstats import (
+        repetition_stats)
+    docs = DOCS + [("r1", "spam spam spam spam spam"), ("r2", ""),
+                   ("r3", "one"), ("r4", "a b a b a b a b c")]
+    got = {r["doc_id"]: r for r in repetition_stats(
+        spark.createDataFrame(docs, "doc_id string, text string")).collect()}
+    import re as _re
+    for doc_id, text in docs:
+        w = [x for x in _re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if x]
+        grams = [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        r = got[doc_id]
+        assert r["n_2grams"] == len(grams)
+        assert r["top_2gram_count"] == (max(Counter(grams).values())
+                                        if grams else 0)
+        if w:
+            assert abs(r["dup_word_frac"]
+                       - round(1.0 - len(set(w)) / len(w), 6)) < 1e-9
+    assert got["r1"]["top_2gram_frac"] == 1.0      # all grams identical
+    assert got["r2"]["n_2grams"] == 0
+    assert got["r3"]["n_2grams"] == 0
+
+
+def test_scrub_pii(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.textstats import (
+        scrub_pii)
+    rows_in = [
+        ("a", "conn from 10.1.2.3 user bob@example.com ok"),
+        ("b", "no pii here"),
+        ("c", "ips 1.2.3.4 and 5.6.7.8"),
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id string, body string")
+    got = {r["doc_id"]: r for r in scrub_pii(df, "body").collect()}
+    assert got["a"]["scrubbed"] == "conn from [IP] user [EMAIL] ok"
+    assert (got["a"]["n_ip"], got["a"]["n_email"]) == (1, 1)
+    assert got["b"]["scrubbed"] == "no pii here"
+    assert (got["b"]["n_ip"], got["b"]["n_email"]) == (0, 0)
+    assert got["c"]["scrubbed"] == "ips [IP] and [IP]"
+    assert got["c"]["n_ip"] == 2
+
+
 def test_simhash_block_bounds_partition_all_bits():
     from opentelemetry_collector_contrib_spark.datapipe.dedup import (
         SIMHASH_BITS, simhash_block_bounds)

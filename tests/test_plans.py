@@ -78,6 +78,29 @@ def test_groupby_has_partial_aggregation(spark, sf_dir):
     assert plan.index("partial_count") > plan.index("HashAggregate")
 
 
+def test_pii_scrub_is_pure_jvm(spark, sf_dir):
+    """The scrub path (decode + redact + counts) must contain zero
+    Python nodes — it's regexp_replace/extract_all inside codegen."""
+    from opentelemetry_collector_contrib_spark.datapipe.textstats import (
+        scrub_pii)
+    from opentelemetry_collector_contrib_spark.sources.tokens_source import (
+        with_body)
+    df = scrub_pii(with_body(
+        read_tokens(spark, f"{sf_dir}/tokens.parquet")), "body")
+    plan = plan_of(df)
+    assert "Python" not in plan
+
+
+def test_token_freq_has_partial_aggregation(spark, sf_dir):
+    """Explode + count shuffles O(vocab), not O(tokens): the partial
+    count must sit below the exchange."""
+    df = (read_tokens(spark, f"{sf_dir}/tokens.parquet")
+          .select(F.explode("tokens").alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    plan = plan_of(df)
+    assert "partial_count" in plan
+
+
 def test_route_filter_prunes_partitions_on_partitioned_sink(spark, sf_dir, tmp_path):
     """A per-sink branch written partitionBy(source) is read back with
     partition pruning when filtered on source."""
