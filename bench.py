@@ -36,7 +36,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = ["parse_agg", "enrich", "route_rows", "pipeline_e2e",
             "dedup_exact", "minhash_lsh", "textstats",
             "carbon_parse", "statsd_flush", "hec_parse", "span_metrics",
-            "simhash_pairs", "ann_lsh", "ann_ivf", "media_features"]
+            "simhash_pairs", "ann_lsh", "media_features"]
+# ann_ivf is gate-checked at sf0.01 but not a headline: its fixed
+# 16-list quantizer is sized for the oracle's inlined SQL — at bench
+# scale IVF needs n_lists ~ sqrt(N) (see docs/SCALE.md), and ann_lsh
+# already benches the bucketed-ANN shape.
 
 # scaling mode uses only the flagship e2e pipeline at sf2 (12M rows) —
 # smaller sets measure fixed per-query overhead, not engine scaling.

@@ -13,11 +13,15 @@ Neighbor Search", §IVFADC without the PQ step):
 
 Scale notes (10^9+ vectors): the only wide operation is the equi-join
 on list_id — shuffle keyed by ~uniform centroid assignment; expected
-candidate count is N * nprobe / n_lists per query.  Assignment is ONE
-Arrow hop per batch; all distance arithmetic accumulates
-left-associatively per dimension so assignments/probes are
-IEEE-bit-identical to the oracle's inlined expressions (ties break to
-the lowest list index in both engines).
+candidate count is N * nprobe / n_lists per query.  SIZE n_lists to
+~sqrt(N) (the classic IVF rule): with too few lists the probe set
+approaches brute force — 16 lists over 5k vectors scores 1/8 of all
+pairs.  The default 16 matches the sf0.01 oracle (whose SQL inlines
+n_lists x dim centroid literals); pass n_lists explicitly for real
+corpora.  Assignment is ONE Arrow hop per batch; all distance
+arithmetic accumulates left-associatively per dimension so
+assignments/probes are IEEE-bit-identical to the oracle's inlined
+expressions (ties break to the lowest list index in both engines).
 """
 
 from __future__ import annotations

@@ -59,6 +59,34 @@ def decode_batch(tokens: pd.Series) -> pd.Series:
     return pd.Series([s[offs[i]:offs[i + 1]] for i in range(len(arrs))])
 
 
+def decode_arrow(la) -> "object":
+    """Detokenize ONE Arrow ListArray(int) -> StringArray with zero
+    per-row Python: the list offsets become the string offsets verbatim
+    and the token values cast to a uint8 byte buffer (our vocab is the
+    codepoint itself).  Falls back to per-row chr-join for wide (>255)
+    vocabs, where a byte buffer can't represent the string."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    n = len(la)
+    if n == 0:
+        return pa.array([], pa.string())
+    flat = la.flatten()
+    try:
+        u8 = flat.cast(pa.uint8())
+    except pa.ArrowInvalid:                    # wide-vocab fallback
+        return pa.array(
+            ["".join(map(chr, row)) if row is not None else None
+             for row in la.to_pylist()], pa.string())
+    lens = pc.fill_null(pc.list_value_length(la), 0) \
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offs.tobytes()),
+        pa.py_buffer(u8.to_numpy(zero_copy_only=False).tobytes()))
+
+
 @F.pandas_udf(T.StringType())
 def decode_tokens_udf(tokens: pd.Series) -> pd.Series:
     """Vectorized detokenize UDF: array<int32> -> body string.

@@ -66,7 +66,7 @@ def _regex_parser(spark: SparkSession, conf: dict) -> Stage:
         timestamp_layout=conf.get("timestamp", {}).get("layout",
                                                        "%Y-%m-%d %H:%M:%S"),
         severity_from=conf.get("severity", {}).get("parse_from", "sev"),
-        backend=conf.get("backend", "fused"))
+        backend=conf.get("backend", "arrow"))
     return parser.apply
 
 

@@ -61,7 +61,8 @@ class PipelineConfig:
 def build_lineage(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     """The full parse -> enrich -> route lineage (no actions)."""
     df = read_tokens(spark, cfg.tokens_path)
-    if cfg.parser.backend != "fused":    # fused detokenizes inside the parser
+    if cfg.parser.backend not in ("fused", "arrow"):
+        # fused/arrow detokenize inside the parser
         df = with_body(df, backend=cfg.decode_backend)
     df = cfg.parser.apply(df)
     df = kv_extract(df, "pod_ip")

@@ -62,6 +62,25 @@ def test_fused_backend_agrees(spark, sf_dir):
     assert rows(fused) == rows(pand)
 
 
+def test_arrow_backend_agrees(spark, sf_dir):
+    """arrow (mapInArrow: buffer decode + RE2 extract) == fused
+    (pandas UDF: numpy decode + Python-re extract), incl. misses."""
+    df = read_tokens(spark, f"{sf_dir}/tokens.parquet").limit(300)
+    cols = ["doc_id", "body", "ts", "sev", "msg", "parsed",
+            "severity_text", "severity_number"]
+    arrow = RegexParser(backend="arrow").apply(df).select(cols)
+    fused = RegexParser(backend="fused").apply(df).select(cols)
+    assert rows(arrow) == rows(fused)
+
+
+def test_arrow_backend_falls_back_on_re2_reject():
+    """Lookahead is valid Python-re but not RE2 — the parser must fall
+    back to the fused backend, not break."""
+    p = RegexParser(pattern=r"^(?P<ts>\d+)(?=.)(?P<msg>.*)$",
+                    backend="arrow")
+    assert p.backend == "fused"
+
+
 def test_regex_named_groups_and_miss(spark):
     out = RegexParser(backend="pandas").apply(_lines_df(spark, [LINE, "nope"]))
     got = {r["body"]: r for r in out.collect()}

@@ -113,12 +113,19 @@ def test_route_filter_prunes_partitions_on_partitioned_sink(spark, sf_dir, tmp_p
 
 
 def test_fused_parse_is_single_python_stage(spark, sf_dir):
-    """The whole parse (detokenize + extract) is ONE ArrowEvalPython
+    """The whole parse (detokenize + extract) is ONE Python-boundary
     node — regression guard against the decode re-inlining that made
-    the naive plan ~6x slower."""
+    the naive plan ~6x slower.  The default 'arrow' backend shows one
+    MapInArrow node; the 'fused' backend one ArrowEvalPython."""
     df = RegexParser().apply(read_tokens(spark, f"{sf_dir}/tokens.parquet"))
     agg = df.groupBy("source", "severity_text").count()
     plan = plan_of(agg)
     # formatted explain shows each node once in the tree and once in the
-    # detail section — one physical node == one "(n) ArrowEvalPython"
-    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    # detail section — one physical node == one "(n) <Node>"
+    n_arrow = len(re.findall(r"\(\d+\) (?:ArrowEvalPython|MapInArrow)", plan))
+    assert n_arrow == 1
+
+    fused = RegexParser(backend="fused").apply(
+        read_tokens(spark, f"{sf_dir}/tokens.parquet"))
+    plan_f = plan_of(fused.groupBy("source", "severity_text").count())
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan_f)) == 1
