@@ -383,6 +383,26 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                     F.col("b.id").alias("id_b"), "cosine"))
 
 
+def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id",
+                salt: str = "sample") -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose portable hash of
+    (salt:id) falls under rate * 2^32.  Unlike rand()-based sampling
+    this is resume-safe (re-runs keep the identical subset) and
+    engine-portable (the DuckDB oracle reproduces it exactly).  At any
+    scale it is a stateless filter — no shuffle, pushes past nothing."""
+    h = portable_hash(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return df.filter(h < int(rate * (1 << 32)))
+
+
+def train_split_column(id_col: str = "doc_id", val_permille: int = 100,
+                       salt: str = "split") -> "F.Column":
+    """'val' for ~val_permille/1000 of rows, else 'train' — the
+    deterministic group-stable hash split training pipelines use (the
+    same id lands in the same split forever, any engine agrees)."""
+    h = portable_hash(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return F.when(h % 1000 < val_permille, F.lit("val")).otherwise(F.lit("train"))
+
+
 def dedup_survivors(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     policy: str = "longest") -> DataFrame:

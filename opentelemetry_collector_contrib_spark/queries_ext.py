@@ -88,6 +88,19 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_near_corpus(spark, sf_dir), threshold=0.5, k=3)
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic 30% sample + train/val hash split, verified as
+    per-(lang, split) counts (resume-safe curation subsetting)."""
+    from .datapipe.dedup import hash_sample, train_split_column
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = (hash_sample(d, 0.3, "doc_id")
+           .withColumn("split", train_split_column("doc_id")))
+    return (out.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
+
+
 def q_minhash_sig(spark, sf_dir):
     return minhash_signatures(_docs(spark, sf_dir), k=3)
 
@@ -178,6 +191,23 @@ def q_carbon_parse(spark, sf_dir, tok_dir):
         F.col("tags").getItem("host").alias("host"),
         F.col("tags").getItem("dc").alias("dc"),
         "value", "ts", "metric_name", "metric_type")
+
+
+def q_wavefront(spark, sf_dir, tok_dir):
+    """Wavefront line-protocol parse (wavefront_parser.go:61-140),
+    oracle-checked: lines are synthesized deterministically from the
+    carbon table (name value ts + a literal source and a quoted tag),
+    the oracle derives the expected fields from first principles."""
+    from .operators.carbon import parse_wavefront
+    c = spark.read.parquet(os.path.join(tok_dir, "carbon.parquet"))
+    parts = F.split(F.col("line"), " ")
+    name0 = F.split_part(F.element_at(parts, 1), F.lit(";"), F.lit(1))
+    wf = c.select(F.concat_ws(
+        " ", name0, F.element_at(parts, 2), F.element_at(parts, 3),
+        F.lit("source=host1"), F.lit('dc="us-east"')).alias("line"))
+    out = parse_wavefront(wf)
+    return out.select("metric_name", "value", "is_int", "ts", "source",
+                      F.col("tags").getItem("dc").alias("dc"))
 
 
 def q_metrics_combine(spark, sf_dir, tok_dir):
@@ -556,6 +586,18 @@ SELECT doc_id, dup_count FROM r WHERE rn = 1""",
         "dedup_jaccard": f"""WITH {NEAR_CORPUS_SQL}, {_shingle_cte()}, {_JACCARD_CTE}
 SELECT id_a, id_b, inter, sz_a, sz_b, jaccard FROM jac WHERE jaccard >= 0.5""",
 
+        "sample_split": f"""WITH h AS (
+  SELECT doc_id, lang,
+         {portable_hash_sql("'sample:' || CAST(doc_id AS VARCHAR)")} AS hs,
+         {portable_hash_sql("'split:' || CAST(doc_id AS VARCHAR)")} AS hp
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN hp % 1000 < 100 THEN 'val' ELSE 'train' END AS split,
+       count(*)::BIGINT AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM h WHERE hs < {int(0.3 * (1 << 32))}
+GROUP BY 1, 2""",
+
         "minhash_sig": f"""WITH corpus AS (SELECT doc_id AS id, text FROM documents),
 {_shingle_cte()}
 SELECT id, {mh} FROM ex GROUP BY id""",
@@ -661,6 +703,16 @@ SELECT pp[1] AS metric_path, host, dc, value, ts,
        CASE WHEN regexp_matches(pp[1], '{carbon_rx}')
             THEN 'cumulative' ELSE 'gauge' END AS metric_type
 FROM s""",
+
+        "wavefront": f"""WITH c AS (
+  SELECT string_split(line, ' ') AS parts FROM read_parquet('{d}/carbon.parquet')
+)
+SELECT string_split(parts[1], ';')[1] AS metric_name,
+       CAST(parts[2] AS DOUBLE) AS value,
+       regexp_matches(parts[2], '^-?\\d+$') AS is_int,
+       CAST(parts[3] AS BIGINT) AS ts,
+       'host1' AS source, 'us-east' AS dc
+FROM c""",
 
         "metrics_combine": f"""WITH c AS (
   SELECT string_split(line, ' ') AS parts FROM read_parquet('{d}/carbon.parquet')
@@ -842,6 +894,7 @@ def extra_queries(tok_dir_for) -> dict:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_sig": q_minhash_sig,
+        "sample_split": q_sample_split,
         "minhash_lsh": q_minhash_lsh,
         "simhash_fp": q_simhash_fp,
         "simhash_pairs": q_simhash_pairs,
@@ -853,6 +906,7 @@ def extra_queries(tok_dir_for) -> dict:
         "repetition": q_repetition,
         "langid_agg": q_langid_agg,
         "carbon_parse": with_tok(q_carbon_parse),
+        "wavefront": with_tok(q_wavefront),
         "metrics_combine": with_tok(q_metrics_combine),
         "statsd_flush": with_tok(q_statsd_flush),
         "statsd_timers": with_tok(q_statsd_timers),

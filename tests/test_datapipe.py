@@ -119,6 +119,28 @@ def test_repetition_stats_matches_python(spark):
     assert got["r3"]["n_2grams"] == 0
 
 
+def test_hash_sample_deterministic_and_rate(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+        hash_sample, train_split_column)
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    a = sorted(r["doc_id"] for r in hash_sample(df, 0.25).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(df, 0.25).collect())
+    assert a == b                         # resume-safe: identical subset
+    assert 0.2 < len(a) / 4000 < 0.3      # ~rate
+    # nested property: a lower-rate sample is a subset of a higher-rate
+    # one (same salt -> same hash ordering)
+    c = set(r["doc_id"] for r in hash_sample(df, 0.10).collect())
+    assert c <= set(a)
+    # split is stable and ~10% val
+    s = {r["doc_id"]: r["s"] for r in
+         df.withColumn("s", train_split_column("doc_id")).collect()}
+    n_val = sum(1 for v in s.values() if v == "val")
+    assert 0.06 < n_val / 4000 < 0.14
+    s2 = {r["doc_id"]: r["s"] for r in
+          df.withColumn("s", train_split_column("doc_id")).collect()}
+    assert s == s2
+
+
 def test_scrub_pii(spark):
     from opentelemetry_collector_contrib_spark.datapipe.textstats import (
         scrub_pii)
