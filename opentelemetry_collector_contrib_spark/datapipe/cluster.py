@@ -51,6 +51,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     # checkpoint dir (sc.setCheckpointDir + .checkpoint()).
     labels = nodes.select("id", F.col("id").alias("label")) \
         .localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         nbr = (sym.join(labels.select(F.col("id").alias("src"),
                                       F.col("label").alias("src_label")),
@@ -70,8 +71,17 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                    .count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # returning silently here would hand back WRONG cluster ids
+        # (labels not yet propagated across the component diameter) that
+        # downstream survivor selection would trust
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — component diameter exceeds max_iter; raise "
+            "max_iter (or switch to small-star/large-star for deep graphs)")
     return labels.withColumnRenamed("label", "cluster_id")
 
 

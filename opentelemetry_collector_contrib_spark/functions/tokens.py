@@ -71,19 +71,32 @@ def decode_arrow(la) -> "object":
     n = len(la)
     if n == 0:
         return pa.array([], pa.string())
+
+    def slow(la):
+        return pa.array(
+            ["".join(map(chr, row)) if row is not None else None
+             for row in la.to_pylist()], pa.string())
+
+    if la.null_count:
+        # null rows: the buffer path would turn them into '' — keep the
+        # NULL semantics of the fallback instead (nulls are rare here)
+        return slow(la)
     flat = la.flatten()
     try:
         u8 = flat.cast(pa.uint8())
     except pa.ArrowInvalid:                    # wide-vocab fallback
-        return pa.array(
-            ["".join(map(chr, row)) if row is not None else None
-             for row in la.to_pylist()], pa.string())
-    lens = pc.fill_null(pc.list_value_length(la), 0) \
-        .cast(pa.int64()).to_numpy(zero_copy_only=False)
-    offs = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(lens, out=offs[1:])
+        return slow(la)
+    lens = pc.list_value_length(la).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    offs64 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs64[1:])
+    if offs64[-1] > np.iinfo(np.int32).max:
+        # int32 string offsets would silently wrap — the same bug class
+        # fixed in datagen; a >2 GiB batch means maxRecordsPerBatch is
+        # mis-sized, fall back to the slow-but-correct path
+        return slow(la)
     return pa.StringArray.from_buffers(
-        n, pa.py_buffer(offs.tobytes()),
+        n, pa.py_buffer(offs64.astype(np.int32).tobytes()),
         pa.py_buffer(u8.to_numpy(zero_copy_only=False).tobytes()))
 
 

@@ -125,8 +125,11 @@ class RegexParser:
         pattern, groups = self.pattern, self.groups
         tok_col = self.tokens_col
         names = [f.name for f in df.schema.fields]
-        # a pre-existing body column is regenerated (identical decode)
-        keep = [i for i, n in enumerate(names) if n != "body"]
+        # pre-existing body/group columns are REPLACED (the fused path's
+        # withColumn semantics) — keeping them would emit duplicate
+        # column names and make downstream F.col() ambiguous
+        replaced = {"body", *groups}
+        keep = [i for i, n in enumerate(names) if n not in replaced]
         keep_names = [names[i] for i in keep]
         out_schema = ST.StructType(
             [df.schema.fields[i] for i in keep]
@@ -142,7 +145,13 @@ class RegexParser:
                 decode_arrow)
             for b in batches:
                 body = decode_arrow(b.column(tok_idx))
-                ex = pc.extract_regex(body, pattern)  # null struct on miss
+                # Python-re '$' matches BEFORE one trailing newline; RE2
+                # '$' is end-of-text only — strip a single trailing \n
+                # for MATCHING (body itself stays raw) so the backends
+                # agree on newline-terminated lines
+                ex = pc.extract_regex(
+                    pc.replace_substring_regex(body, r"\n$", ""),
+                    pattern)  # null struct on miss
                 arrays = ([b.column(i) for i in keep]
                           + [body]
                           + [pc.struct_field(ex, g) for g in groups])

@@ -122,8 +122,15 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
             branch, bad = split_valid(branch, sink)
             dobs = Observation()
             bad = bad.observe(dobs, *_unit_count_aggs(units))
-            (bad.write.mode("overwrite").partitionBy("unit")
-                .parquet(quarantine_path(sink)))
+            # dynamic overwrite only rewrites partitions PRESENT in the
+            # data — a re-run whose unit now quarantines zero rows would
+            # leave the stale unit=K dir behind (and a later retry would
+            # re-send already-shipped rows), so clear pending units first
+            import shutil
+            qp = quarantine_path(sink)
+            for u in units:
+                shutil.rmtree(f"{qp}/unit={u}", ignore_errors=True)
+            bad.write.mode("overwrite").partitionBy("unit").parquet(qp)
             drop_obs[sink_name] = dobs
         obs = Observation()
         branch = branch.observe(obs, *_unit_count_aggs(units))
@@ -195,14 +202,9 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig,
 
 
 def sink_has_data(path: str) -> bool:
-    """True when the sink dir holds at least one data file (a sink that
-    routed zero rows writes only _SUCCESS; reading it back throws
-    'Unable to infer schema')."""
-    import os
-    for root, _dirs, files in os.walk(path):
-        if any(not f.startswith(("_", ".")) for f in files):
-            return True
-    return False
+    """Shared with the quarantine retry — see writers.dir_has_data."""
+    from ..sinks.writers import dir_has_data
+    return dir_has_data(path)
 
 
 def aggregate_manifest(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:

@@ -210,6 +210,34 @@ def q_wavefront(spark, sf_dir, tok_dir):
                       F.col("tags").getItem("dc").alias("dc"))
 
 
+def q_prom_parse(spark, sf_dir, tok_dir):
+    """Prometheus text-exposition parse (simpleprometheusreceiver wire
+    format), oracle-checked: exposition lines + '# TYPE' headers are
+    synthesized deterministically from the carbon table; the oracle
+    derives the expected samples from first principles."""
+    from .operators.prometheus import parse_prometheus
+    c = spark.read.parquet(os.path.join(tok_dir, "carbon.parquet"))
+    parts = F.split(F.col("line"), " ")
+    name0 = F.regexp_replace(
+        F.split_part(F.element_at(parts, 1), F.lit(";"), F.lit(1)),
+        r"\.", "_")
+    samples = c.select(F.concat(
+        name0, F.lit('{host="h1",dc="us-east"} '),
+        F.element_at(parts, 2), F.lit(" "),
+        F.element_at(parts, 3), F.lit("000")).alias("line"))
+    headers = (samples.select(
+        F.regexp_extract("line", r"^([a-zA-Z_:][a-zA-Z0-9_:]*)", 1)
+        .alias("n")).distinct()
+        .select(F.concat(F.lit("# TYPE "), F.col("n"),
+                         F.lit(" counter")).alias("line")))
+    out = parse_prometheus(samples.unionByName(headers))
+    return out.select(
+        "metric_name",
+        F.col("labels").getItem("host").alias("host"),
+        F.col("labels").getItem("dc").alias("dc"),
+        "value", "ts_ms", "metric_type", "valid")
+
+
 def q_metrics_combine(spark, sf_dir, tok_dir):
     return combine(_carbon(spark, tok_dir), COMBINE_RX, "system.combined",
                    submatch_labels=["pre", "rest"], agg="sum",
@@ -704,6 +732,16 @@ SELECT pp[1] AS metric_path, host, dc, value, ts,
             THEN 'cumulative' ELSE 'gauge' END AS metric_type
 FROM s""",
 
+        "prom_parse": f"""WITH c AS (
+  SELECT string_split(line, ' ') AS parts FROM read_parquet('{d}/carbon.parquet')
+)
+SELECT replace(string_split(parts[1], ';')[1], '.', '_') AS metric_name,
+       'h1' AS host, 'us-east' AS dc,
+       CAST(parts[2] AS DOUBLE) AS value,
+       CAST(parts[3] || '000' AS BIGINT) AS ts_ms,
+       'counter' AS metric_type, true AS valid
+FROM c""",
+
         "wavefront": f"""WITH c AS (
   SELECT string_split(line, ' ') AS parts FROM read_parquet('{d}/carbon.parquet')
 )
@@ -907,6 +945,7 @@ def extra_queries(tok_dir_for) -> dict:
         "langid_agg": q_langid_agg,
         "carbon_parse": with_tok(q_carbon_parse),
         "wavefront": with_tok(q_wavefront),
+        "prom_parse": with_tok(q_prom_parse),
         "metrics_combine": with_tok(q_metrics_combine),
         "statsd_flush": with_tok(q_statsd_flush),
         "statsd_timers": with_tok(q_statsd_timers),

@@ -109,7 +109,10 @@ def reject_reason(cfg: SinkConfig) -> F.Column:
     attrs — matching the exporter's pre-send validation order)."""
     reasons = []
     if cfg.max_payload_bytes is not None:
-        reasons.append(F.when(F.length("payload") > cfg.max_payload_bytes,
+        # octet_length: the exporter's cap is BYTES of request body
+        # (config.go:113) — F.length counts characters, which undercounts
+        # multi-byte UTF-8 payloads by up to 4x
+        reasons.append(F.when(F.octet_length("payload") > cfg.max_payload_bytes,
                               F.lit("payload_too_large")))
     for a in cfg.required_attrs:
         reasons.append(F.when(F.col(a).isNull(), F.lit(f"missing_{a}")))
@@ -121,6 +124,17 @@ def reject_reason(cfg: SinkConfig) -> F.Column:
 
 def quarantine_path(cfg: SinkConfig) -> str:
     return f"{cfg.path.rstrip('/')}__quarantine"
+
+
+def dir_has_data(path: str) -> bool:
+    """True when ``path`` holds at least one data file (a sink that
+    routed zero rows writes only _SUCCESS; reading it back throws
+    'Unable to infer schema')."""
+    import os
+    for _root, _dirs, files in os.walk(path):
+        if any(not f.startswith(("_", ".")) for f in files):
+            return True
+    return False
 
 
 def split_valid(df: DataFrame, cfg: SinkConfig) -> tuple[DataFrame, DataFrame]:
@@ -140,11 +154,25 @@ def reprocess_quarantine(spark, cfg: SinkConfig,
     carries the PartialLogsError payload, never the full batch): rows in
     the quarantine that now satisfy the (possibly relaxed) constraints
     move into the sink; still-failing rows stay quarantined.  Returns
-    the number of rows re-sent."""
+    the number of rows re-sent.
+
+    Delivery semantics are AT-LEAST-ONCE across crashes: a kill between
+    the sink append and the quarantine rewrite leaves the re-sent rows
+    in both places, and the next retry re-appends them (same as the
+    reference's queue-retry exporter).  The exactly-once upgrade is the
+    Iceberg sink, whose commit covers both writes atomically.  A swap
+    interrupted between renames is recovered on the next call."""
     import os
+    import shutil
     qp = quarantine_path(cfg)
-    if not any(not f.startswith(("_", "."))
-               for _r, _d, fs in os.walk(qp) for f in fs):
+    backup, staging = qp + "__old", qp + "__retry"
+    # crash recovery: a previous attempt that died between renames left
+    # the data under backup with qp missing — restore it first
+    if os.path.exists(backup) and not os.path.exists(qp):
+        os.rename(backup, qp)
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    if not dir_has_data(qp):
         return 0
     from pyspark.sql import Observation
     q = spark.read.parquet(qp).drop("reject_reason")
@@ -153,11 +181,8 @@ def reprocess_quarantine(spark, cfg: SinkConfig,
     good = good.observe(obs, F.count(F.lit(1)).alias("n"))
     write_sink(good, cfg, partition_cols=partition_cols, mode="append")
     # rewrite the quarantine to only the still-failing rows (staging +
-    # atomic swap so a crash never loses quarantined records)
-    staging = qp + "__retry"
+    # rename swap; the recovery block above handles crashes mid-swap)
     bad.write.mode("overwrite").parquet(staging)
-    import shutil
-    backup = qp + "__old"
     os.rename(qp, backup)
     os.rename(staging, qp)
     shutil.rmtree(backup)
@@ -184,10 +209,15 @@ def write_sink(df: DataFrame, cfg: SinkConfig,
             .option("write.parquet.row-group-size-bytes", "134217728")
         if partition_cols:
             writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
-        # idempotent per-run replace == the dynamic-overwrite semantics
-        # of the parquet path; Iceberg commits atomically (the real
-        # version of sinks/maintenance.publish_snapshot)
-        writer.createOrReplace()
+        if mode == "append":
+            # retries append ONLY the re-sent rows — createOrReplace
+            # here would drop everything previously committed
+            writer.append()
+        else:
+            # idempotent per-run replace == the dynamic-overwrite
+            # semantics of the parquet path; Iceberg commits atomically
+            # (the real version of sinks/maintenance.publish_snapshot)
+            writer.createOrReplace()
         return
     writer = (df.write.mode(mode)
               .option("maxRecordsPerFile", cfg.max_records_per_file))

@@ -81,6 +81,32 @@ def test_arrow_backend_falls_back_on_re2_reject():
     assert p.backend == "fused"
 
 
+def test_arrow_backend_trailing_newline_matches_python_re(spark):
+    """Python-re '$' matches before one trailing newline, RE2's does
+    not — the arrow backend strips one trailing \\n for matching so
+    both backends agree on newline-terminated lines."""
+    lines = [LINE, LINE + "\n", LINE + "\n\n", "2020-08-25 05:01:31 INFO x\nmore"]
+    rows_in = [([ord(c) for c in l],) for l in lines]
+    df = spark.createDataFrame(rows_in, "tokens array<int>")
+    cols = ["body", "ts", "sev", "msg", "parsed"]
+    arrow = RegexParser(backend="arrow").apply(df).select(cols)
+    fused = RegexParser(backend="fused").apply(df).select(cols)
+    assert rows(arrow) == rows(fused)
+    got = {r["body"]: r["parsed"] for r in arrow.collect()}
+    assert got[LINE + "\n"] is True          # single trailing \n parses
+    assert got[LINE + "\n\n"] is False       # double does not (both backends)
+
+
+def test_arrow_backend_replaces_existing_group_columns(spark):
+    """A pre-existing column named like a capture group must be
+    REPLACED (fused withColumn semantics), not duplicated."""
+    df = spark.createDataFrame(
+        [([ord(c) for c in LINE], "OLD")], "tokens array<int>, sev string")
+    out = RegexParser(backend="arrow").apply(df)
+    assert out.columns.count("sev") == 1
+    assert out.collect()[0]["sev"] == "INFO"
+
+
 def test_regex_named_groups_and_miss(spark):
     out = RegexParser(backend="pandas").apply(_lines_df(spark, [LINE, "nope"]))
     got = {r["body"]: r for r in out.collect()}

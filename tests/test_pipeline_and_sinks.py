@@ -127,6 +127,54 @@ def test_partial_error_quarantine_and_retry(spark, sf_dir, tmp_path):
         before + q_before
 
 
+def test_reprocess_quarantine_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the two renames leaves the quarantine under
+    __old with the real dir missing — the next call must restore it and
+    retry normally, not return 0 and orphan the rows."""
+    from opentelemetry_collector_contrib_spark.sinks.writers import (
+        SinkConfig, quarantine_path, reprocess_quarantine)
+    import os
+    sink = SinkConfig(name="s", path=str(tmp_path / "sink"))
+    qp = quarantine_path(sink)
+    q = spark.createDataFrame(
+        [("d1", "small", "payload_too_large")],
+        "doc_id string, payload string, reject_reason string")
+    q.write.parquet(qp)
+    os.rename(qp, qp + "__old")              # simulate mid-swap crash
+    resent = reprocess_quarantine(spark, sink)
+    assert resent == 1                        # recovered and re-sent
+    assert spark.read.parquet(sink.path).count() == 1
+
+
+def test_quarantine_rerun_clears_stale_unit_partitions(spark, sf_dir, tmp_path):
+    """A unit re-run (resume) whose rows now all ship must CLEAR the
+    unit's old quarantine dir — dynamic overwrite alone leaves it, and
+    a later retry would re-send already-shipped rows."""
+    from opentelemetry_collector_contrib_spark.sinks.writers import (
+        quarantine_path)
+    cfg = _cfg(sf_dir, str(tmp_path / "out"), n_units=2)
+    sumo = cfg.sink_cfg("sumologic")
+    sumo.max_payload_bytes = 60
+    run_pipeline(spark, cfg)
+    q1 = spark.read.parquet(quarantine_path(sumo)).count()
+    assert q1 > 0
+    # relax the cap and re-run the SAME units with a fresh manifest:
+    # nothing quarantines now, and the old quarantine rows must be gone
+    sumo.max_payload_bytes = 10_000_000
+    cfg2 = _cfg(sf_dir, str(tmp_path / "out"), n_units=2)
+    cfg2.out_dir = str(tmp_path / "out")
+    cfg2.sinks = cfg.sinks
+    from opentelemetry_collector_contrib_spark.plans.manifest import RunManifest
+    run_pipeline(spark, cfg2,
+                 manifest=RunManifest(str(tmp_path / "manifest2")))
+    import os
+    has_rows = False
+    for root, _d, files in os.walk(quarantine_path(sumo)):
+        if any(f.endswith(".parquet") for f in files):
+            has_rows = True
+    assert not has_rows
+
+
 def test_unit_column_stable(spark):
     df = spark.createDataFrame([(f"doc-{i}",) for i in range(50)],
                                "doc_id string")

@@ -64,7 +64,7 @@ def render(rounds: dict[int, dict]) -> str:
         if len(ids) >= 2:
             a = rounds[ids[-2]]["queries"].get(q)
             b = rounds[ids[-1]]["queries"].get(q)
-            if a and b:
+            if a is not None and b is not None and a != 0:
                 pct = (b - a) / a * 100.0
                 row += f" | {pct:+.0f}% |"
             else:
@@ -76,7 +76,7 @@ def render(rounds: dict[int, dict]) -> str:
         f"{rounds[r]['value']:.2f}" for r in ids)
     if len(ids) >= 2:
         a, b = rounds[ids[-2]]["value"], rounds[ids[-1]]["value"]
-        total += f" | {(b - a) / a * 100.0:+.0f}% |"
+        total += f" | {(b - a) / a * 100.0:+.0f}% |" if a else " | — |"
     else:
         total += " |"
     lines.append(total)
