@@ -33,13 +33,45 @@ def streaming_pipeline(spark: SparkSession, tokens_dir: str, pods_path: str,
     df = (spark.readStream.schema(TOKENS_DDL)
           .parquet(tokens_dir))
     parser = parser or RegexParser()
-    if parser.backend != "fused":
-        df = with_body(df)
+    if parser.backend not in ("fused", "arrow"):
+        df = with_body(df)      # fused/arrow detokenize inside the parser
     df = parser.apply(df)
     df = kv_extract(df, "pod_ip")
     pods = prepare_pods_dim(spark.read.parquet(pods_path))   # static dim side
     df = broadcast_enrich(df, pods, "pod_ip")
     return with_route(df, routes)
+
+
+def streaming_pipeline_fresh_dim(spark: SparkSession, tokens_dir: str,
+                                 pods_path: str, out_dir: str,
+                                 routes: RoutingTable = DEFAULT_ROUTES,
+                                 checkpoint: str | None = None):
+    """The k8s WATCH analog (kube/client.go:91-169: pod add/update/
+    delete events mutate the ip->pod map while the collector runs): the
+    dimension snapshot is RE-READ inside ``foreachBatch``, so every
+    micro-batch enriches against the dimension AS OF that batch — pod
+    churn (IP reassignment, relabeling, the delete-grace expiry) is
+    visible at batch granularity without restarting the stream.  The
+    static-dim variant above pins one snapshot for the stream lifetime.
+
+    Writes enriched routed rows under ``out_dir/batch=N``; returns the
+    StreamingQuery."""
+    df = spark.readStream.schema(TOKENS_DDL).parquet(tokens_dir)
+    parsed = kv_extract(RegexParser().apply(df), "pod_ip")
+
+    def _process(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        pods = prepare_pods_dim(s.read.parquet(pods_path))  # fresh snapshot
+        routed = with_route(broadcast_enrich(batch_df, pods, "pod_ip"),
+                            routes)
+        (routed.select("doc_id", "pod_ip", "namespace", "deployment",
+                       F.explode("sinks").alias("sink"))
+         .write.mode("overwrite")
+         .parquet(f"{out_dir}/batch={batch_id}"))
+
+    return (parsed.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint or f"{out_dir}/_ck")
+            .start())
 
 
 def streaming_counts(routed: DataFrame,

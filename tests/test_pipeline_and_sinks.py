@@ -358,6 +358,66 @@ def test_group_by_trace_stateful_stream(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_fresh_dim_sees_pod_churn(spark, tmp_path):
+    """The k8s watch analog: a dimension update between micro-batches
+    (pod IP reassigned to a new namespace) must be visible to the NEXT
+    batch — each batch enriches against the dim as of that batch."""
+    import time as _t
+    from opentelemetry_collector_contrib_spark.streaming.stream_pipeline import (
+        streaming_pipeline_fresh_dim)
+    src = tmp_path / "tok_in"
+    src.mkdir()
+    pods = tmp_path / "pods"
+    outd = tmp_path / "enriched"
+    line = "2020-08-25 05:01:31 INFO hello pod_ip=10.9.9.9"
+
+    def tok_row(doc):
+        return (doc, [ord(c) for c in line], len(line), "app-a")
+
+    def write_pods(ns):
+        spark.createDataFrame(
+            [("10.9.9.9", f"{ns}-abc12-def34", ns, "n1",
+              "2020-01-01T00:00:00Z", "GIT_SHA=aa X", False)],
+            "pod_ip string, pod_name string, namespace string, "
+            "node_name string, start_time string, labels_raw string, "
+            "ignore boolean").coalesce(1).write.mode("overwrite") \
+            .parquet(str(pods))
+
+    write_pods("ns-old")
+    spark.createDataFrame([tok_row("d1")],
+                          "doc_id string, tokens array<int>, n_tok int, "
+                          "source string").coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q = streaming_pipeline_fresh_dim(spark, str(src), str(pods), str(outd))
+    try:
+        deadline = _t.time() + 90
+        while _t.time() < deadline and not (outd / "batch=0").exists():
+            _t.sleep(1)
+        # pod churn between batches: same IP now owned by a new namespace
+        write_pods("ns-new")
+        spark.createDataFrame([tok_row("d2")],
+                              "doc_id string, tokens array<int>, n_tok int, "
+                              "source string").coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        deadline = _t.time() + 90
+        got = {}
+        while _t.time() < deadline:
+            import glob
+            for b in glob.glob(str(outd / "batch=*")):
+                try:
+                    for r in spark.read.parquet(b).collect():
+                        got[r["doc_id"]] = r["namespace"]
+                except Exception:
+                    pass
+            if "d1" in got and "d2" in got:
+                break
+            _t.sleep(2)
+        assert got.get("d1") == "ns-old"
+        assert got.get("d2") == "ns-new"      # fresh snapshot picked up
+    finally:
+        q.stop()
+
+
 def test_group_by_trace_spans_across_micro_batches(spark, tmp_path):
     """Spans of ONE trace arriving in TWO micro-batches must still
     release wait_duration after the FIRST arrival: Spark's GroupState
