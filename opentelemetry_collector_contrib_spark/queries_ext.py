@@ -238,6 +238,29 @@ def q_prom_parse(spark, sf_dir, tok_dir):
         "value", "ts_ms", "metric_type", "valid")
 
 
+def q_collectd(spark, sf_dir, tok_dir):
+    """collectd write_http JSON parse (collectd.go:34-240), oracle-
+    checked: payloads synthesized deterministically from the carbon
+    table (single-ds derive record with a [k=v] type_instance); the
+    oracle derives expected rows from first principles, including the
+    dsname-as-label single-ds rule and the bracket-dims extraction."""
+    from .operators.collectd import parse_collectd
+    c = spark.read.parquet(os.path.join(tok_dir, "carbon.parquet"))
+    parts = F.split(F.col("line"), " ")
+    name0 = F.split_part(F.element_at(parts, 1), F.lit(";"), F.lit(1))
+    body = c.select(F.concat(
+        F.lit('[{"dsnames":["value"],"dstypes":["derive"],"host":"h1",'
+              '"plugin":"cpu","time":'), F.element_at(parts, 3),
+        F.lit(',"type":"'), name0,
+        F.lit('","type_instance":"ti[env=prod]","values":["'),
+        F.element_at(parts, 2), F.lit('"]}]')).alias("body"))
+    out = parse_collectd(body)
+    return out.select(
+        "metric_name", "value", "is_double", "metric_type", "ts_ns",
+        "host", "plugin", "dsname_label",
+        F.col("extracted_dims").getItem("env").alias("env"))
+
+
 def q_metrics_combine(spark, sf_dir, tok_dir):
     return combine(_carbon(spark, tok_dir), COMBINE_RX, "system.combined",
                    submatch_labels=["pre", "rest"], agg="sum",
@@ -254,6 +277,23 @@ def q_statsd_timers(spark, sf_dir, tok_dir):
     parsed = parse_statsd(
         spark.read.parquet(os.path.join(tok_dir, "statsd.parquet")))
     return timer_aggregate(parsed)
+
+
+def q_transform(spark, sf_dir):
+    """OTTL-style statement battery (set/truncate/replace_pattern with
+    where-guard/drop/rename) over events, oracle-checked — each
+    statement compiles to a Catalyst expression, nothing per-row."""
+    from .operators.transform import transform
+    out = transform(_events(spark, sf_dir), [
+        "set(etype_up, upper(event_type))",
+        "truncate(etype_up, 4)",
+        "set(value_bucket, CAST(floor(value / 100) AS INT))",
+        "replace_pattern(event_type, 'view', 'VIEW') where value > 250",
+        "drop() where event_type = 'click' AND value < 50",
+        "rename(user_id, uid)",
+    ])
+    return out.select("event_id", "uid", "event_type", "etype_up",
+                      "value_bucket")
 
 
 def q_tailsample(spark, sf_dir):
@@ -732,6 +772,18 @@ SELECT pp[1] AS metric_path, host, dc, value, ts,
             THEN 'cumulative' ELSE 'gauge' END AS metric_type
 FROM s""",
 
+        "collectd": f"""WITH c AS (
+  SELECT string_split(line, ' ') AS parts FROM read_parquet('{d}/carbon.parquet')
+)
+SELECT string_split(parts[1], ';')[1] || '.ti' AS metric_name,
+       CAST(parts[2] AS DOUBLE) AS value,
+       NOT regexp_matches(parts[2], '^-?\\d+$') AS is_double,
+       'cumulative' AS metric_type,
+       CAST(CAST(parts[3] AS DOUBLE) * 1e9 AS BIGINT) AS ts_ns,
+       'h1' AS host, 'cpu' AS plugin, 'value' AS dsname_label,
+       'prod' AS env
+FROM c""",
+
         "prom_parse": f"""WITH c AS (
   SELECT string_split(line, ' ') AS parts FROM read_parquet('{d}/carbon.parquet')
 )
@@ -860,6 +912,14 @@ SELECT name, tags, count(*)::BIGINT AS n, sum(value) AS sum,
        quantile_cont(value, 0.99) AS p99
 FROM t GROUP BY name, tags""",
 
+        "transform": """SELECT event_id, user_id AS uid,
+       CASE WHEN value > 250 THEN regexp_replace(event_type, 'view', 'VIEW', 'g')
+            ELSE event_type END AS event_type,
+       substr(upper(event_type), 1, 4) AS etype_up,
+       CAST(floor(value / 100) AS INT) AS value_bucket
+FROM events
+WHERE NOT (event_type = 'click' AND value < 50)""",
+
         "tailsample": """SELECT event_id, user_id, event_type, value
 FROM events WHERE user_id IN (
   SELECT user_id FROM events
@@ -946,10 +1006,12 @@ def extra_queries(tok_dir_for) -> dict:
         "carbon_parse": with_tok(q_carbon_parse),
         "wavefront": with_tok(q_wavefront),
         "prom_parse": with_tok(q_prom_parse),
+        "collectd": with_tok(q_collectd),
         "metrics_combine": with_tok(q_metrics_combine),
         "statsd_flush": with_tok(q_statsd_flush),
         "statsd_timers": with_tok(q_statsd_timers),
         "tailsample": q_tailsample,
+        "transform": q_transform,
         "span_metrics": q_span_metrics,
         "window_rollup": q_window_rollup,
         "trace_sessions": q_trace_sessions,
