@@ -32,6 +32,7 @@ from .operators.json_parser import splunk_hec_events
 from .operators.metrics_transform import combine
 from .operators.partitioners import ring_route_column
 from .operators.statsd import flush_aggregate, parse_statsd, timer_aggregate
+from .queries_scrape import scrape_oracles, scrape_queries
 
 # ---------------------------------------------------------------------------
 # corpora (built in-query from the documents table, mirrored in SQL)
@@ -628,6 +629,7 @@ def _pred_lang_sql() -> str:
 
 def extra_oracles(tok_dir: str) -> dict[str, str]:
     d = tok_dir
+    scrape = scrape_oracles(d)
     mh = _minhash_cols()
     score_sql = ("least(CAST(n_words AS DOUBLE) / 20.0, 1.0) * 0.4"
                  " + CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10"
@@ -978,7 +980,7 @@ SELECT doc_id,
   len(regexp_extract_all(body,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::INT AS n_email
 FROM raw""",
-    }
+    } | scrape
 
 
 def extra_queries(tok_dir_for) -> dict:
@@ -1020,4 +1022,4 @@ def extra_queries(tok_dir_for) -> dict:
         "ring_route": with_tok(q_ring_route),
         "token_freq": with_tok(q_token_freq),
         "pii_scrub": with_tok(q_pii_scrub),
-    }
+    } | {name: with_tok(fn) for name, fn in scrape_queries().items()}

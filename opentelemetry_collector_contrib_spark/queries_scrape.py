@@ -1,0 +1,471 @@
+"""Driver-contract queries for the pull-scraper receivers.
+
+Scrape payloads (redis INFO / zookeeper mntr / nginx stub_status /
+memcached stats) are synthesized deterministically from the carbon
+lines table: per DISTINCT line, ``t`` = the epoch field (BIGINT) and
+``vs`` = the value field (kept as its original string so double parsing
+is bit-identical across engines).  The DuckDB oracles derive the
+expected *parse output* from (t, vs) from first principles — they never
+re-parse the payload — so every skip rule (unknown keys, empty values,
+non-numeric values, keyspace contiguity) is independently checked.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.scrapers import (ReceiverTemplate, parse_memcached_stats,
+                                 parse_nginx_stub_status, parse_redis_info,
+                                 parse_zookeeper_mntr,
+                                 receiver_creator_dispatch)
+
+# ---------------------------------------------------------------------------
+# shared base: DISTINCT carbon lines -> (scrape_id, t, vs)
+# ---------------------------------------------------------------------------
+
+
+def _base(spark: SparkSession, tok_dir: str) -> DataFrame:
+    c = (spark.read.parquet(os.path.join(tok_dir, "carbon.parquet"))
+         .select("line").distinct())
+    parts = F.split(F.col("line"), " ")
+    return c.select(
+        F.md5(F.col("line")).alias("scrape_id"),
+        F.element_at(parts, 3).cast("bigint").alias("t"),
+        F.element_at(parts, 2).alias("vs"))
+
+
+def _base_sql(d: str) -> str:
+    return f"""base AS (
+  SELECT md5(line) AS scrape_id,
+         CAST(string_split(line, ' ')[3] AS BIGINT) AS t,
+         string_split(line, ' ')[2] AS vs
+  FROM (SELECT DISTINCT line FROM read_parquet('{d}/carbon.parquet'))
+)"""
+
+
+def _s(c):
+    return c.cast("string")
+
+
+# ---------------------------------------------------------------------------
+# redis INFO
+# ---------------------------------------------------------------------------
+
+def q_redis_info(spark, sf_dir, tok_dir) -> DataFrame:
+    """redis INFO parse (info.go:32-78, keyspace.go:34-63): bodies carry
+    comments, an unknown key, an empty value, a conditional parse error,
+    doubles from ``vs``, and a keyspace with a conditional db1 plus an
+    always-beyond-the-gap db3."""
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    body = F.concat_ws(
+        "\n",
+        F.lit("# Server"),
+        F.lit("redis_version:6.0.9"),
+        F.concat(F.lit("uptime_in_seconds:"), _s(t)),
+        F.concat(F.lit("connected_clients:"), _s(t % 100)),
+        F.lit("maxmemory:"),
+        F.concat(F.lit("blocked_clients:"),
+                 F.when(t % 7 == 0, F.lit("oops")).otherwise(_s(t % 5))),
+        F.concat(F.lit("used_cpu_sys:"), F.col("vs")),
+        F.concat(F.lit("used_memory:"), _s(t % 1000000)),
+        F.concat(F.lit("mem_fragmentation_ratio:"), F.col("vs")),
+        F.concat(F.lit("keyspace_hits:"), _s(t % 10000)),
+        F.concat(F.lit("db0:keys="), _s(t % 50),
+                 F.lit(",expires=2,avg_ttl="), _s(t % 1000)),
+        F.when(t % 3 == 0, F.lit("db1:keys=7,expires=1"))
+         .otherwise(F.lit("# no db1")),
+        F.lit("db3:keys=9,expires=9,avg_ttl=9"),
+    )
+    return parse_redis_info(b.select("scrape_id", body.alias("body")))
+
+
+def _redis_oracle(d: str) -> str:
+    def fixed(name, units, mtype, vi, vd="CAST(NULL AS DOUBLE)", extra="",
+              state="CAST(NULL AS VARCHAR)"):
+        return f"""  SELECT scrape_id, '{name}' AS metric_name, '{units}' AS units,
+         '{mtype}' AS metric_type, {state} AS state,
+         CAST(NULL AS VARCHAR) AS db, {vi} AS value_i, {vd} AS value_d
+  FROM base {extra}"""
+
+    def ks(name, units, db_expr, vi, cond=""):
+        return f"""  SELECT scrape_id, '{name}' AS metric_name, '{units}' AS units,
+         'gauge' AS metric_type, CAST(NULL AS VARCHAR) AS state,
+         {db_expr} AS db, {vi} AS value_i, CAST(NULL AS DOUBLE) AS value_d
+  FROM base {cond}"""
+
+    arms = [
+        fixed("redis/uptime", "s", "cumulative", "t"),
+        fixed("redis/clients/connected", "", "gauge", "t % 100"),
+        fixed("redis/clients/blocked", "", "gauge", "t % 5",
+              extra="WHERE t % 7 <> 0"),
+        fixed("redis/cpu/time", "s", "cumulative", "CAST(NULL AS BIGINT)",
+              "CAST(vs AS DOUBLE)", state="'sys'"),
+        fixed("redis/memory/used", "By", "gauge", "t % 1000000"),
+        fixed("redis/memory/fragmentation_ratio", "", "gauge",
+              "CAST(NULL AS BIGINT)", "CAST(vs AS DOUBLE)"),
+        fixed("redis/keyspace/hits", "", "cumulative", "t % 10000"),
+        ks("redis/db/keys", "", "'0'", "t % 50"),
+        ks("redis/db/expires", "", "'0'", "CAST(2 AS BIGINT)"),
+        ks("redis/db/avg_ttl", "ms", "'0'", "t % 1000"),
+        ks("redis/db/keys", "", "'1'", "CAST(7 AS BIGINT)",
+           cond="WHERE t % 3 = 0"),
+        ks("redis/db/expires", "", "'1'", "CAST(1 AS BIGINT)",
+           cond="WHERE t % 3 = 0"),
+        ks("redis/db/avg_ttl", "ms", "'1'", "CAST(0 AS BIGINT)",
+           cond="WHERE t % 3 = 0"),
+    ]
+    return (f"WITH {_base_sql(d)}\n" + "\nUNION ALL\n".join(arms))
+
+
+# ---------------------------------------------------------------------------
+# zookeeper mntr
+# ---------------------------------------------------------------------------
+
+def q_zk_mntr(spark, sf_dir, tok_dir) -> DataFrame:
+    """zookeeper mntr parse (scraper.go:143-177): version/server_state
+    become resource attributes; an unknown key, a non-integer value and
+    a non-matching line are skipped."""
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    tab = "\t"
+    body = F.concat_ws(
+        "\n",
+        F.lit(f"zk_version{tab}3.6.2-89"),
+        F.concat(F.lit(f"zk_server_state{tab}"),
+                 F.when(t % 2 == 0, F.lit("leader"))
+                  .otherwise(F.lit("follower"))),
+        F.concat(F.lit(f"zk_avg_latency{tab}"), _s(t % 50)),
+        F.concat(F.lit(f"zk_max_latency{tab}"), _s(t % 500)),
+        F.concat(F.lit(f"zk_packets_received{tab}"), _s(t)),
+        F.concat(F.lit(f"zk_znode_count{tab}"), _s(t % 10000)),
+        F.concat(F.lit(f"zk_watch_count{tab}"), _s(t % 100)),
+        F.lit(f"zk_bogus_metric{tab}5"),
+        F.concat(F.lit(f"zk_followers{tab}"),
+                 F.when(t % 5 == 0, F.lit("frozen")).otherwise(_s(t % 4))),
+        F.lit("junk line with no zk prefix"),
+    )
+    return parse_zookeeper_mntr(b.select("scrape_id", body.alias("body")))
+
+
+def _zk_oracle(d: str) -> str:
+    def arm(name, mtype, vi, cond=""):
+        return f"""  SELECT scrape_id, '{name}' AS metric_name,
+         '{mtype}' AS metric_type, {vi} AS value_i,
+         '3.6.2-89' AS zk_version,
+         CASE WHEN t % 2 = 0 THEN 'leader' ELSE 'follower' END AS server_state
+  FROM base {cond}"""
+    arms = [
+        arm("zookeeper.latency.avg", "gauge", "t % 50"),
+        arm("zookeeper.latency.max", "gauge", "t % 500"),
+        arm("zookeeper.packets.received", "sum", "t"),
+        arm("zookeeper.znodes", "gauge", "t % 10000"),
+        arm("zookeeper.watches", "gauge", "t % 100"),
+        arm("zookeeper.followers", "gauge", "t % 4", cond="WHERE t % 5 <> 0"),
+    ]
+    return (f"WITH {_base_sql(d)}\n" + "\nUNION ALL\n".join(arms))
+
+
+# ---------------------------------------------------------------------------
+# nginx stub_status
+# ---------------------------------------------------------------------------
+
+def _nginx_body(t):
+    return F.when(t % 11 == 0, F.lit("<html>503 Service Unavailable</html>")) \
+        .otherwise(F.concat_ws(
+            "\n",
+            F.concat(F.lit("Active connections: "), _s(t % 300)),
+            F.lit("server accepts handled requests"),
+            F.concat(F.lit(" "), _s(t), F.lit(" "), _s(t - t % 10),
+                     F.lit(" "), _s(t % 1000000)),
+            F.concat(F.lit("Reading: "), _s(t % 7),
+                     F.lit(" Writing: "), _s(t % 13),
+                     F.lit(" Waiting: "), _s(t % 17)),
+        ))
+
+
+def q_nginx_status(spark, sf_dir, tok_dir) -> DataFrame:
+    """nginx stub_status parse (scraper.go:74-82); every 11th endpoint
+    returns an error page and contributes no rows."""
+    b = _base(spark, tok_dir)
+    return parse_nginx_stub_status(
+        b.select("scrape_id", _nginx_body(F.col("t")).alias("body")))
+
+
+_NGINX_ARMS = [
+    ("nginx.connections_active", "gauge", "t % 300"),
+    ("nginx.connections_accepted", "sum", "t"),
+    ("nginx.connections_handled", "sum", "t - t % 10"),
+    ("nginx.requests", "sum", "t % 1000000"),
+    ("nginx.connections_reading", "gauge", "t % 7"),
+    ("nginx.connections_writing", "gauge", "t % 13"),
+    ("nginx.connections_waiting", "gauge", "t % 17"),
+]
+
+
+def _nginx_oracle(d: str) -> str:
+    arms = [f"""  SELECT scrape_id, '{n}' AS metric_name, '{m}' AS metric_type,
+         {v} AS value_i FROM base WHERE t % 11 <> 0"""
+            for n, m, v in _NGINX_ARMS]
+    return (f"WITH {_base_sql(d)}\n" + "\nUNION ALL\n".join(arms))
+
+
+# ---------------------------------------------------------------------------
+# memcached stats
+# ---------------------------------------------------------------------------
+
+def _mc_body(t):
+    return F.concat_ws(
+        "\n",
+        F.lit("STAT pid 17"),
+        F.concat(F.lit("STAT bytes "), _s(t % 100000)),
+        F.concat(F.lit("STAT curr_connections "), _s(t % 50)),
+        F.concat(F.lit("STAT total_connections "), _s(t)),
+        F.concat(F.lit("STAT get_hits "), _s(t % 1000)),
+        F.concat(F.lit("STAT get_misses "), _s(t % 500)),
+        F.lit("STAT evictions 3"),
+        F.lit("END"),
+    )
+
+
+def q_memcached_stats(spark, sf_dir, tok_dir) -> DataFrame:
+    """memcached stats parse (scraper.go:74-90): only the 5 mapped keys
+    become metrics; pid/evictions/END are ignored."""
+    b = _base(spark, tok_dir)
+    return parse_memcached_stats(
+        b.select("scrape_id", _mc_body(F.col("t")).alias("body")))
+
+
+_MC_ARMS = [
+    ("memcached.bytes", "gauge", "t % 100000"),
+    ("memcached.current_connections", "gauge", "t % 50"),
+    ("memcached.total_connections", "sum", "t"),
+    ("memcached.get_hits", "sum", "t % 1000"),
+    ("memcached.get_misses", "sum", "t % 500"),
+]
+
+
+def _mc_oracle(d: str) -> str:
+    arms = [f"""  SELECT scrape_id, '{n}' AS metric_name, '{m}' AS metric_type,
+         {v} AS value_i FROM base"""
+            for n, m, v in _MC_ARMS]
+    return (f"WITH {_base_sql(d)}\n" + "\nUNION ALL\n".join(arms))
+
+
+# ---------------------------------------------------------------------------
+# receivercreator dispatch (observer endpoints -> per-type receivers)
+# ---------------------------------------------------------------------------
+
+def q_receiver_creator(spark, sf_dir, tok_dir) -> DataFrame:
+    """observer + receivercreator analog (rules.go:33-62): the endpoint
+    type and port derive from t; each template's SQL rule selects its
+    endpoints and instantiates the matching parser.  The memcached rows
+    are left unmatched on purpose (no template) — observerhandler
+    creates no receiver for them."""
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    etype = (F.when(t % 4 == 0, F.lit("redis"))
+             .when(t % 4 == 1, F.lit("zookeeper"))
+             .when(t % 4 == 2, F.lit("nginx"))
+             .otherwise(F.lit("memcached")))
+    port = (F.when(t % 4 == 0, F.lit(6379))
+            .when(t % 4 == 1, F.lit(2181))
+            .when(t % 4 == 2, F.lit(80))
+            .otherwise(F.lit(11211)))
+    # the payload each endpoint would serve (nginx/memcached bodies reuse
+    # the per-type builders; redis/zookeeper get compact single-metric
+    # payloads so the dispatch oracle stays readable)
+    body = (F.when(t % 4 == 0,
+                   F.concat(F.lit("uptime_in_seconds:"), _s(t)))
+            .when(t % 4 == 1,
+                  F.concat(F.lit("zk_znode_count\t"), _s(t % 10000)))
+            .when(t % 4 == 2, _nginx_body(t))
+            .otherwise(_mc_body(t)))
+    eps = b.select("scrape_id", etype.alias("endpoint_type"),
+                   port.alias("port"), body.alias("body"))
+    return receiver_creator_dispatch(eps, [
+        ReceiverTemplate("redis",
+                         "endpoint_type = 'redis' AND port = 6379"),
+        ReceiverTemplate("zookeeper", "endpoint_type = 'zookeeper'"),
+        ReceiverTemplate("nginx",
+                         "endpoint_type = 'nginx' AND port = 80"),
+    ])
+
+
+def _rc_oracle(d: str) -> str:
+    redis = """  SELECT scrape_id, 'redis' AS receiver,
+         'redis/uptime' AS metric_name, 'cumulative' AS metric_type,
+         t AS value_i, CAST(NULL AS DOUBLE) AS value_d
+  FROM base WHERE t % 4 = 0"""
+    zk = """  SELECT scrape_id, 'zookeeper' AS receiver,
+         'zookeeper.znodes' AS metric_name, 'gauge' AS metric_type,
+         t % 10000 AS value_i, CAST(NULL AS DOUBLE) AS value_d
+  FROM base WHERE t % 4 = 1"""
+    nginx = [f"""  SELECT scrape_id, 'nginx' AS receiver,
+         '{n}' AS metric_name, '{m}' AS metric_type,
+         {v} AS value_i, CAST(NULL AS DOUBLE) AS value_d
+  FROM base WHERE t % 4 = 2 AND t % 11 <> 0"""
+             for n, m, v in _NGINX_ARMS]
+    return (f"WITH {_base_sql(d)}\n"
+            + "\nUNION ALL\n".join([redis, zk] + nginx))
+
+
+# ---------------------------------------------------------------------------
+# dockerstats (metrics.go:45-288)
+# ---------------------------------------------------------------------------
+
+def q_docker_stats(spark, sf_dir, tok_dir) -> DataFrame:
+    """dockerstats translation: a StatsJSON payload per scrape (values
+    derived from t), exercising the cpu.percent docker-cli formula
+    (online_cpus=0 fallback, zero-delta guard), memory.percent zero-limit
+    guard, the cumulative/gauge memory-stats split, per-interface network
+    counters (conditional eth1) and blkio empty-op skip."""
+    from .operators.dockerstats import parse_docker_stats
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    m = t % 1000000
+    blkio_entry = lambda major, minor, op, val: F.struct(  # noqa: E731
+        F.lit(major).cast("long").alias("major"),
+        F.lit(minor).cast("long").alias("minor"),
+        F.lit(op).alias("op"), val.cast("long").alias("value"))
+    nic = lambda base: F.struct(*[  # noqa: E731
+        ((base + i) % 100000).cast("long").alias(f)
+        for i, f in enumerate(
+            ["rx_bytes", "tx_bytes", "rx_dropped", "rx_errors",
+             "rx_packets", "tx_dropped", "tx_errors", "tx_packets"])])
+    stats = F.struct(
+        F.struct(
+            F.struct((t * 1000).alias("total_usage"),
+                     (t % 5000).alias("usage_in_kernelmode"),
+                     (t % 7000).alias("usage_in_usermode"),
+                     F.array(F.lit(1).cast("long"), F.lit(2).cast("long"))
+                     .alias("percpu_usage")).alias("cpu_usage"),
+            (t * 100000).alias("system_cpu_usage"),
+            (t % 4).alias("online_cpus"),
+            F.struct((t % 10).alias("periods"),
+                     (t % 3).alias("throttled_periods"),
+                     (t % 1000).alias("throttled_time"))
+            .alias("throttling_data")).alias("cpu_stats"),
+        F.struct(
+            F.struct((t * 1000 - (t % 1000) * 100).alias("total_usage"))
+            .alias("cpu_usage"),
+            (t * 100000 - 10000000).alias("system_cpu_usage"))
+        .alias("precpu_stats"),
+        F.struct(m.alias("usage"), (m * 2).alias("max_usage"),
+                 F.when(t % 13 == 0, F.lit(0).cast("long"))
+                 .otherwise(F.lit(4000000).cast("long")).alias("limit"),
+                 F.create_map(
+                     F.lit("cache"), t % 1000,
+                     F.lit("total_cache"), t % 2000,
+                     F.lit("rss"), t % 3000,
+                     F.lit("pgfault"), t % 7).alias("stats"))
+        .alias("memory_stats"),
+        F.when(t % 5 == 0,
+               F.create_map(F.lit("eth0"), nic(t), F.lit("eth1"),
+                            nic(t + 50)))
+        .otherwise(F.create_map(F.lit("eth0"), nic(t)))
+        .alias("networks"),
+        F.struct(
+            F.array(blkio_entry(8, 0, "Read", t % 100),
+                    blkio_entry(8, 0, "", F.lit(9)))
+            .alias("io_service_bytes_recursive"),
+            F.array(blkio_entry(8, 16, "Write", t % 50))
+            .alias("io_serviced_recursive")).alias("blkio_stats"),
+    )
+    payloads = b.select("scrape_id", F.to_json(stats).alias("stats_json"))
+    return parse_docker_stats(payloads)
+
+
+def _docker_oracle(d: str) -> str:
+    NUL_I = "CAST(NULL AS BIGINT)"
+    NUL_D = "CAST(NULL AS DOUBLE)"
+    NUL_S = "CAST(NULL AS VARCHAR)"
+
+    def arm(name, mtype, units, vi=NUL_I, vd=NUL_D, dmaj=NUL_S, dmin=NUL_S,
+            iface=NUL_S, cond=""):
+        return f"""  SELECT scrape_id, '{name}' AS metric_name,
+         '{mtype}' AS metric_type, '{units}' AS units,
+         {dmaj} AS device_major, {dmin} AS device_minor,
+         {iface} AS interface, {vi} AS value_i, {vd} AS value_d
+  FROM base {cond}"""
+
+    online = ("CASE WHEN t % 4 = 0 THEN CAST(2 AS DOUBLE)"
+              " ELSE CAST(t % 4 AS DOUBLE) END")
+    cpu_pct = (f"CASE WHEN t % 1000 = 0 THEN 0.0 ELSE"
+               f" CAST((t % 1000) * 100 AS DOUBLE)"
+               f" / CAST(10000000 AS DOUBLE) * {online} * 100.0 END")
+    mem_pct = ("CASE WHEN t % 13 = 0 THEN 0.0 ELSE"
+               " 100.0 * (CAST(t % 1000000 AS DOUBLE)"
+               " - CAST(t % 1000 AS DOUBLE))"
+               " / CAST(4000000 AS DOUBLE) END")
+    arms = [
+        arm("container.cpu.usage.system", "cumulative", "ns",
+            vi="t * 100000"),
+        arm("container.cpu.usage.total", "cumulative", "ns", vi="t * 1000"),
+        arm("container.cpu.usage.kernelmode", "cumulative", "ns",
+            vi="t % 5000"),
+        arm("container.cpu.usage.usermode", "cumulative", "ns",
+            vi="t % 7000"),
+        arm("container.cpu.throttling_data.periods", "cumulative", "1",
+            vi="t % 10"),
+        arm("container.cpu.throttling_data.throttled_periods", "cumulative",
+            "1", vi="t % 3"),
+        arm("container.cpu.throttling_data.throttled_time", "cumulative",
+            "ns", vi="t % 1000"),
+        arm("container.cpu.percent", "gauge", "1", vd=cpu_pct),
+        arm("container.memory.usage.limit", "gauge", "By",
+            vi="CASE WHEN t % 13 = 0 THEN 0 ELSE 4000000 END"),
+        arm("container.memory.usage.total", "gauge", "By",
+            vi="(t % 1000000) - (t % 2000)"),
+        arm("container.memory.percent", "gauge", "1", vd=mem_pct),
+        arm("container.memory.usage.max", "gauge", "By",
+            vi="(t % 1000000) * 2"),
+        arm("container.memory.cache", "gauge", "By", vi="t % 1000"),
+        arm("container.memory.total_cache", "gauge", "By", vi="t % 2000"),
+        arm("container.memory.rss", "gauge", "By", vi="t % 3000"),
+        arm("container.memory.pgfault", "cumulative", "1", vi="t % 7"),
+        arm("container.blockio.io_service_bytes_recursive.read",
+            "cumulative", "By", vi="t % 100", dmaj="'8'", dmin="'0'"),
+        arm("container.blockio.io_serviced_recursive.write", "cumulative",
+            "1", vi="t % 50", dmaj="'8'", dmin="'16'"),
+    ]
+    net_fields = [("rx_bytes", "By", 0), ("tx_bytes", "By", 1),
+                  ("rx_dropped", "1", 2), ("rx_errors", "1", 3),
+                  ("rx_packets", "1", 4), ("tx_dropped", "1", 5),
+                  ("tx_errors", "1", 6), ("tx_packets", "1", 7)]
+    for fld, units, i in net_fields:
+        arms.append(arm(f"container.network.io.usage.{fld}", "cumulative",
+                        units, vi=f"(t + {i}) % 100000", iface="'eth0'"))
+        arms.append(arm(f"container.network.io.usage.{fld}", "cumulative",
+                        units, vi=f"(t + 50 + {i}) % 100000",
+                        iface="'eth1'", cond="WHERE t % 5 = 0"))
+    return (f"WITH {_base_sql(d)}\n" + "\nUNION ALL\n".join(arms))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def scrape_queries() -> dict:
+    return {
+        "redis_info": q_redis_info,
+        "zk_mntr": q_zk_mntr,
+        "nginx_status": q_nginx_status,
+        "memcached_stats": q_memcached_stats,
+        "receiver_creator": q_receiver_creator,
+        "docker_stats": q_docker_stats,
+    }
+
+
+def scrape_oracles(d: str) -> dict[str, str]:
+    return {
+        "redis_info": _redis_oracle(d),
+        "zk_mntr": _zk_oracle(d),
+        "nginx_status": _nginx_oracle(d),
+        "memcached_stats": _mc_oracle(d),
+        "receiver_creator": _rc_oracle(d),
+        "docker_stats": _docker_oracle(d),
+    }
