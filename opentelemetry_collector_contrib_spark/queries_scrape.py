@@ -446,6 +446,115 @@ def _docker_oracle(d: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# signalfx translation rules (translator.go:27-121, battery analog)
+# ---------------------------------------------------------------------------
+
+def q_sfx_translation(spark, sf_dir, tok_dir) -> DataFrame:
+    """signalfx metric-translation battery: a 5-datapoint batch per
+    scrape pushed through 10 of the 12 rule actions in order
+    (rename_dimension_keys, calculate_new_metric, rename_metrics +
+    add_dimensions, multiply_int, divide_int, multiply_float,
+    convert_values, split_metric, aggregate_metric, drop_metrics);
+    delta_metric and count-aggregation are pytest-covered (they need
+    cross-batch state / multi-point groups)."""
+    from .operators.sfx_translation import (SfxRule, dims_signature,
+                                            translate_datapoints)
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    host = F.concat(F.lit("h"), _s(t % 3))
+    direction = F.when(t % 2 == 0, F.lit("receive")) \
+                 .otherwise(F.lit("transmit"))
+
+    def dp(metric, mtype, dims, vi, vd):
+        return b.select(
+            "scrape_id", F.lit(metric).alias("metric"),
+            F.lit(mtype).alias("metric_type"), dims.alias("dims"),
+            vi.cast("bigint").alias("value_i"),
+            vd.cast("double").alias("value_d"), t.alias("ts"))
+
+    nul_i = F.lit(None).cast("bigint")
+    nul_d = F.lit(None).cast("double")
+    dps = dp("cpu.utilization_per_core", "gauge",
+             F.create_map(F.lit("cpu"), F.concat(F.lit("cpu"), _s(t % 2)),
+                          F.lit("host"), host, F.lit("iface"),
+                          F.lit("eth0")),
+             nul_i, F.col("vs").cast("double")) \
+        .unionByName(dp("memory.used", "gauge",
+                        F.create_map(F.lit("host"), host),
+                        t % 1000000, nul_d)) \
+        .unionByName(dp("memory.total", "gauge",
+                        F.create_map(F.lit("host"), host),
+                        F.lit(4000000), nul_d)) \
+        .unionByName(dp("network.io", "cumulative",
+                        F.create_map(F.lit("host"), host,
+                                     F.lit("direction"), direction,
+                                     F.lit("iface"), F.lit("eth0")),
+                        t % 5000, nul_d)) \
+        .unionByName(dp("temp.junk", "gauge",
+                        F.create_map(F.lit("k"), F.lit("v")),
+                        F.lit(1), nul_d))
+
+    out = translate_datapoints(dps, [
+        SfxRule("rename_dimension_keys", mapping={"iface": "interface"}),
+        SfxRule("calculate_new_metric", metric_name="memory.utilization",
+                operand1_metric="memory.used",
+                operand2_metric="memory.total", operator="/"),
+        SfxRule("rename_metrics", mapping={"memory.used": "memory.usage"},
+                add_dimensions={"src": "otel"}),
+        SfxRule("multiply_int", scale_factors_int={"network.io": 2}),
+        SfxRule("divide_int", scale_factors_int={"memory.total": 1000}),
+        SfxRule("multiply_float",
+                scale_factors_float={"cpu.utilization_per_core": 10.0}),
+        SfxRule("convert_values",
+                types_mapping={"cpu.utilization_per_core": "int"}),
+        SfxRule("split_metric", metric_name="network.io",
+                dimension_key="direction",
+                mapping={"receive": "network.receive",
+                         "transmit": "network.transmit"}),
+        SfxRule("aggregate_metric", metric_name="cpu.utilization_per_core",
+                aggregation_method="sum", without_dimensions=["cpu"]),
+        SfxRule("drop_metrics", metric_names={"temp.junk"}),
+    ])
+    return out.select("scrape_id", "metric", "metric_type",
+                      dims_signature(F.col("dims")).alias("dims_s"),
+                      "value_i", "value_d")
+
+
+def _sfx_oracle(d: str) -> str:
+    host = "'h' || CAST(t % 3 AS VARCHAR)"
+    arms = [
+        # cpu: *10.0 then int64() truncation, cpu dim aggregated away
+        f"""  SELECT scrape_id, 'cpu.utilization_per_core' AS metric,
+         'gauge' AS metric_type,
+         'host:' || {host} || '//interface:eth0' AS dims_s,
+         CAST(trunc(CAST(vs AS DOUBLE) * 10.0) AS BIGINT) AS value_i,
+         CAST(NULL AS DOUBLE) AS value_d
+  FROM base""",
+        f"""  SELECT scrape_id, 'memory.usage' AS metric, 'gauge' AS metric_type,
+         'host:' || {host} || '//src:otel' AS dims_s,
+         t % 1000000 AS value_i, CAST(NULL AS DOUBLE) AS value_d
+  FROM base""",
+        f"""  SELECT scrape_id, 'memory.total' AS metric, 'gauge' AS metric_type,
+         'host:' || {host} AS dims_s,
+         CAST(4000 AS BIGINT) AS value_i, CAST(NULL AS DOUBLE) AS value_d
+  FROM base""",
+        f"""  SELECT scrape_id, 'memory.utilization' AS metric,
+         'gauge' AS metric_type, 'host:' || {host} AS dims_s,
+         CAST(NULL AS BIGINT) AS value_i,
+         CAST(t % 1000000 AS DOUBLE) / CAST(4000000 AS DOUBLE) AS value_d
+  FROM base""",
+        f"""  SELECT scrape_id,
+         CASE WHEN t % 2 = 0 THEN 'network.receive'
+              ELSE 'network.transmit' END AS metric,
+         'cumulative' AS metric_type,
+         'host:' || {host} || '//interface:eth0' AS dims_s,
+         (t % 5000) * 2 AS value_i, CAST(NULL AS DOUBLE) AS value_d
+  FROM base""",
+    ]
+    return (f"WITH {_base_sql(d)}\n" + "\nUNION ALL\n".join(arms))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -457,6 +566,7 @@ def scrape_queries() -> dict:
         "memcached_stats": q_memcached_stats,
         "receiver_creator": q_receiver_creator,
         "docker_stats": q_docker_stats,
+        "sfx_translation": q_sfx_translation,
     }
 
 
@@ -468,4 +578,5 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "memcached_stats": _mc_oracle(d),
         "receiver_creator": _rc_oracle(d),
         "docker_stats": _docker_oracle(d),
+        "sfx_translation": _sfx_oracle(d),
     }
