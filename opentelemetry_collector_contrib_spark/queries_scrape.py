@@ -446,6 +446,191 @@ def _docker_oracle(d: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# kubeletstats (accumulator.go:60-158)
+# ---------------------------------------------------------------------------
+# entity multipliers for the deterministic field-value function
+_KS_E = {"node": 1, "pod0": 2, "pod1": 3, "cont0": 4, "cont1": 5, "vol0": 6}
+# canonical field index within an entity's summary subtree
+_KS_F = {"usageNanoCores": 0, "usageCoreNanoSeconds": 1,
+         "m.availableBytes": 2, "m.usageBytes": 3, "m.rssBytes": 4,
+         "m.workingSetBytes": 5, "m.pageFaults": 6, "m.majorPageFaults": 7,
+         "f.availableBytes": 8, "f.capacityBytes": 9, "f.usedBytes": 10,
+         "rxBytes": 11, "txBytes": 12, "rxErrors": 13, "txErrors": 14,
+         "v.availableBytes": 0, "v.capacityBytes": 1, "v.inodes": 2,
+         "v.inodesFree": 3, "v.inodesUsed": 4}
+# shared battery spec: field -> (metric suffix, type, units, direction)
+_KS_BATTERY = [
+    ("usageNanoCores", "cpu.utilization", "gauge", "1", None),
+    ("usageCoreNanoSeconds", "cpu.time", "cumulative", "s", None),
+    ("m.availableBytes", "memory.available", "gauge", "By", None),
+    ("m.usageBytes", "memory.usage", "gauge", "By", None),
+    ("m.rssBytes", "memory.rss", "gauge", "By", None),
+    ("m.workingSetBytes", "memory.working_set", "gauge", "By", None),
+    ("m.pageFaults", "memory.page_faults", "gauge", "1", None),
+    ("m.majorPageFaults", "memory.major_page_faults", "gauge", "1", None),
+    ("f.availableBytes", "filesystem.available", "gauge", "By", None),
+    ("f.capacityBytes", "filesystem.capacity", "gauge", "By", None),
+    ("f.usedBytes", "filesystem.usage", "gauge", "By", None),
+    ("rxBytes", "network.io", "cumulative", "By", "receive"),
+    ("txBytes", "network.io", "cumulative", "By", "transmit"),
+    ("rxErrors", "network.errors", "cumulative", "1", "receive"),
+    ("txErrors", "network.errors", "cumulative", "1", "transmit"),
+]
+_KS_VOL = [("v.availableBytes", "available", "By"),
+           ("v.capacityBytes", "capacity", "By"),
+           ("v.inodes", "inodes", "1"),
+           ("v.inodesFree", "inodes.free", "1"),
+           ("v.inodesUsed", "inodes.used", "1")]
+
+
+def _ks_val(t, entity, field):
+    e, f = _KS_E[entity], _KS_F[field]
+    return (t * e + 13 * f) % 99991
+
+
+def _ks_val_sql(entity, field):
+    e, f = _KS_E[entity], _KS_F[field]
+    return f"((t * {e} + 13 * {f}) % 99991)"
+
+
+def q_kubelet_stats(spark, sf_dir, tok_dir) -> DataFrame:
+    """kubeletstats summary translation: one summary per scrape with a
+    node, pod-0 (container + volume), and a conditional pod-1 (t%3==0);
+    node memory.availableBytes is nil every 7th scrape (nil fields emit
+    no metric)."""
+    from .operators.kubeletstats import parse_kubelet_summary
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+
+    def lng(v):
+        return v.cast("long")
+
+    def cpu(e):
+        return F.struct(
+            lng(_ks_val(t, e, "usageNanoCores")).alias("usageNanoCores"),
+            lng(_ks_val(t, e, "usageCoreNanoSeconds"))
+            .alias("usageCoreNanoSeconds"))
+
+    def mem(e, cond_avail=False):
+        avail = lng(_ks_val(t, e, "m.availableBytes"))
+        if cond_avail:
+            avail = F.when(t % 7 != 0, avail)
+        return F.struct(
+            avail.alias("availableBytes"),
+            lng(_ks_val(t, e, "m.usageBytes")).alias("usageBytes"),
+            lng(_ks_val(t, e, "m.rssBytes")).alias("rssBytes"),
+            lng(_ks_val(t, e, "m.workingSetBytes")).alias("workingSetBytes"),
+            lng(_ks_val(t, e, "m.pageFaults")).alias("pageFaults"),
+            lng(_ks_val(t, e, "m.majorPageFaults")).alias("majorPageFaults"))
+
+    def fs(e):
+        return F.struct(
+            lng(_ks_val(t, e, "f.availableBytes")).alias("availableBytes"),
+            lng(_ks_val(t, e, "f.capacityBytes")).alias("capacityBytes"),
+            lng(_ks_val(t, e, "f.usedBytes")).alias("usedBytes"))
+
+    def net(e):
+        return F.struct(
+            F.lit("eth0").alias("name"),
+            lng(_ks_val(t, e, "rxBytes")).alias("rxBytes"),
+            lng(_ks_val(t, e, "txBytes")).alias("txBytes"),
+            lng(_ks_val(t, e, "rxErrors")).alias("rxErrors"),
+            lng(_ks_val(t, e, "txErrors")).alias("txErrors"))
+
+    def cont(name, e):
+        return F.struct(F.lit(name).alias("name"), cpu(e).alias("cpu"),
+                        mem(e).alias("memory"), fs(e).alias("rootfs"))
+
+    vol0 = F.struct(
+        F.lit("vol-1").alias("name"),
+        lng(_ks_val(t, "vol0", "v.availableBytes")).alias("availableBytes"),
+        lng(_ks_val(t, "vol0", "v.capacityBytes")).alias("capacityBytes"),
+        lng(_ks_val(t, "vol0", "v.inodes")).alias("inodes"),
+        lng(_ks_val(t, "vol0", "v.inodesFree")).alias("inodesFree"),
+        lng(_ks_val(t, "vol0", "v.inodesUsed")).alias("inodesUsed"))
+
+    def pod(name, e, conts, vols):
+        return F.struct(
+            F.struct(F.lit(name).alias("name"), F.lit("ns1").alias(
+                "namespace"), F.lit("u-" + name).alias("uid")).alias(
+                    "podRef"),
+            cpu(e).alias("cpu"), mem(e).alias("memory"),
+            fs(e).alias("ephemeral-storage"), net(e).alias("network"),
+            F.array(*conts).alias("containers"),
+            (F.array(*vols) if vols else
+             F.array().cast("array<struct<name:string,availableBytes:long,"
+                            "capacityBytes:long,inodes:long,inodesFree:long,"
+                            "inodesUsed:long>>")).alias("volume"))
+
+    pod0 = pod("pod-0", "pod0", [cont("app", "cont0")], [vol0])
+    pod1 = pod("pod-1", "pod1", [cont("app", "cont1")], [])
+    summary = F.struct(
+        F.struct(F.lit("node-1").alias("nodeName"),
+                 cpu("node").alias("cpu"),
+                 mem("node", cond_avail=True).alias("memory"),
+                 fs("node").alias("fs"),
+                 net("node").alias("network")).alias("node"),
+        F.when(t % 3 == 0, F.array(pod0, pod1))
+         .otherwise(F.array(pod0)).alias("pods"))
+    payloads = b.select("scrape_id", F.to_json(summary).alias("summary_json"))
+    return parse_kubelet_summary(payloads)
+
+
+def _kubelet_oracle(d: str) -> str:
+    NUL = "CAST(NULL AS VARCHAR)"
+
+    def arm(grp, prefix, entity, pod_name=NUL, cont=NUL, cond="",
+            battery=None, vol=False):
+        out = []
+        if vol:
+            for fld, suffix, units in _KS_VOL:
+                out.append(f"""  SELECT scrape_id, 'volume' AS grp,
+         'k8s.volume.{suffix}' AS metric_name, 'gauge' AS metric_type,
+         '{units}' AS units, 'node-1' AS node_name, {pod_name} AS pod_name,
+         'ns1' AS namespace, {NUL} AS container_name,
+         'vol-1' AS volume_name, {NUL} AS interface, {NUL} AS direction,
+         {_ks_val_sql(entity, fld)} AS value_i, CAST(NULL AS DOUBLE) AS value_d
+  FROM base {cond}""")
+            return out
+        ns = NUL if grp == "node" else "'ns1'"
+        for fld, suffix, mtype, units, direction in battery:
+            v = _ks_val_sql(entity, fld)
+            if suffix.startswith("cpu."):
+                vi, vd = "CAST(NULL AS BIGINT)", \
+                    f"CAST({v} AS DOUBLE) / CAST(1000000000 AS DOUBLE)"
+            else:
+                vi, vd = v, "CAST(NULL AS DOUBLE)"
+            iface = "'eth0'" if direction else NUL
+            dirn = f"'{direction}'" if direction else NUL
+            c = cond
+            if grp == "node" and fld == "m.availableBytes":
+                c = (cond + " AND t % 7 <> 0") if cond else "WHERE t % 7 <> 0"
+            out.append(f"""  SELECT scrape_id, '{grp}' AS grp,
+         '{prefix}{suffix}' AS metric_name, '{mtype}' AS metric_type,
+         '{units}' AS units, 'node-1' AS node_name, {pod_name} AS pod_name,
+         {ns} AS namespace, {cont} AS container_name,
+         {NUL} AS volume_name, {iface} AS interface, {dirn} AS direction,
+         {vi} AS value_i, {vd} AS value_d
+  FROM base {c}""")
+        return out
+
+    cont_battery = [x for x in _KS_BATTERY if x[4] is None]  # no network
+    arms = (
+        arm("node", "k8s.node.", "node", battery=_KS_BATTERY)
+        + arm("pod", "k8s.pod.", "pod0", pod_name="'pod-0'",
+              battery=_KS_BATTERY)
+        + arm("pod", "k8s.pod.", "pod1", pod_name="'pod-1'",
+              cond="WHERE t % 3 = 0", battery=_KS_BATTERY)
+        + arm("container", "container.", "cont0", pod_name="'pod-0'",
+              cont="'app'", battery=cont_battery)
+        + arm("container", "container.", "cont1", pod_name="'pod-1'",
+              cont="'app'", cond="WHERE t % 3 = 0", battery=cont_battery)
+        + arm("volume", "", "vol0", pod_name="'pod-0'", vol=True)
+    )
+    return (f"WITH {_base_sql(d)}\n" + "\nUNION ALL\n".join(arms))
+
+
+# ---------------------------------------------------------------------------
 # signalfx translation rules (translator.go:27-121, battery analog)
 # ---------------------------------------------------------------------------
 
@@ -567,6 +752,7 @@ def scrape_queries() -> dict:
         "receiver_creator": q_receiver_creator,
         "docker_stats": q_docker_stats,
         "sfx_translation": q_sfx_translation,
+        "kubelet_stats": q_kubelet_stats,
     }
 
 
@@ -579,4 +765,5 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "receiver_creator": _rc_oracle(d),
         "docker_stats": _docker_oracle(d),
         "sfx_translation": _sfx_oracle(d),
+        "kubelet_stats": _kubelet_oracle(d),
     }
