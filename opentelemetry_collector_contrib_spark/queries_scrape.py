@@ -446,6 +446,153 @@ def _docker_oracle(d: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# awsecscontainermetrics (metrics_helper.go + accumulator.go)
+# ---------------------------------------------------------------------------
+
+def q_ecs_task(spark, sf_dir, tok_dir) -> DataFrame:
+    """ECS task-metadata translation: two containers per task with a
+    2-second stats window; c0 carries a CPU reservation (container
+    cpu.utilized divided by it), c1 none; task limits override the
+    summed reservations conditionally (t%2 / t%3)."""
+    from .operators.ecs_metrics import ecs_task_metrics, METRIC_COLS
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+
+    def stats(e):
+        pre = t % 50000
+        total = pre + t % 300000 + 1000 * e
+        mib = 1048576
+        nic = F.create_map(F.lit("eth0"), F.struct(
+            (t % 10 + e).cast("long").alias("rx_bytes"),
+            (t % 11 + e).cast("long").alias("rx_packets"),
+            (t % 3 + e).cast("long").alias("rx_errors"),
+            (t % 2 + e).cast("long").alias("rx_dropped"),
+            (t % 12 + e).cast("long").alias("tx_bytes"),
+            (t % 13 + e).cast("long").alias("tx_packets"),
+            (t % 5 + e).cast("long").alias("tx_errors"),
+            (t % 7 + e).cast("long").alias("tx_dropped")))
+        blk = F.array(
+            F.struct(F.lit("Read").alias("op"),
+                     (t % 100 + e).cast("long").alias("value")),
+            F.struct(F.lit("Write").alias("op"),
+                     (t % 200 + e).cast("long").alias("value")),
+            F.struct(F.lit("Read").alias("op"),
+                     (t % 100 + e + 7).cast("long").alias("value")),
+            F.struct(F.lit("Total").alias("op"),
+                     F.lit(999).cast("long").alias("value")))
+        return F.to_json(F.struct(
+            F.lit("2020-08-25T10:00:02Z").alias("read"),
+            F.lit("2020-08-25T10:00:00Z").alias("preread"),
+            F.struct(
+                F.struct(total.cast("long").alias("total_usage"),
+                         (t % 10000 + e).cast("long")
+                         .alias("usage_in_kernelmode"),
+                         (t % 20000 + e).cast("long")
+                         .alias("usage_in_usermode"),
+                         F.array(F.lit(1).cast("long"),
+                                 F.lit(2).cast("long"))
+                         .alias("percpu_usage")).alias("cpu_usage"),
+                (t % 900000 + e).cast("long").alias("system_cpu_usage"),
+                F.lit(2).cast("long").alias("online_cpus"))
+            .alias("cpu_stats"),
+            F.struct(F.struct(pre.cast("long").alias("total_usage"))
+                     .alias("cpu_usage")).alias("precpu_stats"),
+            F.struct(((5 + e) * mib + t % mib).cast("long").alias("usage"),
+                     (t % 7000 + e).cast("long").alias("max_usage"),
+                     (t % 9000 + e).cast("long").alias("limit"),
+                     F.create_map(F.lit("cache"),
+                                  (t % mib).cast("long")).alias("stats"))
+            .alias("memory_stats"),
+            nic.alias("networks"),
+            F.struct(((t % 100).cast("double") / F.lit(2.0) + e)
+                     .alias("rx_bytes_per_sec"),
+                     ((t % 50).cast("double") / F.lit(4.0) + e)
+                     .alias("tx_bytes_per_sec"))
+            .alias("network_rate_stats"),
+            F.struct(blk.alias("io_service_bytes_recursive"))
+            .alias("blkio_stats")))
+
+    def row(e, name, mem_limit, cpu_limit):
+        return b.select(
+            F.col("scrape_id").alias("task_id"), F.lit(name)
+            .alias("container_name"), stats(e).alias("stats_json"),
+            mem_limit.cast("bigint").alias("mem_limit"),
+            cpu_limit.cast("double").alias("cpu_limit"),
+            F.when(t % 3 != 0, F.lit(2048)).cast("bigint")
+            .alias("task_mem_limit"),
+            F.when(t % 2 != 0, F.lit(4.0)).cast("double")
+            .alias("task_cpu_limit"))
+
+    containers = row(0, "c0", t % 512, F.lit(256.0)).unionByName(
+        row(1, "c1", t % 300, F.lit(None)))
+    out = ecs_task_metrics(containers)
+    return out.select(F.col("task_id").alias("scrape_id"), "name", "scope",
+                      *METRIC_COLS)
+
+
+def _ecs_oracle(d: str) -> str:
+    mib = 1048576
+
+    def vals(e):
+        vcpu = f"(CAST(t % 300000 + 1000 * {e} AS DOUBLE)" \
+               f" / CAST(2000000000 AS DOUBLE))"
+        return {
+            "memory_usage": f"({5 + e}) * {mib} + t % {mib}",
+            "memory_max_usage": f"t % 7000 + {e}",
+            "memory_limit": f"t % 9000 + {e}",
+            "memory_utilized": f"CAST({5 + e} AS BIGINT)",
+            "memory_reserved": f"t % 512" if e == 0 else "t % 300",
+            "cpu_total_usage": f"(t % 50000) + t % 300000 + 1000 * {e}",
+            "cpu_usage_kernelmode": f"t % 10000 + {e}",
+            "cpu_usage_usermode": f"t % 20000 + {e}",
+            "num_cpu_cores": "CAST(2 AS BIGINT)",
+            "cpu_online_cpus": "CAST(2 AS BIGINT)",
+            "system_cpu_usage": f"t % 900000 + {e}",
+            "network_rx_bytes": f"t % 10 + {e}",
+            "network_rx_packets": f"t % 11 + {e}",
+            "network_rx_errors": f"t % 3 + {e}",
+            "network_rx_dropped": f"t % 2 + {e}",
+            "network_tx_bytes": f"t % 12 + {e}",
+            "network_tx_packets": f"t % 13 + {e}",
+            "network_tx_errors": f"t % 5 + {e}",
+            "network_tx_dropped": f"t % 7 + {e}",
+            "storage_read_bytes": f"t % 100 + {e} + 7",
+            "storage_write_bytes": f"t % 200 + {e}",
+            "cpu_usage_vcpu": vcpu,
+            "network_rate_rx": f"(CAST(t % 100 AS DOUBLE) / 2.0 + {e})",
+            "network_rate_tx": f"(CAST(t % 50 AS DOUBLE) / 4.0 + {e})",
+            "cpu_reserved": "256.0" if e == 0 else "0.0",
+            "cpu_utilized": (f"({vcpu} * 100.0 / 256.0)" if e == 0
+                             else f"({vcpu} * 100.0)"),
+        }
+
+    from .operators.ecs_metrics import METRIC_COLS
+    int_cols = set(METRIC_COLS[:21])
+
+    def arm(name, scope, v):
+        cols = []
+        for c in METRIC_COLS:
+            expr = v[c]
+            cast = "BIGINT" if c in int_cols else "DOUBLE"
+            cols.append(f"CAST({expr} AS {cast}) AS {c}")
+        return (f"  SELECT scrape_id, {name} AS name, '{scope}' AS scope,\n"
+                + ",\n".join("         " + c for c in cols) + "\n  FROM base")
+
+    v0, v1 = vals(0), vals(1)
+    vcpu_sum = f"({v0['cpu_usage_vcpu']} + {v1['cpu_usage_vcpu']})"
+    task_res = "CASE WHEN t % 2 <> 0 THEN 4.0 ELSE 256.0 / 1024 END"
+    vt = {c: f"({v0[c]}) + ({v1[c]})" for c in METRIC_COLS}
+    vt["memory_reserved"] = ("CASE WHEN t % 3 <> 0 THEN 2048"
+                             " ELSE (t % 512) + (t % 300) END")
+    vt["cpu_reserved"] = task_res
+    vt["cpu_usage_vcpu"] = vcpu_sum
+    vt["cpu_utilized"] = f"({vcpu_sum} / ({task_res}) * 100.0)"
+    arms = [arm("'c0'", "container", v0), arm("'c1'", "container", v1),
+            arm("scrape_id", "task", vt)]
+    return (f"WITH {_base_sql(d)}\n" + "\nUNION ALL\n".join(arms))
+
+
+# ---------------------------------------------------------------------------
 # kubeletstats (accumulator.go:60-158)
 # ---------------------------------------------------------------------------
 # entity multipliers for the deterministic field-value function
@@ -753,6 +900,7 @@ def scrape_queries() -> dict:
         "docker_stats": q_docker_stats,
         "sfx_translation": q_sfx_translation,
         "kubelet_stats": q_kubelet_stats,
+        "ecs_task": q_ecs_task,
     }
 
 
@@ -766,4 +914,5 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "docker_stats": _docker_oracle(d),
         "sfx_translation": _sfx_oracle(d),
         "kubelet_stats": _kubelet_oracle(d),
+        "ecs_task": _ecs_oracle(d),
     }
