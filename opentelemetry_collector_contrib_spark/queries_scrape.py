@@ -446,6 +446,98 @@ def _docker_oracle(d: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# awsxray exporter translation (segment.go / cause.go)
+# ---------------------------------------------------------------------------
+
+_XRAY_NOW = 1598500000   # fixed "now" so trace-id age validation is stable
+
+
+def q_xray_segments(spark, sf_dir, tok_dir) -> DataFrame:
+    """X-Ray segment translation battery: spans varied by t exercise the
+    name-precedence chain, subsegment typing, origin chain, error/fault
+    split, the sanitizer, and the 28-day trace-id age gate (epoch pushed
+    back 0-30 days by t%7 so the oldest rows are dropped)."""
+    from .operators.xray import make_xray_segments
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    h = F.md5(F.col("scrape_id"))
+    epoch = t - (t % 7) * 432000
+    trace_id = F.concat(F.lower(F.hex(epoch)), F.substring(h, 1, 24))
+    kind = (F.when(t % 3 == 0, F.lit("SERVER"))
+            .when(t % 3 == 1, F.lit("CLIENT"))
+            .otherwise(F.lit("INTERNAL")))
+    NS = F.lit(None).cast("string")
+    spans = b.select(
+        trace_id.alias("trace_id"),
+        F.substring(h, 1, 16).alias("span_id"),
+        F.when(t % 2 == 0, F.substring(h, 17, 16)).alias("parent_span_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("op$"), _s(t % 10)).alias("span_name"),
+        (t * 1000000000).alias("start_ns"),
+        (t * 1000000000 + 1500000000).alias("end_ns"),
+        F.when(t % 4 == 1, F.lit("ERROR")).otherwise(F.lit("OK"))
+        .alias("status_code"),
+        F.when(t % 2 == 0, 400 + t % 200).cast("long").alias("http_status"),
+        F.when(t % 5 == 0, F.lit("psvc")).alias("peer_service"),
+        F.when(t % 5 == 1, F.lit("DynamoDB")).alias("aws_service"),
+        F.when(t % 5 == 2, F.lit("db1")).alias("db_name"),
+        NS.alias("rpc_service"),
+        F.when(t % 5 == 3, F.lit("h.example.com")).alias("http_host"),
+        NS.alias("net_peer_name"),
+        F.when(t % 9 == 0, F.concat(F.lit("u"), _s(t % 4)))
+        .alias("enduser_id"),
+        F.lit("svc").alias("service_name"),
+        F.when(t % 4 == 3, F.lit("gcp")).otherwise(F.lit("aws"))
+        .alias("cloud_provider"),
+        NS.alias("infra_service"), NS.alias("ecs_launchtype"),
+        F.when(t % 6 == 0, F.lit("k")).alias("k8s_cluster"),
+        NS.alias("service_instance"),
+        F.when(t % 6 == 1, F.lit("c")).alias("container_name"),
+        F.when((t % 6 == 2) | (t % 6 == 3), F.lit("i-1")).alias("host_id"),
+    )
+    return make_xray_segments(spans, now_epoch=_XRAY_NOW)
+
+
+def _xray_oracle(d: str) -> str:
+    return f"""WITH {_base_sql(d)},
+spans AS (
+  SELECT scrape_id, t, md5(scrape_id) AS h,
+         t - (t % 7) * 432000 AS epoch,
+         CASE WHEN t % 3 = 0 THEN 'SERVER'
+              WHEN t % 3 = 1 THEN 'CLIENT' ELSE 'INTERNAL' END AS kind
+  FROM base
+)
+SELECT substr(h, 1, 16) AS id,
+       '1-' || printf('%08x', epoch) || '-' || substr(h, 1, 24)
+           AS trace_id_xray,
+       CASE WHEN t % 5 = 0 THEN 'psvc'
+            WHEN t % 5 = 1 THEN 'DynamoDB'
+            WHEN t % 5 = 2 THEN 'db1'
+            WHEN kind = 'SERVER' THEN 'svc'
+            WHEN t % 5 = 3 THEN 'h.example.com'
+            ELSE 'op' || CAST(t % 10 AS VARCHAR) END AS name,
+       CASE WHEN kind <> 'SERVER' AND t % 2 = 0 THEN 'subsegment'
+            ELSE '' END AS segment_type,
+       CASE WHEN t % 5 = 1 THEN 'aws'
+            WHEN kind = 'CLIENT' THEN 'remote' ELSE '' END AS namespace,
+       CASE WHEN t % 4 = 3 THEN ''
+            WHEN t % 6 = 0 THEN 'AWS::EKS::Container'
+            WHEN t % 6 = 1 THEN 'AWS::ECS::Container'
+            WHEN t % 6 IN (2, 3) THEN 'AWS::EC2::Instance'
+            ELSE '' END AS origin,
+       CAST(t * 1000000000 AS DOUBLE) / 1e9 AS start_time,
+       CAST(t * 1000000000 + 1500000000 AS DOUBLE) / 1e9 AS end_time,
+       CASE WHEN t % 2 = 0 THEN substr(h, 17, 16) ELSE '' END AS parent_id,
+       (t % 4 = 1 AND t % 2 = 0 AND t % 200 <= 99) AS error,
+       (t % 4 = 1 AND NOT (t % 2 = 0 AND t % 200 <= 99)) AS fault,
+       CASE WHEN t % 9 = 0 THEN 'u' || CAST(t % 4 AS VARCHAR)
+            ELSE '' END AS "user"
+FROM spans
+WHERE ({_XRAY_NOW} - epoch) <= {60 * 60 * 24 * 28}
+  AND ({_XRAY_NOW} - epoch) >= -{60 * 5}"""
+
+
+# ---------------------------------------------------------------------------
 # awsecscontainermetrics (metrics_helper.go + accumulator.go)
 # ---------------------------------------------------------------------------
 
@@ -901,6 +993,7 @@ def scrape_queries() -> dict:
         "sfx_translation": q_sfx_translation,
         "kubelet_stats": q_kubelet_stats,
         "ecs_task": q_ecs_task,
+        "xray_segments": q_xray_segments,
     }
 
 
@@ -915,4 +1008,5 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "sfx_translation": _sfx_oracle(d),
         "kubelet_stats": _kubelet_oracle(d),
         "ecs_task": _ecs_oracle(d),
+        "xray_segments": _xray_oracle(d),
     }
