@@ -97,25 +97,31 @@ _OUT = ("scrape_id", "grp", "metric_name", "metric_type", "units",
         "volume_name", "interface", "direction", "value_i", "value_d")
 
 
-def _battery(prefix, cpu, mem, fs, net, with_mem=True, with_fs=True,
-             with_net=True):
-    """One array of metric structs per the cpu/mem/fs/network builders;
-    nil source fields produce null entries filtered after explode."""
+def _battery(prefix, grp, cpu, mem, fs, net, pod=None, ns=None, cont=None,
+             vol=None, with_mem=True, with_fs=True, with_net=True):
+    """One array of fully-labelled metric structs per the cpu/mem/fs/
+    network builders; nil source fields produce null-valued entries
+    filtered after the single explode."""
     NUL_I = F.lit(None).cast("bigint")
     NUL_D = F.lit(None).cast("double")
     NUL_S = F.lit(None).cast("string")
 
     def m(name, mtype, units, vi=None, vd=None, iface=None, direction=None):
         return F.struct(
+            F.lit(grp).alias("grp"),
             F.lit(prefix + name).alias("metric_name"),
             F.lit(mtype).alias("metric_type"), F.lit(units).alias("units"),
+            (pod if pod is not None else NUL_S).alias("pod_name"),
+            (ns if ns is not None else NUL_S).alias("namespace"),
+            (cont if cont is not None else NUL_S).alias("container_name"),
+            (vol if vol is not None else NUL_S).alias("volume_name"),
+            (iface if iface is not None else NUL_S).alias("interface"),
+            (F.lit(direction) if direction is not None else NUL_S)
+            .alias("direction"),
             (vi.cast("bigint") if vi is not None else NUL_I)
             .alias("value_i"),
             (vd.cast("double") if vd is not None else NUL_D)
-            .alias("value_d"),
-            (iface if iface is not None else NUL_S).alias("interface"),
-            (F.lit(direction) if direction is not None else NUL_S)
-            .alias("direction"))
+            .alias("value_d"))
 
     out = [
         # cpu.go: nanocores/1e9 gauge, core-nanoseconds/1e9 cumulative
@@ -156,98 +162,75 @@ def _battery(prefix, cpu, mem, fs, net, with_mem=True, with_fs=True,
     return F.array(*out)
 
 
+def _vol_battery(v, pod, ns):
+    NUL_S = F.lit(None).cast("string")
+    return F.array(*[
+        F.struct(F.lit("volume").alias("grp"),
+                 F.lit("k8s.volume." + n).alias("metric_name"),
+                 F.lit("gauge").alias("metric_type"),
+                 F.lit(u).alias("units"),
+                 pod.alias("pod_name"), ns.alias("namespace"),
+                 NUL_S.alias("container_name"),
+                 v["name"].alias("volume_name"),
+                 NUL_S.alias("interface"), NUL_S.alias("direction"),
+                 v[fld].cast("bigint").alias("value_i"),
+                 F.lit(None).cast("double").alias("value_d"))
+        for n, u, fld in [("available", "By", "availableBytes"),
+                          ("capacity", "By", "capacityBytes"),
+                          ("inodes", "1", "inodes"),
+                          ("inodes.free", "1", "inodesFree"),
+                          ("inodes.used", "1", "inodesUsed")]])
+
+
 def parse_kubelet_summary(df: DataFrame, summary_col: str = "summary_json",
                           id_col: str = "scrape_id",
                           metric_groups: tuple = ALL_GROUPS) -> DataFrame:
-    """Summary payloads -> the four metric groups, nil fields skipped."""
+    """Summary payloads -> the four metric groups, nil fields skipped.
+
+    Single-pass: ONE from_json, all selected groups assembled into one
+    combined metric array (nested lambda transforms over the pods
+    array), ONE explode.  Null sub-arrays (a pod without containers or
+    volumes) are dropped via array_compact before flattening.
+    """
     bad = set(metric_groups) - set(ALL_GROUPS)
     if bad:
         raise ValueError(f"invalid metric groups: {bad}")
     s = df.select(F.col(id_col).alias("scrape_id"),
                   F.from_json(F.col(summary_col), SUMMARY_SCHEMA).alias("j"))
-    NUL = F.lit(None).cast("string")
-    frames = []
+    node = F.col("j.node")
 
+    def per_pod(p):
+        pod, ns = p["podRef"]["name"], p["podRef"]["namespace"]
+        pieces = []
+        if "pod" in metric_groups:
+            pieces.append(_battery("k8s.pod.", "pod", p["cpu"], p["memory"],
+                                   p["ephemeral-storage"], p["network"],
+                                   pod=pod, ns=ns))
+        if "container" in metric_groups:
+            pieces.append(F.flatten(F.transform(
+                p["containers"],
+                lambda c: _battery("container.", "container", c["cpu"],
+                                   c["memory"], c["rootfs"], None, pod=pod,
+                                   ns=ns, cont=c["name"], with_net=False))))
+        if "volume" in metric_groups:
+            pieces.append(F.flatten(F.transform(
+                p["volume"], lambda v: _vol_battery(v, pod=pod, ns=ns))))
+        return F.flatten(F.array_compact(F.array(*pieces)))
+
+    arrays = []
     if "node" in metric_groups:
-        node = F.col("j.node")
-        frames.append(
-            s.select("scrape_id", F.lit("node").alias("grp"),
-                     node["nodeName"].alias("node_name"),
-                     F.explode(_battery("k8s.node.", node["cpu"],
-                                        node["memory"], node["fs"],
-                                        node["network"])).alias("m"))
-            .select("scrape_id", "grp", "m.metric_name", "m.metric_type",
-                    "m.units", "node_name", NUL.alias("pod_name"),
-                    NUL.alias("namespace"), NUL.alias("container_name"),
-                    NUL.alias("volume_name"), "m.interface", "m.direction",
-                    "m.value_i", "m.value_d"))
+        arrays.append(_battery("k8s.node.", "node", node["cpu"],
+                               node["memory"], node["fs"], node["network"]))
+    if set(metric_groups) - {"node"}:
+        arrays.append(F.flatten(F.transform(F.col("j.pods"), per_pod)))
+    combined = F.flatten(F.array_compact(F.array(*arrays)))
 
-    pods = s.select("scrape_id", F.col("j.node.nodeName").alias("node_name"),
-                    F.explode(F.col("j.pods")).alias("p"))
-
-    if "pod" in metric_groups:
-        p = F.col("p")
-        frames.append(
-            pods.select("scrape_id", F.lit("pod").alias("grp"), "node_name",
-                        p["podRef"]["name"].alias("pod_name"),
-                        p["podRef"]["namespace"].alias("namespace"),
-                        F.explode(_battery("k8s.pod.", p["cpu"], p["memory"],
-                                           p["ephemeral-storage"],
-                                           p["network"])).alias("m"))
-            .select("scrape_id", "grp", "m.metric_name", "m.metric_type",
-                    "m.units", "node_name", "pod_name", "namespace",
-                    NUL.alias("container_name"), NUL.alias("volume_name"),
-                    "m.interface", "m.direction", "m.value_i", "m.value_d"))
-
-    if "container" in metric_groups:
-        c = pods.select("scrape_id", "node_name",
-                        F.col("p.podRef.name").alias("pod_name"),
-                        F.col("p.podRef.namespace").alias("namespace"),
-                        F.explode(F.col("p.containers")).alias("c"))
-        cc = F.col("c")
-        frames.append(
-            c.select("scrape_id", F.lit("container").alias("grp"),
-                     "node_name", "pod_name", "namespace",
-                     cc["name"].alias("container_name"),
-                     F.explode(_battery("container.", cc["cpu"],
-                                        cc["memory"], cc["rootfs"], None,
-                                        with_net=False)).alias("m"))
-            .select("scrape_id", "grp", "m.metric_name", "m.metric_type",
-                    "m.units", "node_name", "pod_name", "namespace",
-                    "container_name", NUL.alias("volume_name"),
-                    "m.interface", "m.direction", "m.value_i", "m.value_d"))
-
-    if "volume" in metric_groups:
-        v = pods.select("scrape_id", "node_name",
-                        F.col("p.podRef.name").alias("pod_name"),
-                        F.col("p.podRef.namespace").alias("namespace"),
-                        F.explode(F.col("p.volume")).alias("v"))
-        vv = F.col("v")
-        vol_battery = F.array(*[
-            F.struct(F.lit("k8s.volume." + n).alias("metric_name"),
-                     F.lit("gauge").alias("metric_type"),
-                     F.lit(u).alias("units"),
-                     vv[fld].cast("bigint").alias("value_i"),
-                     F.lit(None).cast("double").alias("value_d"),
-                     F.lit(None).cast("string").alias("interface"),
-                     F.lit(None).cast("string").alias("direction"))
-            for n, u, fld in [("available", "By", "availableBytes"),
-                              ("capacity", "By", "capacityBytes"),
-                              ("inodes", "1", "inodes"),
-                              ("inodes.free", "1", "inodesFree"),
-                              ("inodes.used", "1", "inodesUsed")]])
-        frames.append(
-            v.select("scrape_id", F.lit("volume").alias("grp"), "node_name",
-                     "pod_name", "namespace", vv["name"].alias("volume_name"),
-                     F.explode(vol_battery).alias("m"))
-            .select("scrape_id", "grp", "m.metric_name", "m.metric_type",
-                    "m.units", "node_name", "pod_name", "namespace",
-                    NUL.alias("container_name"), "volume_name",
-                    "m.interface", "m.direction", "m.value_i", "m.value_d"))
-
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f.select(*_OUT))
+    out = (s.select("scrape_id", node["nodeName"].alias("node_name"),
+                    F.explode(combined).alias("m"))
+           .select("scrape_id", "m.grp", "m.metric_name", "m.metric_type",
+                   "m.units", "node_name", "m.pod_name", "m.namespace",
+                   "m.container_name", "m.volume_name", "m.interface",
+                   "m.direction", "m.value_i", "m.value_d"))
     # nil source fields -> no metric (pb.go intGauge/doubleGauge nil guard)
-    return out.select(*_OUT).where(F.col("value_i").isNotNull()
-                                   | F.col("value_d").isNotNull())
+    return out.where(F.col("value_i").isNotNull()
+                     | F.col("value_d").isNotNull())

@@ -31,10 +31,15 @@ def _base(spark: SparkSession, tok_dir: str) -> DataFrame:
     c = (spark.read.parquet(os.path.join(tok_dir, "carbon.parquet"))
          .select("line").distinct())
     parts = F.split(F.col("line"), " ")
-    return c.select(
+    out = c.select(
         F.md5(F.col("line")).alias("scrape_id"),
         F.element_at(parts, 3).cast("bigint").alias("t"),
         F.element_at(parts, 2).alias("vs"))
+    # AQE coalesces the small post-distinct shuffle to ONE partition,
+    # single-threading the heavy per-scrape synth+parse downstream;
+    # rebalance so the payload work parallelizes (at real scale the
+    # scrape archive arrives pre-partitioned and this is a no-op shape)
+    return out.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _base_sql(d: str) -> str:
@@ -604,19 +609,24 @@ def q_ecs_task(spark, sf_dir, tok_dir) -> DataFrame:
             F.struct(blk.alias("io_service_bytes_recursive"))
             .alias("blkio_stats")))
 
-    def row(e, name, mem_limit, cpu_limit):
-        return b.select(
-            F.col("scrape_id").alias("task_id"), F.lit(name)
-            .alias("container_name"), stats(e).alias("stats_json"),
-            mem_limit.cast("bigint").alias("mem_limit"),
-            cpu_limit.cast("double").alias("cpu_limit"),
-            F.when(t % 3 != 0, F.lit(2048)).cast("bigint")
-            .alias("task_mem_limit"),
-            F.when(t % 2 != 0, F.lit(4.0)).cast("double")
-            .alias("task_cpu_limit"))
+    def con(e, name, mem_limit, cpu_limit):
+        return F.struct(F.lit(name).alias("container_name"),
+                        stats(e).alias("stats_json"),
+                        mem_limit.cast("bigint").alias("mem_limit"),
+                        cpu_limit.cast("double").alias("cpu_limit"))
 
-    containers = row(0, "c0", t % 512, F.lit(256.0)).unionByName(
-        row(1, "c1", t % 300, F.lit(None)))
+    # both containers from ONE base pass (explode, no per-branch rescan)
+    containers = (b.select(
+        F.col("scrape_id").alias("task_id"),
+        F.when(t % 3 != 0, F.lit(2048)).cast("bigint")
+        .alias("task_mem_limit"),
+        F.when(t % 2 != 0, F.lit(4.0)).cast("double")
+        .alias("task_cpu_limit"),
+        F.explode(F.array(con(0, "c0", t % 512, F.lit(256.0)),
+                          con(1, "c1", t % 300, F.lit(None)))).alias("c"))
+        .select("task_id", "c.container_name", "c.stats_json",
+                "c.mem_limit", "c.cpu_limit", "task_mem_limit",
+                "task_cpu_limit"))
     out = ecs_task_metrics(containers)
     return out.select(F.col("task_id").alias("scrape_id"), "name", "scope",
                       *METRIC_COLS)
@@ -890,33 +900,34 @@ def q_sfx_translation(spark, sf_dir, tok_dir) -> DataFrame:
                  .otherwise(F.lit("transmit"))
 
     def dp(metric, mtype, dims, vi, vd):
-        return b.select(
-            "scrape_id", F.lit(metric).alias("metric"),
-            F.lit(mtype).alias("metric_type"), dims.alias("dims"),
-            vi.cast("bigint").alias("value_i"),
-            vd.cast("double").alias("value_d"), t.alias("ts"))
+        # one struct per datapoint: the 5-point batch is a single
+        # explode over ONE base pass (no per-branch rescan/re-distinct)
+        return F.struct(
+            F.lit(metric).alias("metric"), F.lit(mtype).alias("metric_type"),
+            dims.alias("dims"), vi.cast("bigint").alias("value_i"),
+            vd.cast("double").alias("value_d"))
 
     nul_i = F.lit(None).cast("bigint")
     nul_d = F.lit(None).cast("double")
-    dps = dp("cpu.utilization_per_core", "gauge",
-             F.create_map(F.lit("cpu"), F.concat(F.lit("cpu"), _s(t % 2)),
-                          F.lit("host"), host, F.lit("iface"),
-                          F.lit("eth0")),
-             nul_i, F.col("vs").cast("double")) \
-        .unionByName(dp("memory.used", "gauge",
-                        F.create_map(F.lit("host"), host),
-                        t % 1000000, nul_d)) \
-        .unionByName(dp("memory.total", "gauge",
-                        F.create_map(F.lit("host"), host),
-                        F.lit(4000000), nul_d)) \
-        .unionByName(dp("network.io", "cumulative",
-                        F.create_map(F.lit("host"), host,
-                                     F.lit("direction"), direction,
-                                     F.lit("iface"), F.lit("eth0")),
-                        t % 5000, nul_d)) \
-        .unionByName(dp("temp.junk", "gauge",
-                        F.create_map(F.lit("k"), F.lit("v")),
-                        F.lit(1), nul_d))
+    batch = F.array(
+        dp("cpu.utilization_per_core", "gauge",
+           F.create_map(F.lit("cpu"), F.concat(F.lit("cpu"), _s(t % 2)),
+                        F.lit("host"), host, F.lit("iface"), F.lit("eth0")),
+           nul_i, F.col("vs").cast("double")),
+        dp("memory.used", "gauge", F.create_map(F.lit("host"), host),
+           t % 1000000, nul_d),
+        dp("memory.total", "gauge", F.create_map(F.lit("host"), host),
+           F.lit(4000000), nul_d),
+        dp("network.io", "cumulative",
+           F.create_map(F.lit("host"), host, F.lit("direction"), direction,
+                        F.lit("iface"), F.lit("eth0")),
+           t % 5000, nul_d),
+        dp("temp.junk", "gauge", F.create_map(F.lit("k"), F.lit("v")),
+           F.lit(1), nul_d))
+    dps = (b.select("scrape_id", t.alias("ts"),
+                    F.explode(batch).alias("dp"))
+           .select("scrape_id", "dp.metric", "dp.metric_type", "dp.dims",
+                   "dp.value_i", "dp.value_d", "ts"))
 
     out = translate_datapoints(dps, [
         SfxRule("rename_dimension_keys", mapping={"iface": "interface"}),

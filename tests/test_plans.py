@@ -129,3 +129,53 @@ def test_fused_parse_is_single_python_stage(spark, sf_dir):
         read_tokens(spark, f"{sf_dir}/tokens.parquet"))
     plan_f = plan_of(fused.groupBy("source", "severity_text").count())
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan_f)) == 1
+
+
+def test_scraper_parse_is_jvm_broadcast_only(spark):
+    """The scraper parsers must stay pure-Catalyst: no Python stage, the
+    metric table joined by broadcast (no shuffled join on the line
+    path).  The only exchange is the redis keyspace-contiguity window,
+    keyed by scrape_id."""
+    from opentelemetry_collector_contrib_spark.operators.scrapers import (
+        parse_redis_info, parse_zookeeper_mntr)
+    df = spark.createDataFrame([("s1", "uptime_in_seconds:1")],
+                               "scrape_id string, body string")
+    plan = plan_of(parse_redis_info(df))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    plan_zk = plan_of(parse_zookeeper_mntr(df))
+    assert "EvalPython" not in plan_zk
+
+
+def test_docker_and_kubelet_translations_are_shuffle_free(spark):
+    """JSON receiver translations are narrow: explodes + projections,
+    no exchange, no Python stage."""
+    import json as _json
+    from opentelemetry_collector_contrib_spark.operators.dockerstats import (
+        parse_docker_stats)
+    from opentelemetry_collector_contrib_spark.operators.kubeletstats import (
+        parse_kubelet_summary)
+    d1 = spark.createDataFrame([("s1", "{}")],
+                               "scrape_id string, stats_json string")
+    plan = plan_of(parse_docker_stats(d1))
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    d2 = spark.createDataFrame([("s1", "{}")],
+                               "scrape_id string, summary_json string")
+    plan2 = plan_of(parse_kubelet_summary(d2))
+    assert "Exchange" not in plan2 and "EvalPython" not in plan2
+
+
+def test_xray_translation_is_narrow(spark):
+    from opentelemetry_collector_contrib_spark.operators.xray import (
+        make_xray_segments)
+    cols = ("trace_id span_id parent_span_id kind span_name status_code "
+            "peer_service aws_service db_name rpc_service http_host "
+            "net_peer_name enduser_id service_name cloud_provider "
+            "infra_service ecs_launchtype k8s_cluster service_instance "
+            "container_name host_id").split()
+    schema = (", ".join(f"{c} string" for c in cols)
+              + ", start_ns long, end_ns long, http_status long")
+    df = spark.createDataFrame([], schema)
+    plan = plan_of(make_xray_segments(df, now_epoch=1598500000))
+    assert "Exchange" not in plan and "EvalPython" not in plan
