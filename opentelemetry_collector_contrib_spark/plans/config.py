@@ -112,6 +112,15 @@ def _routing(spark: SparkSession, conf: dict) -> Stage:
     return lambda df: with_route(df, routes)
 
 
+def _sfx_translation(spark: SparkSession, conf: dict) -> Stage:
+    from ..operators.sfx_translation import SfxRule, translate_datapoints
+    rules = [SfxRule(**{k: (set(v) if k in ("dimension_values",
+                                            "metric_names") else v)
+                        for k, v in r.items()})
+             for r in conf["rules"]]
+    return lambda df: translate_datapoints(df, rules)
+
+
 PROCESSORS: dict[str, Callable[[SparkSession, dict], Stage]] = {
     "regex_parser": _regex_parser,
     "json_parser": _json_parser,
@@ -121,6 +130,58 @@ PROCESSORS: dict[str, Callable[[SparkSession, dict], Stage]] = {
     "filter": _filter,
     "transform": _transform,
     "routing": _routing,
+    "sfx_translation": _sfx_translation,
+}
+
+
+# -- receiver factory registry ----------------------------------------------
+# "tokens" is the flagship scan; "scrape" instantiates one of the pull
+# scrapers over a payload table; "receiver_creator" is the observer +
+# rule-dispatch analog (receivercreator/rules.go:33-62).
+
+def _rx_tokens(spark: SparkSession, conf: dict) -> DataFrame:
+    return read_tokens(spark, conf["path"], fmt=conf.get("format", "parquet"))
+
+
+def _rx_table(spark: SparkSession, conf: dict) -> DataFrame:
+    return spark.read.format(conf.get("format", "parquet")) \
+        .load(conf["path"])
+
+
+def _rx_scrape(spark: SparkSession, conf: dict) -> DataFrame:
+    from ..operators import dockerstats, kubeletstats, scrapers
+    parsers = {
+        "redis": scrapers.parse_redis_info,
+        "zookeeper": scrapers.parse_zookeeper_mntr,
+        "nginx": scrapers.parse_nginx_stub_status,
+        "memcached": scrapers.parse_memcached_stats,
+        "dockerstats": dockerstats.parse_docker_stats,
+        "kubeletstats": kubeletstats.parse_kubelet_summary,
+    }
+    parser = conf["parser"]
+    if parser not in parsers:
+        raise ValueError(f"unknown scrape parser: {parser}")
+    df = _rx_table(spark, conf)
+    kwargs = {}
+    if "body_col" in conf and parser in ("redis", "zookeeper", "nginx",
+                                         "memcached"):
+        kwargs["body_col"] = conf["body_col"]
+    return parsers[parser](df, **kwargs)
+
+
+def _rx_receiver_creator(spark: SparkSession, conf: dict) -> DataFrame:
+    from ..operators.scrapers import (ReceiverTemplate,
+                                      receiver_creator_dispatch)
+    templates = [ReceiverTemplate(t["type"], t["rule"])
+                 for t in conf["templates"]]
+    return receiver_creator_dispatch(_rx_table(spark, conf), templates)
+
+
+RECEIVERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
+    "tokens": _rx_tokens,
+    "table": _rx_table,
+    "scrape": _rx_scrape,
+    "receiver_creator": _rx_receiver_creator,
 }
 
 
@@ -141,8 +202,11 @@ def build_from_config(spark: SparkSession, cfg: dict,
     processor is configured)."""
     pipe = cfg["service"]["pipelines"][pipeline]
     (rx_name,) = pipe["receivers"]       # one scan per lineage
-    rx = cfg["receivers"][rx_name]
-    df = read_tokens(spark, rx["path"], fmt=rx.get("format", "parquet"))
+    rx = dict(cfg["receivers"][rx_name])
+    rx_type = rx.pop("type", "tokens" if rx_name == "tokens" else rx_name)
+    if rx_type not in RECEIVERS:
+        rx_type = "tokens"
+    df = RECEIVERS[rx_type](spark, rx)
     for name in pipe["processors"]:
         conf = dict(cfg["processors"][name])
         kind = conf.pop("kind", name)

@@ -169,3 +169,70 @@ def test_dispatch_rejects_unknown_receiver(spark):
     eps = spark.createDataFrame([("e1", "x")], "scrape_id string, body string")
     with pytest.raises(ValueError):
         receiver_creator_dispatch(eps, [ReceiverTemplate("kafka", "true")])
+
+
+def test_config_driven_scrape_pipeline(spark, tmp_path):
+    """YAML config wiring: scrape receiver + filter processor, and a
+    receiver_creator receiver, through plans.config.build_from_config."""
+    from opentelemetry_collector_contrib_spark.plans.config import (
+        build_from_config, load_config)
+    p = str(tmp_path / "payloads.parquet")
+    spark.createDataFrame(
+        [("e1", "redis", 6379, REDIS_INFO), ("e2", "nginx", 80, NGINX_STATUS)],
+        "scrape_id string, endpoint_type string, port int, body string"
+    ).write.parquet(p)
+    cfg = load_config(f"""
+receivers:
+  redis_scrape: {{type: scrape, parser: redis, path: {p}}}
+  discovered:
+    type: receiver_creator
+    path: {p}
+    templates:
+      - {{type: redis, rule: "endpoint_type = 'redis' AND port = 6379"}}
+      - {{type: nginx, rule: "endpoint_type = 'nginx'"}}
+processors:
+  mem_only: {{kind: filter, expr: "metric_name LIKE 'redis/memory/%'"}}
+service:
+  pipelines:
+    scrape:
+      receivers: [redis_scrape]
+      processors: [mem_only]
+    discovery:
+      receivers: [discovered]
+      processors: []
+""")
+    out = build_from_config(spark, cfg, pipeline="scrape")
+    names = {r.metric_name for r in out.collect()}
+    assert names and all(n.startswith("redis/memory/") for n in names)
+    disc = build_from_config(spark, cfg, pipeline="discovery")
+    assert {r["receiver"] for r in disc.select("receiver").distinct()
+            .collect()} == {"redis", "nginx"}
+
+
+def test_config_driven_sfx_rules(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.config import (
+        build_from_config, load_config)
+    p = str(tmp_path / "dps.parquet")
+    spark.createDataFrame(
+        [("b1", "mem.used", "gauge", {"host": "h1"}, 100, None, 1),
+         ("b1", "junk", "gauge", {}, 1, None, 1)],
+        "scrape_id string, metric string, metric_type string, "
+        "dims map<string,string>, value_i long, value_d double, ts long"
+    ).write.parquet(p)
+    cfg = load_config(f"""
+receivers:
+  dps: {{type: table, path: {p}}}
+processors:
+  sfx:
+    kind: sfx_translation
+    rules:
+      - {{action: multiply_int, scale_factors_int: {{mem.used: 3}}}}
+      - {{action: drop_metrics, metric_names: [junk]}}
+service:
+  pipelines:
+    metrics:
+      receivers: [dps]
+      processors: [sfx]
+""")
+    rows = build_from_config(spark, cfg, pipeline="metrics").collect()
+    assert len(rows) == 1 and rows[0].value_i == 300
