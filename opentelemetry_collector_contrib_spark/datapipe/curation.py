@@ -1,0 +1,93 @@
+"""Training-set curation ops over the tokens/documents tables:
+sequence packing and benchmark decontamination.
+
+Beyond-the-reference components (per the brief's training-data-pipeline
+axis), built on the same primitives as the dedup family:
+
+- ``pack_chunks``: GPT-style concat-and-split packing — documents are
+  concatenated in a deterministic order and split into fixed
+  ``budget``-token context windows; a document may straddle a window
+  boundary.  Packing runs independently inside hash-derived groups
+  (``n_groups``) so it is embarrassingly parallel: the window cumsum is
+  per-group, never a global sort.  Chunk identity is (group, chunk).
+- ``contamination``: word-k-gram overlap between a train corpus and a
+  held-out benchmark corpus (decontamination).  The benchmark shingle
+  set is broadcast (benchmarks are small); every train doc gets a
+  distinct-overlap count, zero-overlap docs included.
+
+At 100 TB: packing shuffles once on the group key (uniform md5-derived,
+no skew) and the window state is O(1) per row; contamination's only
+wide op is the per-doc overlap count — the join itself is
+broadcast-hash on the shingle string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import shingles_udf
+
+
+def pack_chunks(df: DataFrame, budget: int = 2048,
+                id_col: str = "doc_id", len_col: str = "n_tok",
+                n_groups: int = 16) -> DataFrame:
+    """Assign each document its span of ``budget``-token chunks.
+
+    Documents are ordered by id inside ``n_groups`` md5-derived groups
+    and concatenated; output columns per doc: ``grp``, ``first_chunk``
+    / ``last_chunk`` (0-based chunk indexes the doc's tokens land in),
+    ``chunk_offset`` (token offset inside first_chunk) and the carried
+    length.  Zero-length docs take no space and land at the current
+    boundary.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    grp = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2),
+                 16, 10).cast("int") % n_groups
+    w = (Window.partitionBy("grp").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n = F.col(len_col).cast("bigint")
+    out = (df.select(F.col(id_col), n.alias("_n"), grp.alias("grp"))
+           .withColumn("_cum", F.sum("_n").over(w))
+           .select(
+               id_col, "grp",
+               F.col("_n").alias(len_col),
+               ((F.col("_cum") - F.col("_n"))
+                .alias("_prev")))
+           .select(
+               id_col, "grp", len_col,
+               F.floor(F.col("_prev") / budget).cast("bigint")
+               .alias("first_chunk"),
+               F.floor((F.col("_prev")
+                        + F.greatest(F.col(len_col) - 1, F.lit(0)))
+                       / budget).cast("bigint").alias("last_chunk"),
+               (F.col("_prev") % budget).cast("bigint")
+               .alias("chunk_offset")))
+    return out
+
+
+def contamination(train: DataFrame, bench: DataFrame, k: int = 3,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per train doc: how many of its distinct word ``k``-grams appear
+    anywhere in the benchmark corpus.
+
+    Output: (id, n_shingles, n_overlap, contaminated).  Docs with fewer
+    than ``k`` words have no shingles and are never contaminated.
+    """
+    sh = shingles_udf(k)
+    t = train.select(F.col(id_col).alias("id"),
+                     sh(F.col(text_col)).alias("sh"))
+    t_ex = t.select("id", F.size("sh").alias("n_shingles"),
+                    F.explode_outer("sh").alias("g"))
+    b_set = (bench.select(F.explode(sh(F.col(text_col))).alias("g"))
+             .distinct())
+    hits = (t_ex.join(F.broadcast(b_set), "g", "left_semi")
+            .groupBy("id")
+            .agg(F.count_distinct("g").alias("n_overlap")))
+    base = t.select("id", F.size("sh").alias("n_shingles"))
+    return (base.join(hits, "id", "left")
+            .select("id", "n_shingles",
+                    F.coalesce(F.col("n_overlap"), F.lit(0))
+                    .cast("bigint").alias("n_overlap"))
+            .withColumn("contaminated", F.col("n_overlap") > 0))

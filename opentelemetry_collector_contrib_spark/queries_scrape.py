@@ -990,6 +990,69 @@ def _sfx_oracle(d: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# training-set curation: packing + decontamination (datapipe/curation.py)
+# ---------------------------------------------------------------------------
+
+def q_pack_chunks(spark, sf_dir, tok_dir) -> DataFrame:
+    """GPT-style concat-and-split packing of the tokens table into
+    2048-token context windows, 16 independent md5-derived groups."""
+    from .datapipe.curation import pack_chunks
+    toks = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    return pack_chunks(toks.select("doc_id", "n_tok"), budget=2048,
+                       n_groups=16)
+
+
+def _pack_oracle(d: str) -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n,
+         CAST('0x' || substr(md5(doc_id), 1, 2) AS INT) % 16 AS grp
+  FROM read_parquet('{d}/tokens.parquet')
+), c AS (
+  SELECT doc_id, grp, n,
+         sum(n) OVER (PARTITION BY grp ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS prev
+  FROM t
+)
+SELECT doc_id, grp, n AS n_tok,
+       CAST(prev // 2048 AS BIGINT) AS first_chunk,
+       CAST((prev + greatest(n - 1, 0)) // 2048 AS BIGINT) AS last_chunk,
+       CAST(prev % 2048 AS BIGINT) AS chunk_offset
+FROM c"""
+
+
+def q_contamination(spark, sf_dir, tok_dir) -> DataFrame:
+    """Decontamination: word-3-gram overlap of every train doc
+    (doc_id%50 != 0) against the held-out benchmark subset
+    (doc_id%50 == 0)."""
+    from .datapipe.curation import contamination
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return contamination(train, bench, k=3)
+
+
+def _contamination_oracle(d: str) -> str:
+    from .queries_ext import WORDS_SQL   # runtime import (no cycle)
+    return f"""WITH w AS (
+  SELECT doc_id, {WORDS_SQL} AS words FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+       for i in generate_series(1, greatest(len(words) - 2, 0))]) AS sh
+  FROM w
+), train AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+bench_g AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM train),
+hits AS (
+  SELECT doc_id, count(DISTINCT g)::BIGINT AS n_overlap
+  FROM ex WHERE g IN (SELECT g FROM bench_g) GROUP BY doc_id)
+SELECT t.doc_id AS id, CAST(len(t.sh) AS INT) AS n_shingles,
+       coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM train t LEFT JOIN hits h USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1005,6 +1068,8 @@ def scrape_queries() -> dict:
         "kubelet_stats": q_kubelet_stats,
         "ecs_task": q_ecs_task,
         "xray_segments": q_xray_segments,
+        "pack_chunks": q_pack_chunks,
+        "contamination": q_contamination,
     }
 
 
@@ -1020,4 +1085,6 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "kubelet_stats": _kubelet_oracle(d),
         "ecs_task": _ecs_oracle(d),
         "xray_segments": _xray_oracle(d),
+        "pack_chunks": _pack_oracle(d),
+        "contamination": _contamination_oracle(d),
     }

@@ -1,0 +1,71 @@
+"""Sequence packing + decontamination (datapipe/curation.py)."""
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.datapipe.curation import (
+    contamination, pack_chunks,
+)
+
+
+def test_pack_chunks_concat_and_split(spark):
+    # single group so the packing order is just doc_id order
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 1000), ("c", 100), ("d", 0), ("e", 2048)],
+        "doc_id string, n_tok long")
+    out = {r.doc_id: r for r in
+           pack_chunks(df, budget=2048, n_groups=1).collect()}
+    # a: [0,1000) -> chunk 0 ; b: [1000,2000) -> chunk 0
+    assert (out["a"].first_chunk, out["a"].last_chunk) == (0, 0)
+    assert out["a"].chunk_offset == 0
+    assert (out["b"].first_chunk, out["b"].last_chunk) == (0, 0)
+    assert out["b"].chunk_offset == 1000
+    # c: [2000,2100) straddles the 2048 boundary -> chunks 0..1
+    assert (out["c"].first_chunk, out["c"].last_chunk) == (0, 1)
+    # d: zero-length at 2100 -> chunk 1, takes no space
+    assert (out["d"].first_chunk, out["d"].last_chunk) == (1, 1)
+    assert out["d"].chunk_offset == 2100 - 2048
+    # e: [2100,4148) -> chunks 1..2
+    assert (out["e"].first_chunk, out["e"].last_chunk) == (1, 2)
+
+
+def test_pack_chunks_groups_are_independent(spark):
+    rows = [(f"d{i:03d}", 700) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok long")
+    out = pack_chunks(df, budget=2048, n_groups=4).collect()
+    assert {r.grp for r in out} <= set(range(4))
+    # within each group the cumulative layout is gap-free: sum of
+    # lengths equals max chunk end offset
+    from collections import defaultdict
+    by_grp = defaultdict(list)
+    for r in out:
+        by_grp[r.grp].append(r)
+    for grp, docs in by_grp.items():
+        total = sum(d.n_tok for d in docs)
+        last = max(docs, key=lambda d: (d.first_chunk, d.chunk_offset))
+        assert last.first_chunk * 2048 + last.chunk_offset + last.n_tok \
+            in (total, total + 2048 * 0)  # layout is contiguous
+
+
+def test_pack_chunks_rejects_bad_budget(spark):
+    df = spark.createDataFrame([("a", 1)], "doc_id string, n_tok long")
+    with pytest.raises(ValueError):
+        pack_chunks(df, budget=0)
+
+
+def test_contamination_overlap_counts(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated content lives here today"),
+         (3, "tiny"),                                 # < k words
+         (4, "quick brown fox appears again quick brown fox")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps around")], "doc_id long, text string")
+    out = {r.id: r for r in contamination(train, bench, k=3).collect()}
+    # doc 1 shares 'quick brown fox' and 'brown fox jumps'
+    assert out[1].n_overlap == 2 and out[1].contaminated
+    assert out[2].n_overlap == 0 and not out[2].contaminated
+    assert out[3].n_shingles == 0 and not out[3].contaminated
+    # doc 4 shares only 'quick brown fox' (distinct shingles)
+    assert out[4].n_overlap == 1
+    assert out[1].n_shingles == 7
