@@ -227,26 +227,33 @@ def parse_docker_stats(df: DataFrame, stats_col: str = "stats_json",
                 F.lit(None).cast("string").alias("device_minor"),
                 F.col("nic").alias("interface"), "m.value_i", "m.value_d")
 
-    # blkio arrays -> per-entry cumulative, empty Op skipped
-    blk_arms = []
-    for arr, units in BLKIO_ARRAYS:
-        e = (s.select("scrape_id",
-                      F.explode(F.col(f"j.blkio_stats.{arr}")).alias("e"))
-             .where(F.col("e.op") != "")
-             .select("scrape_id",
-                     F.concat(F.lit(f"container.blockio.{arr}."),
-                              F.lower(F.col("e.op"))).alias("metric_name"),
-                     F.lit("cumulative").alias("metric_type"),
-                     F.lit(units).alias("units"),
-                     F.col("e.major").cast("string").alias("device_major"),
-                     F.col("e.minor").cast("string").alias("device_minor"),
-                     F.lit(None).cast("string").alias("interface"),
-                     F.col("e.value").cast("bigint").alias("value_i"),
-                     F.lit(None).cast("double").alias("value_d")))
-        blk_arms.append(e)
+    # blkio arrays -> per-entry cumulative, empty Op skipped; all 8 stat
+    # arrays tagged and concatenated in ONE branch (null arrays dropped
+    # via array_compact), so the blkio family costs one pass, not eight
+    def tag(arr, units):
+        return F.transform(
+            F.col(f"j.blkio_stats.{arr}"),
+            lambda e: F.struct(
+                F.concat(F.lit(f"container.blockio.{arr}."),
+                         F.lower(e["op"])).alias("metric_name"),
+                F.lit(units).alias("units"),
+                e["major"].cast("string").alias("device_major"),
+                e["minor"].cast("string").alias("device_minor"),
+                e["value"].cast("bigint").alias("value_i"),
+                (e["op"] == "").alias("skip")))
 
-    out = fixed.select(*_OUT).unionByName(mstats.select(*_OUT)) \
-        .unionByName(net_rows.select(*_OUT))
-    for arm in blk_arms:
-        out = out.unionByName(arm.select(*_OUT))
-    return out
+    blk_all = F.flatten(F.array_compact(F.array(
+        *[tag(arr, units) for arr, units in BLKIO_ARRAYS])))
+    blk = (s.select("scrape_id", F.explode(blk_all).alias("e"))
+           .where(~F.col("e.skip"))
+           .select("scrape_id", "e.metric_name",
+                   F.lit("cumulative").alias("metric_type"), "e.units",
+                   "e.device_major", "e.device_minor",
+                   F.lit(None).cast("string").alias("interface"),
+                   "e.value_i",
+                   F.lit(None).cast("double").alias("value_d")))
+
+    return (fixed.select(*_OUT)
+            .unionByName(mstats.select(*_OUT))
+            .unionByName(net_rows.select(*_OUT))
+            .unionByName(blk.select(*_OUT)))
