@@ -236,3 +236,34 @@ service:
 """)
     rows = build_from_config(spark, cfg, pipeline="metrics").collect()
     assert len(rows) == 1 and rows[0].value_i == 300
+
+
+def test_scraper_parsers_work_on_streams(spark, tmp_path):
+    """The scrape parsers are plain narrow transforms, so the same code
+    runs under Structured Streaming unchanged — the per-micro-batch
+    scrape-poll analog.  Stream output must equal the batch parse."""
+    import shutil
+    batch_df = spark.createDataFrame(
+        [("s1", MEMCACHED_STATS), ("s2", MEMCACHED_STATS)],
+        "scrape_id string, body string")
+    src = tmp_path / "scrapes"
+    src.mkdir()
+    batch_df.write.parquet(str(src / "b0.parquet"))
+    stream = (spark.readStream.schema("scrape_id string, body string")
+              .parquet(str(src / "*")))
+    out = parse_memcached_stats(stream)
+    q = (out.writeStream.format("memory").queryName("t_scrape_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.scrape_id, r.metric_name): r.value_i
+           for r in spark.sql("SELECT * FROM t_scrape_stream").collect()}
+    want = {(r.scrape_id, r.metric_name): r.value_i
+            for r in parse_memcached_stats(batch_df).collect()}
+    assert got == want and len(got) == 10
+    # NB: parse_redis_info (keyspace row_number window) and
+    # parse_zookeeper_mntr (attrs pivot aggregation) are batch-only;
+    # nginx/memcached/dockerstats/kubelet are pure narrow transforms
