@@ -990,6 +990,63 @@ def _sfx_oracle(d: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# awsemf exporter (metric_translator.go)
+# ---------------------------------------------------------------------------
+
+def q_emf_events(spark, sf_dir, tok_dir) -> DataFrame:
+    """EMF serialization battery: label cardinality (1 vs 2 labels —
+    exercising the single-label full-set dedup), conditional
+    instrumentation lib, and the namespace precedence chain all vary
+    with t; dimension sets serialized for the canon."""
+    from .sinks.emf import emf_events
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    labels = (F.when(t % 2 == 0,
+                     F.create_map(F.lit("host"),
+                                  F.concat(F.lit("h"), _s(t % 3)),
+                                  F.lit("dc"), F.lit("us")))
+              .otherwise(F.create_map(F.lit("host"),
+                                      F.concat(F.lit("h"), _s(t % 3)))))
+    dps = b.select(
+        "scrape_id", F.lit("latency").alias("metric_name"),
+        F.lit("ms").alias("unit"), F.lit(None).cast("long").alias("value_i"),
+        F.col("vs").cast("double").alias("value_d"),
+        (t * 1000).alias("ts_ms"), labels.alias("labels"),
+        F.when(t % 5 != 0, F.lit("mylib")).alias("instrumentation_lib"),
+        F.lit("svc").alias("service_name"),
+        F.when(t % 7 != 0, F.lit("myns")).alias("service_namespace"))
+    out = emf_events(dps)
+    meas = F.col("emf._aws.CloudWatchMetrics")[0]
+    dims_s = F.array_join(
+        F.transform(meas["Dimensions"], lambda d: F.array_join(d, "+")),
+        "|")
+    return out.select(
+        "scrape_id", meas["Namespace"].alias("namespace"),
+        dims_s.alias("dims_s"),
+        meas["Metrics"][0]["Name"].alias("metric"),
+        meas["Metrics"][0]["Unit"].alias("unit"),
+        F.col("emf.value").alias("value"),
+        F.col("emf._aws.Timestamp").alias("ts_ms"),
+        F.element_at(F.col("emf.fields"), "OTelLib").alias("otellib"))
+
+
+def _emf_oracle(d: str) -> str:
+    return f"""WITH {_base_sql(d)}
+SELECT scrape_id,
+       CASE WHEN t % 7 <> 0 THEN 'myns/svc' ELSE 'svc' END AS namespace,
+       CASE
+         WHEN t % 2 = 0 AND t % 5 <> 0
+           THEN 'dc+host+OTelLib|OTelLib|OTelLib+dc|OTelLib+host'
+         WHEN t % 2 = 0 THEN 'dc+host||dc|host'
+         WHEN t % 5 <> 0 THEN 'OTelLib|OTelLib+host'
+         ELSE '|host' END AS dims_s,
+       'latency' AS metric, 'ms' AS unit,
+       CAST(vs AS DOUBLE) AS value, t * 1000 AS ts_ms,
+       CASE WHEN t % 5 <> 0 THEN 'mylib' END AS otellib
+FROM base"""
+
+
+# ---------------------------------------------------------------------------
 # training-set curation: packing + decontamination (datapipe/curation.py)
 # ---------------------------------------------------------------------------
 
@@ -1070,6 +1127,7 @@ def scrape_queries() -> dict:
         "xray_segments": q_xray_segments,
         "pack_chunks": q_pack_chunks,
         "contamination": q_contamination,
+        "emf_events": q_emf_events,
     }
 
 
@@ -1087,4 +1145,5 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "xray_segments": _xray_oracle(d),
         "pack_chunks": _pack_oracle(d),
         "contamination": _contamination_oracle(d),
+        "emf_events": _emf_oracle(d),
     }
