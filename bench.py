@@ -37,8 +37,10 @@ HEADLINE = ["parse_agg", "enrich", "route_rows", "pipeline_e2e",
             "dedup_exact", "minhash_lsh", "textstats",
             "carbon_parse", "statsd_flush", "hec_parse", "span_metrics",
             "simhash_pairs", "ann_lsh", "media_features",
-            # round-2 additions: scraper parse, rules engine, nested JSON
-            "redis_info", "sfx_translation", "kubelet_stats"]
+            # round-2 additions: scraper parse, rules engine, nested
+            # JSON translation, tokens-table packing
+            "redis_info", "sfx_translation", "kubelet_stats",
+            "pack_chunks"]
 # ann_ivf is gate-checked at sf0.01 but not a headline: its fixed
 # 16-list quantizer is sized for the oracle's inlined SQL — at bench
 # scale IVF needs n_lists ~ sqrt(N) (see docs/SCALE.md), and ann_lsh
