@@ -1077,6 +1077,40 @@ SELECT doc_id, grp, n AS n_tok,
 FROM c"""
 
 
+def q_rarity(spark, sf_dir, tok_dir) -> DataFrame:
+    """Corpus-frequency rarity scoring (LM-quality-filter skeleton):
+    exact unigram counts then a per-word score join."""
+    from .datapipe.lm_score import rarity_scores
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .select("doc_id", "text")
+    return rarity_scores(docs, rare_max_count=2)
+
+
+def _rarity_oracle(d: str) -> str:
+    from .queries_ext import WORDS_SQL   # runtime import (no cycle)
+    return f"""WITH w AS (
+  SELECT doc_id, {WORDS_SQL} AS words FROM documents
+), ex AS (
+  SELECT doc_id, unnest(words) AS word FROM w
+), freq AS (
+  SELECT word, count(*)::BIGINT AS n FROM ex GROUP BY word
+), j AS (
+  SELECT e.doc_id, f.n FROM ex e JOIN freq f USING (word)
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         sum(CASE WHEN n <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+         min(n) AS min_count, sum(n)::BIGINT AS sum_count
+  FROM j GROUP BY doc_id)
+SELECT w.doc_id AS id,
+       coalesce(a.n_words, 0)::BIGINT AS n_words,
+       coalesce(a.n_rare, 0)::BIGINT AS n_rare,
+       CASE WHEN coalesce(a.n_words, 0) > 0
+            THEN CAST(a.n_rare AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+            ELSE 0.0 END AS rare_frac,
+       a.min_count, coalesce(a.sum_count, 0)::BIGINT AS sum_count
+FROM w LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_contamination(spark, sf_dir, tok_dir) -> DataFrame:
     """Decontamination: word-3-gram overlap of every train doc
     (doc_id%50 != 0) against the held-out benchmark subset
@@ -1127,6 +1161,7 @@ def scrape_queries() -> dict:
         "xray_segments": q_xray_segments,
         "pack_chunks": q_pack_chunks,
         "contamination": q_contamination,
+        "rarity": q_rarity,
         "emf_events": q_emf_events,
     }
 
@@ -1145,5 +1180,6 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "xray_segments": _xray_oracle(d),
         "pack_chunks": _pack_oracle(d),
         "contamination": _contamination_oracle(d),
+        "rarity": _rarity_oracle(d),
         "emf_events": _emf_oracle(d),
     }

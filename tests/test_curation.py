@@ -69,3 +69,26 @@ def test_contamination_overlap_counts(spark):
     # doc 4 shares only 'quick brown fox' (distinct shingles)
     assert out[4].n_overlap == 1
     assert out[1].n_shingles == 7
+
+
+def test_rarity_scores(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.lm_score import (
+        rarity_scores, unigram_counts)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the dog sat"),
+         (3, "zyzzyva"),
+         (4, "")],
+        "doc_id long, text string")
+    freq = {r.word: r.n for r in unigram_counts(docs).collect()}
+    assert freq["the"] == 3 and freq["sat"] == 2 and freq["zyzzyva"] == 1
+    out = {r.id: r for r in rarity_scores(docs, rare_max_count=1).collect()}
+    # doc 1: words the,cat,sat,on,the,mat -> rare(=count 1): cat,on,mat
+    assert out[1].n_words == 6 and out[1].n_rare == 3
+    assert out[1].rare_frac == 3 / 6
+    assert out[1].min_count == 1 and out[1].sum_count == 3 + 1 + 2 + 1 + 3 + 1
+    # doc 3: single hapax -> fully rare
+    assert out[3].rare_frac == 1.0
+    # empty doc kept with zero stats
+    assert out[4].n_words == 0 and out[4].rare_frac == 0.0
+    assert out[4].min_count is None

@@ -172,3 +172,64 @@ def test_dims_signature_deterministic(spark):
     df = _dps(spark, [("b1", "m", "gauge", {"b": "2", "a": "1"}, 1, None, 1)])
     sig = df.select(dims_signature(F.col("dims")).alias("s")).first().s
     assert sig == "a:1//b:2"
+
+
+def test_default_rules_cpu_utilization_chain(spark):
+    """The signalfx exporter's SHIPPED default-rule sequence for
+    cpu.utilization (translation/constants.go:255-315): delta ->
+    state-filtered copy -> aggregate -> copy -> aggregate -> divide ->
+    split -> x100 -> int convert, run verbatim end to end."""
+    states = {"user": [(100.0, 160.0), (50.0, 90.0)],
+              "idle": [(200.0, 300.0), (500.0, 560.0)]}
+    rows = []
+    for state, cpus in states.items():
+        for cpu_i, (v1, v2) in enumerate(cpus):
+            dims1 = {"host": "h1", "cpu": f"cpu{cpu_i}", "state": state}
+            rows.append(("b1", "system.cpu.time", "cumulative", dims1,
+                         None, v1, 10))
+            rows.append(("b2", "system.cpu.time", "cumulative", dims1,
+                         None, v2, 20))
+    df = _dps(spark, rows)
+    out = translate_datapoints(df, [
+        SfxRule("delta_metric", mapping={"system.cpu.time":
+                                         "system.cpu.delta"}),
+        SfxRule("copy_metrics", mapping={"system.cpu.delta":
+                                         "system.cpu.usage"},
+                dimension_key="state",
+                dimension_values={"interrupt", "nice", "softirq", "steal",
+                                  "system", "user", "wait"}),
+        SfxRule("aggregate_metric", metric_name="system.cpu.usage",
+                aggregation_method="sum",
+                without_dimensions=["state", "cpu"]),
+        SfxRule("copy_metrics", mapping={"system.cpu.delta":
+                                         "system.cpu.total"}),
+        SfxRule("aggregate_metric", metric_name="system.cpu.total",
+                aggregation_method="sum",
+                without_dimensions=["state", "cpu"]),
+        SfxRule("calculate_new_metric", metric_name="cpu.utilization",
+                operand1_metric="system.cpu.usage",
+                operand2_metric="system.cpu.total", operator="/"),
+        SfxRule("split_metric", metric_name="system.cpu.time",
+                dimension_key="state",
+                mapping={"idle": "cpu.idle", "user": "cpu.user"}),
+        SfxRule("multiply_float",
+                scale_factors_float={"cpu.idle": 100, "cpu.user": 100}),
+        SfxRule("convert_values",
+                types_mapping={"cpu.idle": "int", "cpu.user": "int"}),
+    ])
+    rows_out = out.collect()
+    util = [r for r in rows_out if r.metric == "cpu.utilization"]
+    assert len(util) == 1
+    # user deltas 60+40 over total deltas 60+100+40+60
+    assert util[0].value_d == (60.0 + 40.0) / (60.0 + 100.0 + 40.0 + 60.0)
+    assert util[0].dims == {"host": "h1"}
+    # split+scaled+converted per-state cpu metrics (state dim removed)
+    cpu_user = sorted(r.value_i for r in rows_out if r.metric == "cpu.user")
+    assert cpu_user == sorted(
+        [int(100.0 * 100), int(160.0 * 100), int(50.0 * 100),
+         int(90.0 * 100)])
+    assert all(r.dims.get("state") is None for r in rows_out
+               if r.metric in ("cpu.user", "cpu.idle"))
+    # the aggregated usage/total intermediates survive with host-only dims
+    usage = [r for r in rows_out if r.metric == "system.cpu.usage"]
+    assert len(usage) == 1 and usage[0].value_d == 100.0
