@@ -76,18 +76,17 @@ def contamination(train: DataFrame, bench: DataFrame, k: int = 3,
     than ``k`` words have no shingles and are never contaminated.
     """
     sh = shingles_udf(k)
+    # ONE pass over the shingled train side (a base+hits self-join would
+    # run the Arrow shingler twice); the broadcast bench set marks hits
     t = train.select(F.col(id_col).alias("id"),
                      sh(F.col(text_col)).alias("sh"))
     t_ex = t.select("id", F.size("sh").alias("n_shingles"),
                     F.explode_outer("sh").alias("g"))
     b_set = (bench.select(F.explode(sh(F.col(text_col))).alias("g"))
-             .distinct())
-    hits = (t_ex.join(F.broadcast(b_set), "g", "left_semi")
+             .distinct().withColumn("_hit", F.lit(1)))
+    return (t_ex.join(F.broadcast(b_set), "g", "left")
             .groupBy("id")
-            .agg(F.count_distinct("g").alias("n_overlap")))
-    base = t.select("id", F.size("sh").alias("n_shingles"))
-    return (base.join(hits, "id", "left")
-            .select("id", "n_shingles",
-                    F.coalesce(F.col("n_overlap"), F.lit(0))
-                    .cast("bigint").alias("n_overlap"))
+            .agg(F.first("n_shingles").alias("n_shingles"),
+                 F.count_distinct(F.when(F.col("_hit") == 1, F.col("g")))
+                 .cast("bigint").alias("n_overlap"))
             .withColumn("contaminated", F.col("n_overlap") > 0))

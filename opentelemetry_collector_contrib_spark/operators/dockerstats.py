@@ -128,6 +128,12 @@ def parse_docker_stats(df: DataFrame, stats_col: str = "stats_json",
     pre = F.col("j.precpu_stats")
     mem = F.col("j.memory_stats")
 
+    # absent JSON fields decode as NULL, but Go's dtypes structs are
+    # value types — missing wire fields are ZERO, not nil; zero-fill so
+    # e.g. a payload without throttling_data still emits 0-valued rows
+    def zi(c):
+        return F.coalesce(c, F.lit(0).cast("long"))
+
     def cum(name, val, units):
         return F.struct(
             F.lit("container." + name).alias("metric_name"),
@@ -153,11 +159,11 @@ def parse_docker_stats(df: DataFrame, stats_col: str = "stats_json",
             val.cast("double").alias("value_d"))
 
     # cpu.percent (metrics.go:187-204, docker-cli formula, float64 ops)
-    cpu_delta = (cpu["cpu_usage"]["total_usage"].cast("double")
-                 - pre["cpu_usage"]["total_usage"].cast("double"))
-    sys_delta = (cpu["system_cpu_usage"].cast("double")
-                 - pre["system_cpu_usage"].cast("double"))
-    online = F.when(cpu["online_cpus"] == 0,
+    cpu_delta = (zi(cpu["cpu_usage"]["total_usage"]).cast("double")
+                 - zi(pre["cpu_usage"]["total_usage"]).cast("double"))
+    sys_delta = (zi(cpu["system_cpu_usage"]).cast("double")
+                 - zi(pre["system_cpu_usage"]).cast("double"))
+    online = F.when(zi(cpu["online_cpus"]) == 0,
                     F.coalesce(F.size(cpu["cpu_usage"]["percpu_usage"]),
                                F.lit(0)).cast("double")) \
               .otherwise(cpu["online_cpus"].cast("double"))
@@ -166,32 +172,32 @@ def parse_docker_stats(df: DataFrame, stats_col: str = "stats_json",
                .otherwise(F.lit(0.0))
 
     # memory computed gauges (metrics.go:223-243)
-    total_usage = mem["usage"] - F.coalesce(
+    total_usage = zi(mem["usage"]) - F.coalesce(
         F.element_at(mem["stats"], "total_cache"), F.lit(0))
-    mem_pct = F.when(mem["limit"] == 0, F.lit(0.0)).otherwise(
-        F.lit(100.0) * (mem["usage"].cast("double")
+    mem_pct = F.when(zi(mem["limit"]) == 0, F.lit(0.0)).otherwise(
+        F.lit(100.0) * (zi(mem["usage"]).cast("double")
                         - F.coalesce(F.element_at(mem["stats"], "cache"),
                                      F.lit(0)).cast("double"))
         / mem["limit"].cast("double"))
 
     fixed = s.select("scrape_id", F.explode(F.array(
-        cum("cpu.usage.system", cpu["system_cpu_usage"], "ns"),
-        cum("cpu.usage.total", cpu["cpu_usage"]["total_usage"], "ns"),
-        cum("cpu.usage.kernelmode", cpu["cpu_usage"]["usage_in_kernelmode"],
-            "ns"),
-        cum("cpu.usage.usermode", cpu["cpu_usage"]["usage_in_usermode"],
-            "ns"),
+        cum("cpu.usage.system", zi(cpu["system_cpu_usage"]), "ns"),
+        cum("cpu.usage.total", zi(cpu["cpu_usage"]["total_usage"]), "ns"),
+        cum("cpu.usage.kernelmode",
+            zi(cpu["cpu_usage"]["usage_in_kernelmode"]), "ns"),
+        cum("cpu.usage.usermode",
+            zi(cpu["cpu_usage"]["usage_in_usermode"]), "ns"),
         cum("cpu.throttling_data.periods",
-            cpu["throttling_data"]["periods"], "1"),
+            zi(cpu["throttling_data"]["periods"]), "1"),
         cum("cpu.throttling_data.throttled_periods",
-            cpu["throttling_data"]["throttled_periods"], "1"),
+            zi(cpu["throttling_data"]["throttled_periods"]), "1"),
         cum("cpu.throttling_data.throttled_time",
-            cpu["throttling_data"]["throttled_time"], "ns"),
+            zi(cpu["throttling_data"]["throttled_time"]), "ns"),
         gauge_f("cpu.percent", cpu_pct, "1"),
-        gauge("memory.usage.limit", mem["limit"], "By"),
+        gauge("memory.usage.limit", zi(mem["limit"]), "By"),
         gauge("memory.usage.total", total_usage, "By"),
         gauge_f("memory.percent", mem_pct, "1"),
-        gauge("memory.usage.max", mem["max_usage"], "By"),
+        gauge("memory.usage.max", zi(mem["max_usage"]), "By"),
     )).alias("m")).select(
         "scrape_id", "m.metric_name", "m.metric_type", "m.units",
         *_null_labels(), "m.value_i", "m.value_d")

@@ -130,12 +130,14 @@ def container_ecs_metrics(df: DataFrame, stats_col: str = "stats_json",
             F.map_values(F.col("j.networks")), z,
             lambda acc, x: acc + F.coalesce(x[fld], z)), z)
 
-    # storage: the LAST Read / Write entry wins (assignment in loop)
+    # storage: the LAST Read / Write entry wins (assignment in loop);
+    # try_element_at: plain element_at(-1) THROWS on empty match arrays
+    # under ANSI (payload with no Read/Write entries)
     def last_op(op):
         matches = F.filter(
             F.col("j.blkio_stats.io_service_bytes_recursive"),
             lambda e: e["op"] == op)
-        return F.coalesce(F.element_at(matches, -1)["value"], z)
+        return F.coalesce(F.try_element_at(matches, F.lit(-1))["value"], z)
 
     return s.select(
         "task_id", "name",

@@ -93,10 +93,11 @@ _METRIC_SCHEMA = ("scrape_id", "metric_name", "units", "metric_type",
 
 def _kv_lines(df: DataFrame, body_col: str, id_col: str) -> DataFrame:
     """INFO text -> (scrape_id, key, val): redis_svc.go:41-52 — split
-    lines, drop empties and '#' comments, keep only len==2 ':' splits."""
+    lines (CRLF on the wire, redis_svc.go delimiter; LF in fixtures),
+    drop empties and '#' comments, keep only len==2 ':' splits."""
     lines = df.select(
         F.col(id_col).alias("scrape_id"),
-        F.explode(F.split(F.col(body_col), "\n")).alias("line"))
+        F.explode(F.split(F.col(body_col), "\r?\n")).alias("line"))
     parts = F.split(F.col("line"), ":")
     return (lines
             .where((F.length("line") > 0) & ~F.col("line").startswith("#"))
@@ -208,7 +209,7 @@ def parse_zookeeper_mntr(df: DataFrame, body_col: str = "body",
     spark = df.sparkSession
     lines = df.select(
         F.col(id_col).alias("scrape_id"),
-        F.explode(F.split(F.col(body_col), "\n")).alias("line"))
+        F.explode(F.split(F.col(body_col), "\r?\n")).alias("line"))
     kv = (lines
           .select("scrape_id",
                   F.regexp_extract("line", _ZK_LINE_RX, 1).alias("key"),
@@ -293,7 +294,7 @@ def parse_memcached_stats(df: DataFrame, body_col: str = "body",
     spark = df.sparkSession
     lines = df.select(
         F.col(id_col).alias("scrape_id"),
-        F.explode(F.split(F.col(body_col), "\n")).alias("line"))
+        F.explode(F.split(F.col(body_col), "\r?\n")).alias("line"))
     kv = (lines
           .select("scrape_id",
                   F.regexp_extract("line", _MC_LINE_RX, 1).alias("key"),

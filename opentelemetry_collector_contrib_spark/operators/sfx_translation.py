@@ -169,15 +169,19 @@ def _scale_int(df, r, op):
                        for x in (F.lit(k), F.lit(int(v)))])
     f = F.element_at(m, F.col("metric"))
     if op == "mul":
-        newv = F.col("value_i") * f
-    else:  # integer division truncating toward zero (Go semantics)
-        newv = F.expr("CAST(value_i AS BIGINT) DIV "
-                      "element_at(map({}), metric)".format(
-                          ", ".join(f"'{k}', CAST({int(v)} AS BIGINT)"
-                                    for k, v in r.scale_factors_int.items())))
-    return df.withColumn(
-        "value_i", F.when(f.isNotNull() & F.col("value_i").isNotNull(),
-                          newv).otherwise(F.col("value_i")))
+        return df.withColumn(
+            "value_i",
+            F.when(f.isNotNull() & F.col("value_i").isNotNull(),
+                   F.col("value_i") * f).otherwise(F.col("value_i")))
+    # integer division truncating toward zero (Go semantics); DIV built
+    # from a bound column — never string-interpolate metric names
+    out = df.withColumn("_sf", f)
+    newv = F.expr("CAST(value_i AS BIGINT) DIV _sf")
+    return (out.withColumn(
+        "value_i",
+        F.when(F.col("_sf").isNotNull() & F.col("value_i").isNotNull(),
+               newv).otherwise(F.col("value_i")))
+        .drop("_sf"))
 
 
 def _multiply_float(df, r):

@@ -80,7 +80,8 @@ def make_xray_segments(df: DataFrame, now_epoch: int) -> DataFrame:
     segment_type = F.when(~is_server & has_parent, F.lit("subsegment")) \
                     .otherwise(F.lit(""))
 
-    fixed_name = F.regexp_replace(F.col("span_name"), _INVALID_NAME_RX, "")
+    fixed_name = F.regexp_replace(
+        F.coalesce(F.col("span_name"), F.lit("")), _INVALID_NAME_RX, "")
     fixed_name = F.substring(fixed_name, 1, MAX_SEGMENT_NAME)
     fixed_name = F.when(fixed_name == "", F.lit("span")).otherwise(fixed_name)
     name = F.coalesce(

@@ -203,8 +203,11 @@ def build_from_config(spark: SparkSession, cfg: dict,
     pipe = cfg["service"]["pipelines"][pipeline]
     (rx_name,) = pipe["receivers"]       # one scan per lineage
     rx = dict(cfg["receivers"][rx_name])
-    rx_type = rx.pop("type", "tokens" if rx_name == "tokens" else rx_name)
+    explicit = "type" in rx
+    rx_type = rx.pop("type", "tokens")
     if rx_type not in RECEIVERS:
+        if explicit:
+            raise ValueError(f"unknown receiver type: {rx_type!r}")
         rx_type = "tokens"
     df = RECEIVERS[rx_type](spark, rx)
     for name in pipe["processors"]:

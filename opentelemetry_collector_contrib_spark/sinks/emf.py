@@ -87,7 +87,10 @@ def emf_events(df: DataFrame, namespace: str | None = None,
         dimensions.alias("Dimensions"),
         F.array(F.struct(F.col("metric_name").alias("Name"),
                          F.col("unit").alias("Unit"))).alias("Metrics"))
-    labels_out = F.when(has_iln, F.map_concat(
+    # upsert (not map_concat): a pre-existing OTelLib label would hit
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION; the reference overwrites
+    from ..operators.sfx_translation import _map_upsert
+    labels_out = F.when(has_iln, _map_upsert(
         F.col("labels"), F.create_map(F.lit(OTEL_LIB_KEY), iln))) \
         .otherwise(F.col("labels"))
     emf = F.struct(

@@ -105,3 +105,22 @@ def test_docker_cpu_percent_guards(spark):
     oc["cpu_stats"]["online_cpus"] = 4
     rows3 = {r.metric_name: r for r in _parse(spark, oc).collect()}
     assert rows3["container.cpu.percent"].value_d == 40.0
+
+
+def test_docker_missing_fields_are_go_zero_values(spark):
+    # docker API < v1.27: no online_cpus, no throttling_data -> Go zero
+    # values, with the percpu-length fallback driving cpu.percent
+    slim = {
+        "cpu_stats": {"cpu_usage": {"total_usage": 600,
+                                    "percpu_usage": [1, 2]},
+                      "system_cpu_usage": 1100},
+        "precpu_stats": {"cpu_usage": {"total_usage": 100},
+                         "system_cpu_usage": 100},
+        "memory_stats": {"usage": 50, "limit": 100, "stats": {}},
+    }
+    rows = {r.metric_name: r for r in _parse(spark, slim).collect()}
+    assert rows["container.cpu.percent"].value_d == \
+        (600 - 100) / (1100 - 100) * 2 * 100.0
+    assert rows["container.cpu.throttling_data.periods"].value_i == 0
+    assert rows["container.cpu.usage.kernelmode"].value_i == 0
+    assert rows["container.memory.usage.max"].value_i == 0

@@ -98,3 +98,16 @@ def test_task_cpu_reserved_fallback(spark):
             if r.scope == "task"][0]
     # sum(512+512)/1024 = 1.0 vCPU
     assert task.cpu_reserved == 1.0
+
+
+def test_sparse_payload_defaults_to_zero(spark):
+    # no Read blkio entries, no networks, no rate stats -> zeros, not a
+    # crash (ANSI element_at(-1) on an empty array throws without the
+    # try_ variant)
+    sparse = _stats(blkio=[{"op": "Write", "value": 5}], nets={})
+    df = spark.createDataFrame(
+        [("t1", "c1", json.dumps(sparse), None, None, None, None)], SCHEMA)
+    r = container_ecs_metrics(df).collect()[0]
+    assert r.storage_read_bytes == 0 and r.storage_write_bytes == 5
+    assert r.network_rx_bytes == 0
+    assert r.cpu_reserved == 0.0

@@ -68,3 +68,9 @@ def test_emf_no_iln_and_single_only(spark):
 def test_emf_invalid_rollup(spark):
     with pytest.raises(ValueError):
         emf_events(_dp(spark, {}), rollup="nope")
+
+
+def test_emf_preexisting_otellib_label_is_overwritten(spark):
+    # labels already carrying OTelLib must not crash map_concat
+    out = emf_events(_dp(spark, {"OTelLib": "stale", "a": "1"})).collect()[0]
+    assert out.emf.fields["OTelLib"] == "mylib"

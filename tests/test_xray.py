@@ -125,3 +125,8 @@ def test_round_trip(spark):
     assert back.start_ns == spans[0]["start_ns"]
     assert back.end_ns == spans[0]["end_ns"]
     assert back.status_code == "ERROR"
+
+
+def test_null_span_name_falls_back_to_span(spark):
+    seg = _segments(spark, [_span(span_name=None, kind="INTERNAL")])
+    assert seg.collect()[0].name == "span"
