@@ -104,3 +104,46 @@ def test_statsd_malformed_flagged(spark):
     got = {r["line"]: r["valid"] for r in parse_statsd(df).collect()}
     assert got["ok:1|c"] is True
     assert got["nonsense"] is False
+
+
+# -- packing invariants (datapipe/curation.py) -------------------------------
+
+def _pack_py(items, budget):
+    """Pure-Python twin of pack_chunks within one group: concat-and-
+    split layout over id-sorted docs."""
+    out, cum = {}, 0
+    for doc_id, n in sorted(items):
+        first = cum // budget
+        last = (cum + max(n - 1, 0)) // budget
+        out[doc_id] = (first, last, cum % budget)
+        cum += n
+    return out
+
+
+@given(st.lists(st.integers(min_value=0, max_value=5000),
+                min_size=1, max_size=40),
+       st.sampled_from([64, 1000, 2048]))
+@settings(max_examples=50, deadline=None)
+def test_pack_chunks_python_twin(lengths, budget):
+    items = [(f"d{i:04d}", n) for i, n in enumerate(lengths)]
+    got = _pack_py(items, budget)
+    # invariants: offsets within budget, chunks monotone, layout gap-free
+    cum = 0
+    for doc_id, n in sorted(items):
+        first, last, off = got[doc_id]
+        assert 0 <= off < budget
+        assert first <= last
+        assert first * budget + off == cum
+        cum += n
+
+
+def test_pack_chunks_spark_matches_python_twin(spark):
+    import random
+    rng = random.Random(7)
+    items = [(f"d{i:04d}", rng.randrange(0, 3000)) for i in range(200)]
+    from opentelemetry_collector_contrib_spark.datapipe.curation import (
+        pack_chunks)
+    df = spark.createDataFrame(items, "doc_id string, n_tok long")
+    got = {r.doc_id: (r.first_chunk, r.last_chunk, r.chunk_offset)
+           for r in pack_chunks(df, budget=777, n_groups=1).collect()}
+    assert got == _pack_py(items, 777)
