@@ -66,6 +66,49 @@ def pack_chunks(df: DataFrame, budget: int = 2048,
     return out
 
 
+_URL_RX = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_domains(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per doc: distinct lowercased URL hostnames plus a registrable
+    domain guess (last two dot-labels) — pure JVM regexp, no shuffle."""
+    hosts = F.array_distinct(F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(_URL_RX), F.lit(1)),
+        F.lower))
+    doms = F.array_distinct(F.transform(hosts, _registrable))
+    return df.select(F.col(id_col).alias("id"), hosts.alias("hosts"),
+                     doms.alias("domains"))
+
+
+def _registrable(h):
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    return F.when(n >= 2, F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1))).otherwise(h)
+
+
+def domain_blocklist_filter(df: DataFrame, blocklist: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Flag documents citing a blocklisted registrable domain
+    (blocklist-based curation).  The blocklist (``domain`` column) is
+    broadcast; docs are flagged via one exists-join on the exploded
+    domain list — no full-corpus shuffle.  Output keeps every doc with
+    (n_domains, n_blocked, blocked)."""
+    d = extract_domains(df, text_col, id_col)
+    ex = d.select("id", F.size("domains").alias("n_domains"),
+                  F.explode_outer("domains").alias("domain"))
+    b = (blocklist.select(F.lower(F.col("domain")).alias("domain"))
+         .distinct().withColumn("_blk", F.lit(1)))
+    return (ex.join(F.broadcast(b), "domain", "left")
+            .groupBy("id")
+            .agg(F.first("n_domains").alias("n_domains"),
+                 F.count(F.when(F.col("_blk") == 1, 1))
+                 .cast("bigint").alias("n_blocked"))
+            .withColumn("blocked", F.col("n_blocked") > 0))
+
+
 def contamination(train: DataFrame, bench: DataFrame, k: int = 3,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:

@@ -1077,6 +1077,32 @@ SELECT doc_id, grp, n AS n_tok,
 FROM c"""
 
 
+def q_domain_filter(spark, sf_dir, tok_dir) -> DataFrame:
+    """Domain-blocklist curation: URLs appended deterministically to the
+    documents (none contain URLs natively), every third doc citing a
+    blocklisted domain."""
+    from .datapipe.curation import domain_blocklist_filter
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .select("doc_id", "text")
+    did = F.col("doc_id")
+    tld = F.when(did % 2 == 0, F.lit(".com")).otherwise(F.lit(".org"))
+    corpus = docs.select("doc_id", F.concat(
+        F.col("text"), F.lit(" https://h"), _s(did % 5),
+        F.lit(".example"), tld, F.lit("/x"),
+        F.when(did % 3 == 0, F.lit(" http://w.blocked.bad.net/p"))
+         .otherwise(F.lit(""))).alias("text"))
+    bl = spark.createDataFrame([("bad.net",)], "domain string")
+    return domain_blocklist_filter(corpus, bl)
+
+
+def _domain_oracle(d: str) -> str:
+    return """SELECT doc_id AS id,
+       CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_domains,
+       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END::BIGINT AS n_blocked,
+       doc_id % 3 = 0 AS blocked
+FROM documents"""
+
+
 def q_rarity(spark, sf_dir, tok_dir) -> DataFrame:
     """Corpus-frequency rarity scoring (LM-quality-filter skeleton):
     exact unigram counts then a per-word score join."""
@@ -1162,6 +1188,7 @@ def scrape_queries() -> dict:
         "pack_chunks": q_pack_chunks,
         "contamination": q_contamination,
         "rarity": q_rarity,
+        "domain_filter": q_domain_filter,
         "emf_events": q_emf_events,
     }
 
@@ -1181,5 +1208,6 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "pack_chunks": _pack_oracle(d),
         "contamination": _contamination_oracle(d),
         "rarity": _rarity_oracle(d),
+        "domain_filter": _domain_oracle(d),
         "emf_events": _emf_oracle(d),
     }

@@ -92,3 +92,23 @@ def test_rarity_scores(spark):
     # empty doc kept with zero stats
     assert out[4].n_words == 0 and out[4].rare_frac == 0.0
     assert out[4].min_count is None
+
+
+def test_domain_extraction_and_blocklist(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.curation import (
+        domain_blocklist_filter, extract_domains)
+    docs = spark.createDataFrame(
+        [(1, "see https://Spam.Example.COM/x and http://a.b.good.org/y"),
+         (2, "no urls at all"),
+         (3, "http://localhost/z and https://example.com/q")],
+        "doc_id long, text string")
+    d = {r.id: r for r in extract_domains(docs).collect()}
+    assert set(d[1].hosts) == {"spam.example.com", "a.b.good.org"}
+    assert set(d[1].domains) == {"example.com", "good.org"}
+    assert d[2].domains == []
+    assert "localhost" in d[3].domains          # single-label kept as is
+    bl = spark.createDataFrame([("EXAMPLE.com",)], "domain string")
+    out = {r.id: r for r in domain_blocklist_filter(docs, bl).collect()}
+    assert out[1].blocked and out[1].n_blocked == 1 and out[1].n_domains == 2
+    assert not out[2].blocked and out[2].n_domains == 0
+    assert out[3].blocked                        # example.com matched
