@@ -1,0 +1,181 @@
+"""Product quantization (PQ) — the memory-compression half of IVF-PQ
+(Jegou et al., "Product Quantization for Nearest Neighbor Search",
+completing the ANN family: brute force -> LSH buckets -> IVF probes ->
+PQ codes).
+
+Shape: the vector space is split into ``m`` subspaces; each subspace
+has a ``k``-centroid codebook, and a vector is stored as ``m`` small
+codes (here 4x2 bits; production uses 8/16 x 8 bits).  Search uses
+asymmetric distance computation (ADC): per query, an m x k lookup table
+of query-subvector-to-centroid distances is built once, and each
+database vector scores as ``sum_m LUT[m][code_m]`` — no float vector is
+ever touched again, so a 10^9-vector index fits in RAM.
+
+Like datapipe/ivf.py, the codebooks are deterministic seeded centroids
+(md5-derived) so the DuckDB oracle can inline them and agree
+bit-for-bit; a production deployment trains per-subspace k-means and
+broadcasts the codebooks identically.  Encoding is ONE Arrow hop; all
+distance arithmetic accumulates left-associatively per dimension and
+across subspaces, ties break to the lowest code index.
+
+Scale notes: encode is embarrassingly parallel; ADC search shuffles
+nothing — the query LUTs broadcast (q x m x k doubles) and the code
+table scan is narrow.  Storage: m*ceil(log2 k) bits/vector vs 4*dim
+bytes raw (here 64-dim float32 = 256 B -> 1 B).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+M_SUB = 4      # subspaces
+K_CODES = 4    # centroids per subspace
+
+
+def pq_coeff(m: int, c: int, d: int) -> float:
+    """Deterministic codebook coordinate in [-1, 1] for subspace m,
+    centroid c, intra-subspace dim d (same recipe as ivf.centroid_coeff,
+    distinct namespace)."""
+    h = int(hashlib.md5(f"pq:{m}:{c}:{d}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def codebooks(dim: int, m: int = M_SUB, k: int = K_CODES):
+    import numpy as np
+    sub = dim // m
+    return np.array([[[pq_coeff(mi, c, d) for d in range(sub)]
+                      for c in range(k)] for mi in range(m)])
+
+
+_ENC_TYPE = T.StructType([
+    T.StructField("codes", T.ArrayType(T.IntegerType())),
+    T.StructField("recon_err", T.DoubleType()),
+])
+
+
+def _encode_udf(dim: int, m: int, k: int):
+    import numpy as np
+    C = codebooks(dim, m, k)
+    sub = dim // m
+
+    @F.pandas_udf(_ENC_TYPE)
+    def enc(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"codes": pd.Series([], dtype="object"),
+                                 "recon_err": pd.Series([], dtype="f8")})
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        n = V.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        err = None
+        for mi in range(m):
+            S = V[:, mi * sub:(mi + 1) * sub]
+            dists = np.empty((n, k))
+            for c in range(k):
+                diff0 = S[:, 0] - C[mi, c, 0]
+                acc = diff0 * diff0
+                for d in range(1, sub):
+                    diff = S[:, d] - C[mi, c, d]
+                    acc = acc + diff * diff
+                dists[:, c] = acc
+            codes[:, mi] = np.argmin(dists, axis=1)  # first min wins
+            best = dists[np.arange(n), codes[:, mi]]
+            err = best if err is None else err + best
+        return pd.DataFrame({"codes": list(codes), "recon_err": err})
+    return enc
+
+
+def pq_encode(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>, recon_err): one Arrow hop per batch."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    enc = _encode_udf(dim, m, k)
+    return df.select(F.col(id_col).alias("id"),
+                     enc(F.col(vec_col).cast("array<double>")).alias("e")) \
+             .select("id", F.col("e.codes").alias("codes"),
+                     F.col("e.recon_err").alias("recon_err"))
+
+
+def pq_adc_topk(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
+                n_queries: int = 3, topk: int = 3,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """ADC search: the first ``n_queries`` ids (raw vectors) against the
+    PQ codes of the whole table.  Query LUTs broadcast; scoring is a
+    narrow lookup-sum per (query, code-row) pair."""
+    import numpy as np
+    codes = pq_encode(df, dim, m, k, id_col, vec_col)
+    queries = (df.where(F.col(id_col) < n_queries)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv")))
+    C = codebooks(dim, m, k)
+    sub = dim // m
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(qv: pd.Series, code: pd.Series) -> pd.Series:
+        Q = np.stack(qv.to_numpy())
+        K_ = np.stack(code.to_numpy())
+        total = None
+        for mi in range(m):
+            S = Q[:, mi * sub:(mi + 1) * sub]
+            # per-row LUT entry for the row's code (left-assoc dims)
+            cc = C[mi][K_[:, mi]]
+            diff0 = S[:, 0] - cc[:, 0]
+            acc = diff0 * diff0
+            for d in range(1, sub):
+                diff = S[:, d] - cc[:, d]
+                acc = acc + diff * diff
+            total = acc if total is None else total + acc
+        return pd.Series(total)
+
+    pairs = queries.crossJoin(codes).where(F.col("query_id") != F.col("id"))
+    scored = pairs.select("query_id", F.col("id").alias("neighbor_id"),
+                          F.round(adc(F.col("qv"), F.col("codes")), 6)
+                          .alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= topk))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments (codebooks inlined, left-assoc chains)
+# ---------------------------------------------------------------------------
+
+def _sub_dist_sql(mi: int, c: int, dim: int, m: int) -> str:
+    sub = dim // m
+    off = mi * sub
+    terms = None
+    for d in range(sub):
+        co = repr(pq_coeff(mi, c, d))
+        t = f"(v[{off + d + 1}] - {co}) * (v[{off + d + 1}] - {co})"
+        terms = t if terms is None else f"({terms} + {t})"
+    return terms
+
+
+def pq_encode_sql(dim: int, m: int = M_SUB, k: int = K_CODES) -> str:
+    """CTE fragment for relation ``nv`` (id, v) -> ``pq_e`` with code
+    columns c0..c{m-1} and recon_err (earliest-argmin, left-assoc)."""
+    dcols, ccols, mins = [], [], []
+    for mi in range(m):
+        for c in range(k):
+            dcols.append(f"({_sub_dist_sql(mi, c, dim, m)}) AS q{mi}_{c}")
+        others = lambda j: [f"q{mi}_{i}" for i in range(k) if i != j]  # noqa
+        cases = " ".join(
+            f"WHEN q{mi}_{j} <= least({', '.join(others(j))}) THEN {j}"
+            for j in range(k))
+        ccols.append(f"(CASE {cases} END) AS c{mi}")
+        mins.append(f"least({', '.join(f'q{mi}_{i}' for i in range(k))})")
+    err = mins[0]
+    for t in mins[1:]:
+        err = f"({err} + {t})"
+    return f"""pq_d AS (
+  SELECT id, v, {', '.join(dcols)} FROM nv
+), pq_e AS (
+  SELECT id, v, {', '.join(ccols)}, {err} AS recon_err FROM pq_d
+)"""

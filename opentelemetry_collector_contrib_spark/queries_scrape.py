@@ -1077,6 +1077,30 @@ SELECT doc_id, grp, n AS n_tok,
 FROM c"""
 
 
+def q_pq_codes(spark, sf_dir, tok_dir) -> DataFrame:
+    """Product-quantization encode of the embeddings table (4 subspaces
+    x 4 codes, deterministic seeded codebooks): code vector + exact
+    reconstruction error, oracle-checked against inlined codebook
+    expressions."""
+    from .datapipe.pq import pq_encode
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = pq_encode(emb, dim=64)
+    return out.select(
+        "id",
+        F.concat_ws(",", F.col("codes").cast("array<string>"))
+        .alias("codes_s"),
+        F.round("recon_err", 6).alias("recon_err"))
+
+
+def _pq_oracle(d: str) -> str:
+    from .datapipe.pq import pq_encode_sql
+    from .queries_ext import _VEC_CTE   # runtime import (no cycle)
+    codes = " || ',' || ".join(f"CAST(c{m} AS VARCHAR)" for m in range(4))
+    return f"""WITH {_VEC_CTE}, {pq_encode_sql(64)}
+SELECT id, {codes} AS codes_s, round(recon_err, 6) AS recon_err
+FROM pq_e"""
+
+
 def q_domain_filter(spark, sf_dir, tok_dir) -> DataFrame:
     """Domain-blocklist curation: URLs appended deterministically to the
     documents (none contain URLs natively), every third doc citing a
@@ -1189,6 +1213,7 @@ def scrape_queries() -> dict:
         "contamination": q_contamination,
         "rarity": q_rarity,
         "domain_filter": q_domain_filter,
+        "pq_codes": q_pq_codes,
         "emf_events": q_emf_events,
     }
 
@@ -1209,5 +1234,6 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "contamination": _contamination_oracle(d),
         "rarity": _rarity_oracle(d),
         "domain_filter": _domain_oracle(d),
+        "pq_codes": _pq_oracle(d),
         "emf_events": _emf_oracle(d),
     }

@@ -44,3 +44,57 @@ def test_ivf_topk_subset_of_bruteforce_and_decent_recall(spark):
     # probing half the lists (2/4): recall well above chance
     recall = len(got & exact) / len(exact)
     assert recall > 0.4, recall
+
+
+# -- product quantization (datapipe/pq.py) -----------------------------------
+
+def _ivecs(spark, n=120, dim=64, seed=9):
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, V[i].tolist()) for i in range(n)]
+    return (spark.createDataFrame(rows,
+                                  "vec_id long, embedding array<float>"),
+            V.astype(np.float64))
+
+
+def test_pq_encode_matches_numpy(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.pq import (
+        codebooks, pq_encode)
+    df, V = _ivecs(spark, n=80)
+    got = {r.id: (list(r.codes), r.recon_err)
+           for r in pq_encode(df, dim=64).collect()}
+    C = codebooks(64)
+    for i in range(len(V)):
+        codes, err = [], None
+        for mi in range(4):
+            S = V[i, mi * 16:(mi + 1) * 16]
+            dists = [((S - C[mi, c]) ** 2).sum() for c in range(4)]
+            c = int(np.argmin(dists))
+            codes.append(c)
+            err = dists[c] if err is None else err + dists[c]
+        gc, ge = got[i]
+        assert gc == codes
+        assert abs(ge - err) < 1e-9
+
+
+def test_pq_adc_topk_shape_and_consistency(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.pq import pq_adc_topk
+    df, _ = _ivecs(spark, n=100)
+    out = pq_adc_topk(df, dim=64, n_queries=2, topk=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for q, rows in by_q.items():
+        assert len(rows) == 3
+        dists = [r.adc_dist for r in sorted(rows, key=lambda r: r.rank)]
+        assert dists == sorted(dists)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_pq_rejects_bad_dims(spark):
+    import pytest
+    from opentelemetry_collector_contrib_spark.datapipe.pq import pq_encode
+    df, _ = _ivecs(spark, n=5)
+    with pytest.raises(ValueError):
+        pq_encode(df, dim=63)
