@@ -1101,6 +1101,43 @@ SELECT id, {codes} AS codes_s, round(recon_err, 6) AS recon_err
 FROM pq_e"""
 
 
+def q_pq_adc(spark, sf_dir, tok_dir) -> DataFrame:
+    """PQ asymmetric-distance search: first 3 ids as queries against
+    the coded table, top-3 by ADC distance."""
+    from .datapipe.pq import pq_adc_topk
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return pq_adc_topk(emb, dim=64, n_queries=3, topk=3)
+
+
+def _pq_adc_oracle(d: str) -> str:
+    from .datapipe.pq import M_SUB, K_CODES, _sub_dist_sql
+    from .queries_ext import _VEC_CTE
+    from .datapipe.pq import pq_encode_sql
+    # ADC per (query q, coded row t): per subspace a CASE over t's code
+    # selecting the q-subvector-to-centroid distance; left-assoc sum
+    terms = []
+    for mi in range(M_SUB):
+        cases = " ".join(
+            f"WHEN t.c{mi} = {c} THEN ({_sub_dist_sql(mi, c, 64, M_SUB)})"
+            for c in range(K_CODES))
+        terms.append(f"(CASE {cases} END)")
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = f"({dist} + {t})"
+    # the distance expressions reference q's vector as plain v
+    dist = dist.replace("v[", "q.v[")
+    return f"""WITH {_VEC_CTE}, {pq_encode_sql(64)},
+scored AS (
+  SELECT q.id AS query_id, t.id AS neighbor_id,
+         round({dist}, 6) AS adc_dist
+  FROM nv q JOIN pq_e t ON q.id < 3 AND q.id <> t.id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist, neighbor_id) AS rank
+FROM scored QUALIFY rank <= 3"""
+
+
 def q_domain_filter(spark, sf_dir, tok_dir) -> DataFrame:
     """Domain-blocklist curation: URLs appended deterministically to the
     documents (none contain URLs natively), every third doc citing a
@@ -1214,6 +1251,7 @@ def scrape_queries() -> dict:
         "rarity": q_rarity,
         "domain_filter": q_domain_filter,
         "pq_codes": q_pq_codes,
+        "pq_adc": q_pq_adc,
         "emf_events": q_emf_events,
     }
 
@@ -1235,5 +1273,6 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "rarity": _rarity_oracle(d),
         "domain_filter": _domain_oracle(d),
         "pq_codes": _pq_oracle(d),
+        "pq_adc": _pq_adc_oracle(d),
         "emf_events": _emf_oracle(d),
     }
