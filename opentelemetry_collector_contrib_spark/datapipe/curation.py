@@ -66,7 +66,9 @@ def pack_chunks(df: DataFrame, budget: int = 2048,
     return out
 
 
-_URL_RX = r"https?://([A-Za-z0-9.-]+)"
+# labels joined by single dots — no trailing dot, so sentence
+# punctuation after a URL cannot leak into the hostname
+_URL_RX = r"https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)"
 
 
 def extract_domains(df: DataFrame, text_col: str = "text",
@@ -93,8 +95,9 @@ def domain_blocklist_filter(df: DataFrame, blocklist: DataFrame,
                             id_col: str = "doc_id") -> DataFrame:
     """Flag documents citing a blocklisted registrable domain
     (blocklist-based curation).  The blocklist (``domain`` column) is
-    broadcast; docs are flagged via one exists-join on the exploded
-    domain list — no full-corpus shuffle.  Output keeps every doc with
+    broadcast; the join on the exploded domain list is broadcast-hash,
+    and the per-doc re-aggregation is the one wide exchange (map-side
+    combined, one row per doc).  Output keeps every doc with
     (n_domains, n_blocked, blocked)."""
     d = extract_domains(df, text_col, id_col)
     ex = d.select("id", F.size("domains").alias("n_domains"),

@@ -119,6 +119,8 @@ def pq_adc_topk(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
 
     @F.pandas_udf(T.DoubleType())
     def adc(qv: pd.Series, code: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="f8")
         Q = np.stack(qv.to_numpy())
         K_ = np.stack(code.to_numpy())
         total = None

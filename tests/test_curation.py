@@ -112,3 +112,12 @@ def test_domain_extraction_and_blocklist(spark):
     assert out[1].blocked and out[1].n_blocked == 1 and out[1].n_domains == 2
     assert not out[2].blocked and out[2].n_domains == 0
     assert out[3].blocked                        # example.com matched
+    # sentence punctuation after a URL must not mangle the domain
+    docs2 = spark.createDataFrame(
+        [(9, "watch https://evil.example.com. Next sentence, and"
+             " https://a.com...see")],
+        "doc_id long, text string")
+    d2 = extract_domains(docs2).collect()[0]
+    assert set(d2.domains) == {"example.com", "a.com"}
+    out2 = domain_blocklist_filter(docs2, bl).collect()[0]
+    assert out2.blocked

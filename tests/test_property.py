@@ -120,23 +120,6 @@ def _pack_py(items, budget):
     return out
 
 
-@given(st.lists(st.integers(min_value=0, max_value=5000),
-                min_size=1, max_size=40),
-       st.sampled_from([64, 1000, 2048]))
-@settings(max_examples=50, deadline=None)
-def test_pack_chunks_python_twin(lengths, budget):
-    items = [(f"d{i:04d}", n) for i, n in enumerate(lengths)]
-    got = _pack_py(items, budget)
-    # invariants: offsets within budget, chunks monotone, layout gap-free
-    cum = 0
-    for doc_id, n in sorted(items):
-        first, last, off = got[doc_id]
-        assert 0 <= off < budget
-        assert first <= last
-        assert first * budget + off == cum
-        cum += n
-
-
 def test_pack_chunks_spark_matches_python_twin(spark):
     import random
     rng = random.Random(7)
