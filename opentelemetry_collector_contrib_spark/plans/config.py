@@ -177,11 +177,25 @@ def _rx_receiver_creator(spark: SparkSession, conf: dict) -> DataFrame:
     return receiver_creator_dispatch(_rx_table(spark, conf), templates)
 
 
+def _rx_k8s_cluster(spark: SparkSession, conf: dict) -> DataFrame:
+    """k8sclusterreceiver analog: conf maps snapshot kinds to table
+    paths, e.g. ``snapshots: {pods: /x/pods, nodes: /x/nodes}`` plus
+    optional ``node_conditions: [Ready, MemoryPressure]``
+    (receiver/k8sclusterreceiver/config.go node_conditions_to_report)."""
+    from ..operators.k8scluster import cluster_metrics
+    snaps = {kind: _rx_table(spark, {"path": path,
+                                     "format": conf.get("format", "parquet")})
+             for kind, path in conf["snapshots"].items()}
+    conds = tuple(conf.get("node_conditions", ["Ready"]))
+    return cluster_metrics(node_conditions=conds, **snaps)
+
+
 RECEIVERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "tokens": _rx_tokens,
     "table": _rx_table,
     "scrape": _rx_scrape,
     "receiver_creator": _rx_receiver_creator,
+    "k8s_cluster": _rx_k8s_cluster,
 }
 
 

@@ -1234,6 +1234,138 @@ FROM train t LEFT JOIN hits h USING (doc_id)"""
 # registry
 # ---------------------------------------------------------------------------
 
+
+
+# ---------------------------------------------------------------------------
+# dynatrace exporter (sinks/dynatrace.py)
+# ---------------------------------------------------------------------------
+
+def q_dynatrace(spark, sf_dir, tok_dir) -> DataFrame:
+    """Dynatrace line-protocol battery over the distinct carbon lines:
+    gauge_int with dirty labels (case-fold + charset + skip-on-empty
+    key), gauge_double with a trailing-underscore name, and int/double
+    histograms whose groups are sometimes poisoned by a zero-count
+    datapoint (the reference's slice-level ``return ""``).  Names pass
+    through NormalizeString with prefix 'otelcol'."""
+    from .sinks.dynatrace import dynatrace_lines
+    c = (spark.read.parquet(os.path.join(tok_dir, "carbon.parquet"))
+         .select("line").distinct())
+    parts = F.split(F.col("line"), " ")
+    base = c.select(
+        F.element_at(F.split(F.element_at(parts, 1), ";"), 1).alias("mname"),
+        F.element_at(parts, 2).alias("vs"),
+        F.element_at(parts, 3).cast("bigint").alias("t"),
+        F.conv(F.substring(F.md5(F.col("line")), 1, 6), 16, 10)
+        .cast("bigint").alias("h"))
+    base = base.repartition(spark.sparkContext.defaultParallelism)
+    t, h = F.col("t"), F.col("h")
+    v = F.col("vs").cast("double")
+    NULI = F.lit(None).cast("bigint")
+    NULD = F.lit(None).cast("double")
+
+    def dp(name, dtype, vi, vd, hs, hsi, hc, labels):
+        return F.struct(
+            name.alias("name"), F.lit(dtype).alias("dtype"),
+            vi.cast("bigint").alias("value_i"),
+            vd.cast("double").alias("value_d"),
+            hs.cast("double").alias("hist_sum"),
+            hsi.cast("bigint").alias("hist_sum_i"),
+            hc.cast("bigint").alias("hist_count"),
+            (t * F.lit(1000000000)).cast("bigint").alias("ts_ns"),
+            labels.alias("labels"))
+
+    lab1 = F.create_map(
+        F.lit("Host!Name"),
+        F.concat(F.lit('h"x\\'), (h % 8).cast("string")),
+        F.lit("DC"), F.lit("us-east"),
+        F.lit("__9"), F.lit("dropped"))
+    lab2 = F.create_map(F.lit("ok"), F.lit("plain"))
+    lab0 = F.expr("cast(map() as map<string,string>)")
+    gi_name = (F.when(h % 17 == 0, F.lit("_12."))       # normalizes empty
+               .otherwise(F.concat(F.lit("svc/"), F.col("mname"),
+                                   F.lit("@"), (h % 3).cast("string"))))
+    gd_name = F.concat(F.lit("svc/"), F.col("mname"), F.lit("/"))
+    hd_name = F.concat(F.lit("hist.d."), (h % 2000).cast("string"))
+    hi_name = F.concat(F.lit("hist.i."), (h % 2000).cast("string"))
+    arr = F.array(
+        dp(gi_name, "gauge_int", t % 100000, NULD, NULD, NULI, NULI, lab1),
+        dp(gd_name, "gauge_double", NULI, v, NULD, NULI, NULI, lab2),
+        dp(hd_name, "hist_double", NULI, NULD, v * 2, NULI,
+           F.when(h % 997 == 0, F.lit(0)).otherwise(F.lit(2)), lab0),
+        dp(hi_name, "hist_int", NULI, NULD, NULD, t % 1000,
+           F.when(h % 991 == 0, F.lit(0)).otherwise(F.lit(2)), lab0))
+    df = base.select(F.explode(arr).alias("d")).select("d.*")
+    return dynatrace_lines(df, prefix="otelcol", tags=("source=spark",))
+
+
+def _dynatrace_oracle(d: str) -> str:
+    # the oracle re-implements the normalization/escape/float spec in
+    # DuckDB SQL (independent engine), and the group-poisoning drop via
+    # a window — expectations derive from (mname, vs, t, h) only
+    esc = r"""replace(replace({0}, '"', '\"'), '\', '\\')"""
+    val = esc.format(r"""'h"x\' || CAST(h%8 AS VARCHAR)""")
+    flt = ("CASE WHEN rtrim(printf('%.6f', {0}), '0.') = '' THEN '0' "
+           "ELSE rtrim(printf('%.6f', {0}), '0.') END")
+    return f"""WITH c AS (SELECT DISTINCT line
+           FROM read_parquet('{d}/carbon.parquet')),
+base AS (
+  SELECT string_split(string_split(line, ' ')[1], ';')[1] AS mname,
+         string_split(line, ' ')[2] AS vs,
+         CAST(string_split(line, ' ')[3] AS BIGINT) AS t,
+         CAST(('0x' || substr(md5(line), 1, 6)) AS BIGINT) AS h
+  FROM c
+),
+gauge_i AS (
+  SELECT 'otelcol.svc_' || mname || '_' || CAST(h%3 AS VARCHAR) AS name,
+         'otelcol.svc_' || mname || '_' || CAST(h%3 AS VARCHAR)
+         || ',source=spark,dc="us-east",host_name="' || {val} || '" '
+         || CAST(t % 100000 AS VARCHAR) || ' ' || CAST(t*1000 AS VARCHAR)
+             AS line
+  FROM base WHERE h % 17 <> 0
+),
+gauge_d AS (
+  SELECT 'otelcol.svc_' || mname AS name,
+         'otelcol.svc_' || mname || ',source=spark,ok="plain" '
+         || {flt.format('CAST(vs AS DOUBLE)')} || ' '
+         || CAST(t*1000 AS VARCHAR) AS line
+  FROM base
+),
+hd AS (
+  SELECT *, max(CASE WHEN h % 997 = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY h % 2000) AS poisoned
+  FROM base
+),
+hist_d AS (
+  SELECT 'otelcol.hist.d.' || CAST(h%2000 AS VARCHAR) AS name,
+         'otelcol.hist.d.' || CAST(h%2000 AS VARCHAR)
+         || ',source=spark gauge,min=' || {flt.format('CAST(vs AS DOUBLE)')}
+         || ',max=' || {flt.format('CAST(vs AS DOUBLE)')}
+         || ',sum=' || {flt.format('CAST(vs AS DOUBLE) * 2')}
+         || ',count=2 ' || CAST(t*1000 AS VARCHAR) AS line
+  FROM hd WHERE poisoned = 0
+),
+hi AS (
+  SELECT *, max(CASE WHEN h % 991 = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY h % 2000) AS poisoned
+  FROM base
+),
+hist_i AS (
+  SELECT 'otelcol.hist.i.' || CAST(h%2000 AS VARCHAR) AS name,
+         'otelcol.hist.i.' || CAST(h%2000 AS VARCHAR)
+         || ',source=spark gauge,min='
+         || {flt.format('CAST(t % 1000 AS DOUBLE) / 2')}
+         || ',max=' || {flt.format('CAST(t % 1000 AS DOUBLE) / 2')}
+         || ',sum=' || CAST(t % 1000 AS VARCHAR)
+         || ',count=2 ' || CAST(t*1000 AS VARCHAR) AS line
+  FROM hi WHERE poisoned = 0
+)
+SELECT name, line FROM gauge_i
+UNION ALL SELECT name, line FROM gauge_d
+UNION ALL SELECT name, line FROM hist_d
+UNION ALL SELECT name, line FROM hist_i"""
+
+
+
 def scrape_queries() -> dict:
     return {
         "redis_info": q_redis_info,
@@ -1253,6 +1385,7 @@ def scrape_queries() -> dict:
         "pq_codes": q_pq_codes,
         "pq_adc": q_pq_adc,
         "emf_events": q_emf_events,
+        "dynatrace_lines": q_dynatrace,
     }
 
 
@@ -1275,4 +1408,5 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "pq_codes": _pq_oracle(d),
         "pq_adc": _pq_adc_oracle(d),
         "emf_events": _emf_oracle(d),
+        "dynatrace_lines": _dynatrace_oracle(d),
     }
