@@ -1366,6 +1366,138 @@ UNION ALL SELECT name, line FROM hist_i"""
 
 
 
+
+# ---------------------------------------------------------------------------
+# sentry exporter (sinks/sentry.py)
+# ---------------------------------------------------------------------------
+
+def q_sentry(spark, sf_dir, tok_dir) -> DataFrame:
+    """Sentry transaction assembly over synthesized 5-span traces: a
+    root (sometimes replaced by a missing parent so the whole trace
+    orphans), a 2-deep child chain (exercises the fixed-point
+    re-classification), a missing-parent orphan, and a child of that
+    orphan (stays an orphan).  Span attrs cycle through the descriptor
+    priority chain; status codes exercise in-range and out-of-range."""
+    from .sinks.sentry import convert_spans, sentry_transactions
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+
+    def sid(k):
+        return F.substring(
+            F.md5(F.concat(F.col("scrape_id"), F.lit(f"#{k}"))), 1, 16)
+
+    def nm(k):
+        return F.concat(F.lit(f"nm{k}_"), _s(t % 3))
+
+    def mp(*kv):
+        return F.create_map(*[F.lit(x) if isinstance(x, str) else x
+                              for x in kv])
+
+    def span(k, parent, attrs, kind, code, msg):
+        return F.struct(
+            sid(k).alias("span_id"), parent.alias("parent_span_id"),
+            nm(k).alias("name"), kind.alias("kind"),
+            (t * 1000000000 + k).cast("long").alias("start_ns"),
+            (t * 1000000000 + k + 1500000000).cast("long").alias("end_ns"),
+            code.cast("int").alias("status_code"),
+            msg.alias("status_message"), attrs.alias("attrs"))
+
+    NS = F.lit(None).cast("string")
+    s0 = span(0, F.when(t % 5 == 0, F.lit("ffffffffffffffff"))
+              .otherwise(F.lit("")),
+              mp("http.method", "GET", "server_name", "span-val"),
+              F.when(t % 3 == 0, F.lit("server"))
+              .when(t % 3 == 1, F.lit("client")).otherwise(NS),
+              t % 4, F.when(t % 4 == 2, F.lit("boom")).otherwise(F.lit("")))
+    s1 = span(1, sid(0),
+              F.when(t % 2 == 0,
+                     mp("db.system", "mysql", "db.statement", "SELECT 1"))
+              .otherwise(mp("db.system", "mysql")),
+              F.lit("client"), F.lit(1), F.lit(""))
+    s2 = span(2, sid(1), mp("rpc.service", "Echo"), F.lit("internal"),
+              F.lit(0), F.lit(""))
+    s3 = span(3, F.lit("eeeeeeeeeeeeeeee"),
+              F.when(t % 2 == 0, mp("messaging.system", "kafka"))
+              .otherwise(mp("faas.trigger", "pubsub")),
+              NS, F.lit(2), F.lit(""))
+    s4 = span(4, sid(3), F.expr("cast(map() as map<string,string>)"),
+              F.lit("producer"),
+              F.when(t % 7 == 0, F.lit(-1)).otherwise(F.lit(1)), F.lit(""))
+    spans = (b.select(F.md5(F.col("scrape_id")).alias("trace_id"),
+                      F.explode(F.array(s0, s1, s2, s3, s4)).alias("s"))
+             .select("trace_id", "s.*"))
+    conv = convert_spans(spans, resource_tags={"server_name": "srv1"},
+                         library_name="lib", library_version="1.0")
+    return sentry_transactions(conv)
+
+
+def _sentry_oracle(d: str) -> str:
+    lib = "library_name=lib,library_version=1.0,server_name=srv1"
+
+    def sid(k):
+        return f"substr(md5(scrape_id || '#{k}'), 1, 16)"
+
+    def row(k, root_id, role, op, desc, status, tags):
+        return (f"SELECT md5(scrape_id) AS trace_id, {sid(k)} AS span_id, "
+                f"{root_id} AS root_id, {role} AS role, {op} AS op, "
+                f"{desc} AS description, {status} AS status, "
+                f"{tags} AS tags_s, "
+                f"CAST(t*1000000000 + {k} AS BIGINT) AS start_ns, "
+                f"CAST(t*1000000000 + {k} + 1500000000 AS BIGINT) AS end_ns "
+                f"FROM base")
+
+    parts = [
+        # s0: root unless t%5=0 (then the whole chain orphans)
+        row(0, sid(0),
+            "CASE WHEN t%5=0 THEN 'orphan' ELSE 'root' END",
+            """CASE WHEN t%3=0 THEN 'http.server'
+                    WHEN t%3=1 THEN 'http.client' ELSE 'http' END""",
+            "'GET nm0_' || CAST(t%3 AS VARCHAR)",
+            """CASE WHEN t%4=1 THEN 'ok' ELSE 'unknown' END""",
+            f"""'http.method=GET,{lib}'
+             || CASE WHEN t%3=0 THEN ',span_kind=server'
+                     WHEN t%3=1 THEN ',span_kind=client' ELSE '' END
+             || CASE WHEN t%4=2 THEN ',status_message=boom'
+                     WHEN t%4=3 THEN ',status_message=error code 3'
+                     ELSE '' END"""),
+        row(1, f"CASE WHEN t%5=0 THEN {sid(1)} ELSE {sid(0)} END",
+            "CASE WHEN t%5=0 THEN 'orphan' ELSE 'child' END",
+            "'db'",
+            """CASE WHEN t%2=0 THEN 'SELECT 1'
+                    ELSE 'nm1_' || CAST(t%3 AS VARCHAR) END""",
+            "'ok'",
+            f"""CASE WHEN t%2=0 THEN 'db.statement=SELECT 1,' ELSE '' END
+             || 'db.system=mysql,{lib},span_kind=client'"""),
+        row(2, f"CASE WHEN t%5=0 THEN {sid(2)} ELSE {sid(0)} END",
+            "CASE WHEN t%5=0 THEN 'orphan' ELSE 'child' END",
+            "'rpc'", "'nm2_' || CAST(t%3 AS VARCHAR)", "'unknown'",
+            "'library_name=lib,library_version=1.0,rpc.service=Echo,"
+            "server_name=srv1,span_kind=internal'"),
+        row(3, sid(3), "'orphan'",
+            "CASE WHEN t%2=0 THEN 'message' ELSE 'pubsub' END",
+            "'nm3_' || CAST(t%3 AS VARCHAR)", "'unknown'",
+            """CASE WHEN t%2=0
+               THEN 'library_name=lib,library_version=1.0,"""
+            """messaging.system=kafka,server_name=srv1'
+               ELSE 'faas.trigger=pubsub,library_name=lib,"""
+            """library_version=1.0,server_name=srv1' END"""),
+        row(4, sid(4), "'orphan'", "''",
+            "'nm4_' || CAST(t%3 AS VARCHAR)",
+            "CASE WHEN t%7=0 THEN 'unknown' ELSE 'ok' END",
+            f"""'{lib},span_kind=producer'
+             || CASE WHEN t%7=0 THEN ',status_message=error code -1'
+                     ELSE '' END"""),
+    ]
+    body = "\nUNION ALL\n".join(parts)
+    return f"""WITH {{base}}
+{body}"""
+
+
+def _sentry_oracle_wrap(d: str) -> str:
+    return _sentry_oracle(d).replace("{base}", _base_sql(d))
+
+
+
 def scrape_queries() -> dict:
     return {
         "redis_info": q_redis_info,
@@ -1386,6 +1518,7 @@ def scrape_queries() -> dict:
         "pq_adc": q_pq_adc,
         "emf_events": q_emf_events,
         "dynatrace_lines": q_dynatrace,
+        "sentry_transactions": q_sentry,
     }
 
 
@@ -1409,4 +1542,5 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "pq_adc": _pq_adc_oracle(d),
         "emf_events": _emf_oracle(d),
         "dynatrace_lines": _dynatrace_oracle(d),
+        "sentry_transactions": _sentry_oracle_wrap(d),
     }
