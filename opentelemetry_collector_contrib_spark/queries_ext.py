@@ -375,6 +375,16 @@ def q_pii_scrub(spark, sf_dir, tok_dir):
             .select("doc_id", "scrubbed", "n_ip", "n_email"))
 
 
+def q_ngram_dedup(spark, sf_dir, tok_dir):
+    """Cross-document 13-gram dedup profile over the raw token streams
+    (the exact-substring training-data dedup shape): per doc, how many
+    token 13-grams also occur in another doc, and the interval-merged
+    covered-token count."""
+    from .datapipe.dedup import token_ngram_profile
+    df = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    return token_ngram_profile(df, n=13)
+
+
 def q_token_freq(spark, sf_dir, tok_dir):
     """Vocabulary frequency over the raw token streams (training-data
     vocab stats): explode + two-phase count, top-50 by (count desc,
@@ -962,6 +972,42 @@ FROM read_parquet('{d}/media.parquet')""",
 
         "ring_route": _ring_oracle_sql(d),
 
+        "ngram_dedup": f"""WITH t AS (
+  SELECT doc_id, tokens, len(tokens) AS n_tok
+  FROM read_parquet('{d}/tokens.parquet')
+), gi AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(1, len(tokens) - 12)) AS i
+  FROM t
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(('0x' || substr(md5(array_to_string(tokens[i:i+12], ',')),
+                      1, 15)) AS BIGINT) AS gh
+  FROM gi
+), dup AS (
+  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+), dg AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)
+), cv AS (
+  SELECT doc_id, pos,
+         least(coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        - pos, 13), 13) AS cov
+  FROM dg
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_grams,
+         sum(cov)::BIGINT AS covered_tokens
+  FROM cv GROUP BY doc_id
+)
+SELECT t.doc_id AS id, t.n_tok::INT AS n_tok,
+       greatest(t.n_tok - 12, 0)::INT AS n_grams,
+       coalesce(a.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       coalesce(a.covered_tokens, 0)::BIGINT AS covered_tokens,
+       CASE WHEN t.n_tok > 0
+            THEN CAST(coalesce(a.covered_tokens, 0) AS DOUBLE)
+                 / CAST(t.n_tok AS DOUBLE)
+            ELSE 0.0 END AS dup_token_fraction
+FROM t LEFT JOIN agg a USING (doc_id)""",
+
         "token_freq": f"""SELECT tok, count(*)::BIGINT AS n
 FROM (SELECT unnest(tokens) AS tok FROM read_parquet('{d}/tokens.parquet'))
 GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""",
@@ -1022,6 +1068,7 @@ def extra_queries(tok_dir_for) -> dict:
         "media_features": with_tok(q_media_features),
         "ring_route": with_tok(q_ring_route),
         "token_freq": with_tok(q_token_freq),
+        "ngram_dedup": with_tok(q_ngram_dedup),
         "pii_scrub": with_tok(q_pii_scrub),
     } | {name: with_tok(fn)
          for name, fn in (scrape_queries() | k8s_queries()).items()}

@@ -304,3 +304,28 @@ def test_dedup_survivors_policies(spark):
     first = {r["doc_id"] for r in
              dedup_survivors(df, policy="first").collect()}
     assert first == {"d1", "d3", "d4"}
+
+
+def test_token_ngram_profile_interval_merge(spark):
+    # d1 fully contains d2's token stream: the three shared 13-grams
+    # cover tokens [0,15) in both docs after interval merge
+    rows = [
+        ("d1", list(range(1, 21))),          # 20 toks, grams 0..7
+        ("d2", list(range(1, 16))),          # 15 toks, grams 0..2
+        ("d3", list(range(100, 120))),       # unique -> no dup grams
+        ("d4", [1, 2, 3, 4, 5]),             # shorter than n -> 0 grams
+    ]
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+        token_ngram_profile)
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {r["id"]: r.asDict() for r in
+           token_ngram_profile(df, n=13).collect()}
+    assert got["d1"]["n_grams"] == 8
+    assert got["d1"]["n_dup_grams"] == 3
+    assert got["d1"]["covered_tokens"] == 15      # 1 + 1 + 13
+    assert got["d1"]["dup_token_fraction"] == 15 / 20
+    assert got["d2"]["n_dup_grams"] == 3
+    assert got["d2"]["dup_token_fraction"] == 1.0
+    assert got["d3"]["n_dup_grams"] == 0
+    assert got["d3"]["covered_tokens"] == 0
+    assert got["d4"]["n_grams"] == 0 and got["d4"]["n_dup_grams"] == 0
