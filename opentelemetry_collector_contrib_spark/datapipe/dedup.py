@@ -518,3 +518,52 @@ def token_ngram_profile(df: DataFrame, n: int = 13,
         F.when(F.col("n_tok") > 0,
                F.col("covered_tokens").cast("double")
                / F.col("n_tok").cast("double")).otherwise(F.lit(0.0)))
+
+
+# ---------------------------------------------------------------------------
+# training-mix construction: per-stratum quota sampling with upsampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      default: float = 0.0, strata_col: str = "source",
+                      id_col: str = "doc_id",
+                      salt: str = "mix") -> DataFrame:
+    """Deterministic per-stratum mix sampling — the training-mix
+    construction step (e.g. "keep 30% of web, all of books, 2.5x
+    wikipedia").
+
+    Fractions < 1 downsample (Bernoulli on the portable hash, exactly
+    ``hash_sample`` per stratum); fractions > 1 upsample by emitting
+    ``floor(f)`` full copies plus one more with probability ``f -
+    floor(f)`` (hash-gated, so resume-safe).  Output adds ``copy``
+    (0-based replica index) — downstream packing/shuffling treats each
+    copy as an independent row.
+
+    Scale shape: a stateless per-row filter + a bounded ``explode`` of
+    a ``sequence`` column — no shuffle, no state; the n_copies arith is
+    pure codegen.  Skewed strata cost nothing here (the explode factor
+    is per-row), and the deterministic hash means re-runs and resumed
+    partitions emit identical copies.
+    """
+    if any(f < 0 for f in fractions.values()) or default < 0:
+        raise ValueError("fractions must be >= 0")
+    h = portable_hash(F.concat(F.lit(f"{salt}:"),
+                               F.col(id_col).cast("string")))
+    frac = None
+    for k, f in sorted(fractions.items()):
+        cond = (F.col(strata_col) == F.lit(k))
+        frac = (F.when(cond, F.lit(float(f))) if frac is None
+                else frac.when(cond, F.lit(float(f))))
+    frac = frac.otherwise(F.lit(float(default))) if frac is not None \
+        else F.lit(float(default))
+    whole = F.floor(frac).cast("int")
+    rem = frac - F.floor(frac)
+    extra = (h < (rem * F.lit(float(1 << 32))).cast("long")).cast("int")
+    n_copies = whole + extra
+    out = (df.withColumn("_n_copies", n_copies)
+           .filter(F.col("_n_copies") > 0)
+           .withColumn("copy",
+                       F.explode(F.sequence(F.lit(0),
+                                            F.col("_n_copies") - 1)))
+           .drop("_n_copies"))
+    return out

@@ -375,6 +375,22 @@ def q_pii_scrub(spark, sf_dir, tok_dir):
             .select("doc_id", "scrubbed", "n_ip", "n_email"))
 
 
+def q_mix_sample(spark, sf_dir, tok_dir):
+    """Training-mix construction: per-source quota sampling with
+    deterministic upsampling (floor(f) copies + hash-gated remainder),
+    verified as per-source row/doc/copy aggregates."""
+    from .datapipe.dedup import stratified_sample
+    toks = (spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+            .select("doc_id", "source"))
+    out = stratified_sample(
+        toks, {"hot-source": 0.3, "app-a": 1.0, "app-b": 2.5, "k8s": 0.0},
+        default=0.75)
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count_distinct("doc_id").alias("n_docs"),
+                 F.max("copy").alias("max_copy")))
+
+
 def q_ngram_dedup(spark, sf_dir, tok_dir):
     """Cross-document 13-gram dedup profile over the raw token streams
     (the exact-substring training-data dedup shape): per doc, how many
@@ -972,6 +988,28 @@ FROM read_parquet('{d}/media.parquet')""",
 
         "ring_route": _ring_oracle_sql(d),
 
+        "mix_sample": f"""WITH t AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('mix:' || doc_id), 1, 8)) AS BIGINT) AS h
+  FROM read_parquet('{d}/tokens.parquet')
+), f AS (
+  SELECT *, CASE source WHEN 'hot-source' THEN 0.3 WHEN 'app-a' THEN 1.0
+                        WHEN 'app-b' THEN 2.5 WHEN 'k8s' THEN 0.0
+                        ELSE 0.75 END AS frac
+  FROM t
+), n AS (
+  SELECT source, doc_id,
+         CAST(floor(frac) AS INT)
+         + CASE WHEN h < CAST(floor((frac - floor(frac)) * 4294967296.0)
+                             AS BIGINT)
+                THEN 1 ELSE 0 END AS nc
+  FROM f
+)
+SELECT source, sum(nc)::BIGINT AS n_rows,
+       (count(*) FILTER (nc > 0))::BIGINT AS n_docs,
+       (max(nc) - 1)::INT AS max_copy
+FROM n GROUP BY source HAVING sum(nc) > 0""",
+
         "ngram_dedup": f"""WITH t AS (
   SELECT doc_id, tokens, len(tokens) AS n_tok
   FROM read_parquet('{d}/tokens.parquet')
@@ -1069,6 +1107,7 @@ def extra_queries(tok_dir_for) -> dict:
         "ring_route": with_tok(q_ring_route),
         "token_freq": with_tok(q_token_freq),
         "ngram_dedup": with_tok(q_ngram_dedup),
+        "mix_sample": with_tok(q_mix_sample),
         "pii_scrub": with_tok(q_pii_scrub),
     } | {name: with_tok(fn)
          for name, fn in (scrape_queries() | k8s_queries()).items()}

@@ -329,3 +329,27 @@ def test_token_ngram_profile_interval_merge(spark):
     assert got["d3"]["n_dup_grams"] == 0
     assert got["d3"]["covered_tokens"] == 0
     assert got["d4"]["n_grams"] == 0 and got["d4"]["n_dup_grams"] == 0
+
+
+def test_stratified_sample_quota_and_upsample(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+        stratified_sample)
+    import pytest
+    rows = [(f"d{i}", ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = stratified_sample(df, {"a": 2.0, "b": 0.5, "c": 0.0},
+                            default=0.0).cache()
+    per = {r["source"]: r for r in
+           out.groupBy("source").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.max("copy").alias("mx")).collect()}
+    assert "c" not in per                      # zero quota drops stratum
+    assert per["a"]["n"] == 200 and per["a"]["mx"] == 1   # exactly 2 copies
+    assert 20 <= per["b"]["n"] <= 80 and per["b"]["mx"] == 0
+    # deterministic: same subset on re-run
+    again = stratified_sample(df, {"a": 2.0, "b": 0.5, "c": 0.0},
+                              default=0.0)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError):
+        stratified_sample(df, {"a": -1.0})
