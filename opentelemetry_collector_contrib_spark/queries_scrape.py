@@ -1498,6 +1498,74 @@ def _sentry_oracle_wrap(d: str) -> str:
 
 
 
+
+# ---------------------------------------------------------------------------
+# alibabacloudlogservice exporter (sinks/alibaba.py)
+# ---------------------------------------------------------------------------
+
+def q_alibaba(spark, sf_dir, tok_dir) -> DataFrame:
+    """SLS KV flattening battery: NULL bodies dropped, host/service
+    pulled (or defaulted) from the resource map, remaining resource
+    attrs and record attrs marshaled as sorted-key JSON, flags in hex,
+    and the zero-timestamp now() fallback surfacing as NULL time."""
+    from .sinks.alibaba import logservice_rows
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    h = F.md5(F.col("scrape_id"))
+    res = F.map_filter(
+        F.create_map(
+            F.lit("host.name"),
+            F.when(t % 4 == 0, F.lit("__absent__"))
+            .otherwise(F.concat(F.lit("h"), _s(t % 3))),
+            F.lit("service.name"), F.lit("svc"),
+            F.lit("region"), F.lit("us"),
+            F.lit("zone"), F.concat(F.lit("z"), _s(t % 2))),
+        lambda k, v: v != F.lit("__absent__"))
+    rows = b.select(
+        F.when(t % 11 != 0, F.concat(F.lit("log "), F.col("vs")))
+        .alias("body"),
+        F.when(t % 6 == 0, F.lit(0)).otherwise(t * 1000000000 + 5)
+        .cast("long").alias("ts_ns"),
+        (t % 25).cast("int").alias("severity_number"),
+        F.lit("INFO").alias("severity_text"),
+        F.concat(F.lit("n"), _s(t % 3)).alias("name"),
+        (t % 300).cast("int").alias("flags"),
+        F.substring(h, 1, 32).alias("trace_id"),
+        F.substring(h, 1, 16).alias("span_id"),
+        F.create_map(F.lit("zeta"), F.lit("1"),
+                     F.lit("alpha"), F.col("vs")).alias("attrs"),
+        res.alias("resource"),
+        F.lit("lib").alias("lib_name"), F.lit("1.0").alias("lib_version"))
+    return logservice_rows(rows)
+
+
+def _alibaba_oracle(d: str) -> str:
+    return f"""WITH {{base}}
+SELECT CASE WHEN t%4=0 THEN '' ELSE 'h' || CAST(t%3 AS VARCHAR) END AS host,
+       'svc' AS service,
+       '{{"region":"us","zone":"z' || CAST(t%2 AS VARCHAR) || '"}}'
+           AS resource_json,
+       'lib' AS otlp_name, '1.0' AS otlp_version,
+       CAST(CASE WHEN t%6=0 THEN 0 ELSE t*1000000000 + 5 END AS VARCHAR)
+           AS time_unix_nano,
+       CAST(t%25 AS VARCHAR) AS severity_number,
+       'INFO' AS severity_text,
+       'n' || CAST(t%3 AS VARCHAR) AS name,
+       '{{"alpha":"' || vs || '","zeta":"1"}}' AS attribute_json,
+       'log ' || vs AS content,
+       printf('%x', t%300) AS flags,
+       substr(md5(scrape_id), 1, 32) AS trace_id,
+       substr(md5(scrape_id), 1, 16) AS span_id,
+       CASE WHEN t%6=0 THEN NULL
+            ELSE CAST(t + 0 AS BIGINT) END AS time_sec
+FROM base WHERE t % 11 <> 0"""
+
+
+def _alibaba_oracle_wrap(d: str) -> str:
+    return _alibaba_oracle(d).replace("{base}", _base_sql(d))
+
+
+
 def scrape_queries() -> dict:
     return {
         "redis_info": q_redis_info,
@@ -1519,6 +1587,7 @@ def scrape_queries() -> dict:
         "emf_events": q_emf_events,
         "dynatrace_lines": q_dynatrace,
         "sentry_transactions": q_sentry,
+        "alibaba_logs": q_alibaba,
     }
 
 
@@ -1543,4 +1612,5 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "emf_events": _emf_oracle(d),
         "dynatrace_lines": _dynatrace_oracle(d),
         "sentry_transactions": _sentry_oracle_wrap(d),
+        "alibaba_logs": _alibaba_oracle_wrap(d),
     }
