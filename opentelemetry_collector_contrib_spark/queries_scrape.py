@@ -1566,6 +1566,133 @@ def _alibaba_oracle_wrap(d: str) -> str:
 
 
 
+
+# ---------------------------------------------------------------------------
+# honeycomb exporter (sinks/honeycomb.py)
+# ---------------------------------------------------------------------------
+
+def q_honeycomb(spark, sf_dir, tok_dir) -> DataFrame:
+    """Honeycomb event battery: span events with resource underlay and
+    library fields (name dropped when empty), zero-high trace-id
+    collapse, duration in float ms, enum-name status fallback with
+    decimal out-of-range rendering, int64-typed sample-rate rule, plus
+    span_event and link annotations."""
+    from .sinks.honeycomb import honeycomb_events
+    b = _base(spark, tok_dir).cache()
+    t = F.col("t")
+    h = F.md5(F.col("scrape_id"))
+    zeros = F.lit("0" * 16)
+    trace_id = (F.when(t % 2 == 0, F.concat(zeros, F.substring(h, 1, 16)))
+                .otherwise(F.md5(F.concat(F.col("scrape_id"), F.lit("T")))))
+    resource = F.create_map(F.lit("aa"), F.lit("res-a"),
+                            F.lit("rr"), F.concat(F.lit("r"), _s(t % 2)))
+    kinds = ["client", "server", "producer", "consumer", "internal",
+             "unspecified", "weird"]
+    spans = b.select(
+        trace_id.alias("trace_id"),
+        F.substring(h, 1, 16).alias("span_id"),
+        F.when(t % 3 != 0, F.substring(h, 17, 16)).alias("parent_span_id"),
+        F.concat(F.lit("sp"), _s(t % 3)).alias("name"),
+        F.element_at(F.array(*[F.lit(k) for k in kinds]),
+                     (t % 7 + 1).cast("int")).alias("kind"),
+        (t * 1000000000).cast("long").alias("start_ns"),
+        (t * 1000000000 + 1500000000 + (t % 50) * 1000).cast("long")
+        .alias("end_ns"),
+        (t % 5).cast("int").alias("status_code"),
+        F.when(t % 4 == 0, F.lit("m")).otherwise(F.lit(""))
+        .alias("status_message"),
+        F.create_map(F.lit("aa"), F.col("vs")).alias("attrs"),
+        F.create_map(F.lit("rate"), (t % 16).cast("long"),
+                     F.lit("n"), (t % 9).cast("long")).alias("attrs_int"),
+        resource.alias("resource"),
+        F.when(t % 6 == 0, F.lit("")).otherwise(F.lit("lib"))
+        .alias("lib_name"),
+        F.lit("1").alias("lib_version"))
+    events = (b.filter(t % 3 != 1).select(
+        trace_id.alias("trace_id"),
+        F.substring(h, 1, 16).alias("span_id"),
+        F.concat(F.lit("sp"), _s(t % 3)).alias("span_name"),
+        F.concat(F.lit("ev"), _s(t % 2)).alias("event_name"),
+        (t * 1000000000 + 7).cast("long").alias("ts_ns"),
+        F.create_map(F.lit("ek"), F.concat(F.lit("v"), _s(t % 3)))
+        .alias("attrs"),
+        F.expr("cast(map() as map<string,bigint>)").alias("attrs_int"),
+        resource.alias("resource")))
+    links = (b.filter(t % 4 == 0).select(
+        trace_id.alias("trace_id"),
+        F.substring(h, 1, 16).alias("span_id"),
+        F.concat(zeros, F.substring(F.md5(F.concat(F.col("scrape_id"),
+                                                   F.lit("L"))), 17, 16))
+        .alias("link_trace_id"),
+        F.substring(F.md5(F.concat(F.col("scrape_id"), F.lit("L"))), 1, 16)
+        .alias("link_span_id"),
+        F.create_map(F.lit("lk"), F.lit("1")).alias("attrs"),
+        F.create_map(F.lit("rate"), F.lit(7).cast("long"))
+        .alias("attrs_int")))
+    return honeycomb_events(spans, events, links,
+                            sample_rate_attribute="rate")
+
+
+def _honeycomb_oracle(d: str) -> str:
+    nul = "CAST(NULL AS VARCHAR)"
+    hcid = ("CASE WHEN t%2=0 THEN substr(md5(scrape_id), 1, 16) "
+            "ELSE md5(scrape_id || 'T') END")
+    status_msg = """CASE WHEN t%4=0 THEN 'm'
+       WHEN t%5=0 THEN 'STATUS_CODE_UNSET'
+       WHEN t%5=1 THEN 'STATUS_CODE_OK'
+       WHEN t%5=2 THEN 'STATUS_CODE_ERROR'
+       ELSE CAST(t%5 AS VARCHAR) END"""
+    kinds = ("CASE t%7 WHEN 0 THEN 'client' WHEN 1 THEN 'server' "
+             "WHEN 2 THEN 'producer' WHEN 3 THEN 'consumer' "
+             "WHEN 4 THEN 'internal' ELSE 'unspecified' END")
+    span_fields = ("'aa=' || vs || "
+                   "CASE WHEN t%6=0 THEN '' ELSE ',library.name=lib' END"
+                   " || ',library.version=1,n=' || CAST(t%9 AS VARCHAR)"
+                   " || ',rate=' || CAST(t%16 AS VARCHAR)"
+                   " || ',rr=r' || CAST(t%2 AS VARCHAR)")
+    return f"""WITH {{base}}
+SELECT {nul} AS annotation_type, {hcid} AS trace_id,
+       substr(md5(scrape_id), 1, 16) AS span_id,
+       CASE WHEN t%3<>0 THEN substr(md5(scrape_id), 17, 16) END
+           AS parent_id,
+       'sp' || CAST(t%3 AS VARCHAR) AS name, {nul} AS parent_name,
+       {nul} AS link_trace_id, {nul} AS link_span_id,
+       CAST(1500000000 + (t%50)*1000 AS DOUBLE) / 1000000.0
+           AS duration_ms,
+       CAST(t*1000000000 AS BIGINT) AS ts_ns,
+       {kinds} AS span_kind,
+       CAST(t%5 AS INT) AS status_code,
+       {status_msg} AS status_message,
+       CAST(t%16 AS BIGINT) AS sample_rate,
+       {span_fields} AS fields_s
+FROM base
+UNION ALL
+SELECT 'span_event', {hcid}, {nul},
+       substr(md5(scrape_id), 1, 16),
+       'ev' || CAST(t%2 AS VARCHAR), 'sp' || CAST(t%3 AS VARCHAR),
+       {nul}, {nul}, CAST(NULL AS DOUBLE),
+       CAST(t*1000000000 + 7 AS BIGINT), {nul}, CAST(NULL AS INT), {nul},
+       CAST(NULL AS BIGINT),
+       'aa=res-a,ek=v' || CAST(t%3 AS VARCHAR)
+           || ',rr=r' || CAST(t%2 AS VARCHAR)
+FROM base WHERE t%3 <> 1
+UNION ALL
+SELECT 'link', {hcid}, {nul},
+       substr(md5(scrape_id), 1, 16),
+       {nul}, {nul},
+       substr(md5(scrape_id || 'L'), 17, 16),
+       substr(md5(scrape_id || 'L'), 1, 16),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), {nul},
+       CAST(NULL AS INT), {nul},
+       CAST(7 AS BIGINT), 'lk=1,rate=7'
+FROM base WHERE t%4 = 0"""
+
+
+def _honeycomb_oracle_wrap(d: str) -> str:
+    return _honeycomb_oracle(d).replace("{base}", _base_sql(d))
+
+
+
 def scrape_queries() -> dict:
     return {
         "redis_info": q_redis_info,
@@ -1588,6 +1715,7 @@ def scrape_queries() -> dict:
         "dynatrace_lines": q_dynatrace,
         "sentry_transactions": q_sentry,
         "alibaba_logs": q_alibaba,
+        "honeycomb_events": q_honeycomb,
     }
 
 
@@ -1613,4 +1741,5 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "dynatrace_lines": _dynatrace_oracle(d),
         "sentry_transactions": _sentry_oracle_wrap(d),
         "alibaba_logs": _alibaba_oracle_wrap(d),
+        "honeycomb_events": _honeycomb_oracle_wrap(d),
     }
