@@ -486,11 +486,14 @@ def token_ngram_profile(df: DataFrame, n: int = 13,
       — no per-doc Python, no collect.
     """
     from pyspark.sql import Window
-    grams = df.select(
+    g = df.select(
         F.col(id_col).alias("id"),
-        F.coalesce(F.size(tokens_col), F.lit(0)).alias("n_tok"),
-        token_gram_hashes_udf(n)(F.col(tokens_col)).alias("ghs"))
-    g = grams.select("id", F.posexplode("ghs").alias("pos", "gh"))
+        F.posexplode(token_gram_hashes_udf(n)(F.col(tokens_col)))
+        .alias("pos", "gh"))
+    # g feeds both the dup aggregate and the join-back: two passes over
+    # the scan+UDF.  At 10^12 sequences persisting the exploded grams
+    # is infeasible, so the two-pass shape is the intended trade; the
+    # doc-side base below reads only size(tokens) — no third UDF pass.
     dup = (g.groupBy("gh")
            .agg(F.count_distinct("id").alias("nd"))
            .filter(F.col("nd") >= 2)
@@ -504,9 +507,11 @@ def token_ngram_profile(df: DataFrame, n: int = 13,
                .groupBy("id")
                .agg(F.count(F.lit(1)).alias("n_dup_grams"),
                     F.sum("cov").alias("covered_tokens")))
-    base = grams.select("id", "n_tok",
-                        F.greatest(F.col("n_tok") - F.lit(n - 1),
-                                   F.lit(0)).alias("n_grams"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.size(tokens_col), F.lit(0)).alias("n_tok")
+    ).withColumn("n_grams",
+                 F.greatest(F.col("n_tok") - F.lit(n - 1), F.lit(0)))
     out = (base.join(per_doc, "id", "left")
            .select("id", "n_tok", "n_grams",
                    F.coalesce("n_dup_grams", F.lit(0)).cast("bigint")
