@@ -179,3 +179,42 @@ def test_xray_translation_is_narrow(spark):
     df = spark.createDataFrame([], schema)
     plan = plan_of(make_xray_segments(df, now_epoch=1598500000))
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_ngram_profile_is_two_arrow_passes(spark):
+    # the gram UDF runs exactly twice (dup-aggregate side + join-back
+    # side) — the doc base must not re-derive counts through the UDF
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+        token_ngram_profile)
+    df = spark.createDataFrame([("d", [1, 2, 3])],
+                               "doc_id string, tokens array<int>")
+    plan = plan_of(token_ngram_profile(df, n=2))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
+    # dup detection is two-phase: partial count before the exchange
+    assert "partial_count" in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+        stratified_sample)
+    df = spark.createDataFrame([("d", "a")], "doc_id string, source string")
+    plan = plan_of(stratified_sample(df, {"a": 2.5}))
+    assert "Exchange" not in plan
+    assert "Generate" in plan          # the bounded copy explode
+
+
+def test_sentry_assembly_single_group_exchange(spark):
+    from opentelemetry_collector_contrib_spark.sinks.sentry import (
+        convert_spans, sentry_transactions)
+    df = spark.createDataFrame(
+        [("t", "s", "", "n", None, 0, 1, 1, "", {})],
+        "trace_id string, span_id string, parent_span_id string, "
+        "name string, kind string, start_ns long, end_ns long, "
+        "status_code int, status_message string, attrs map<string,string>")
+    plan = plan_of(sentry_transactions(convert_spans(df)))
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    # the no-root guard rides a broadcast, never a driver collect
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only hash exchanges are the trace grouping
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]*)", plan):
+        assert m.group(1).startswith("trace_id"), m.group(1)
