@@ -64,3 +64,45 @@ def rarity_scores(docs: DataFrame, rare_max_count: int = 2,
                 .otherwise(F.lit(0.0)))
             .select("id", "n_words", "n_rare", "rare_frac", "min_count",
                     "sum_count"))
+
+
+def tfidf_keywords(docs: DataFrame, top_k: int = 5,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   broadcast_vocab: bool = True) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top-k words by
+    ``tf * ln(N / df)`` (classic idf; ties broken by word asc).
+
+    Output: (id, rank, word, tf, df, score).  Documents whose words all
+    appear in every document (idf = 0) still emit rows — rank order
+    then falls back to the word tiebreak, deterministically.
+
+    Scale shape: ONE aggregation keyed by (doc, word) produces term
+    frequencies; document frequencies reduce that same frame keyed by
+    word (map-side combine on both); N arrives as a broadcast 1-row
+    aggregate (never a driver collect); the idf join is broadcast when
+    the vocabulary fits (post min-count pruning it usually does), else
+    a shuffle join on the word key; top-k is a rank window keyed by the
+    doc — O(doc) groups, uniform.
+    """
+    from pyspark.sql import Window
+    from .dedup import words_udf
+    words = docs.select(F.col(id_col).alias("id"),
+                        F.explode(words_udf(F.col(text_col))).alias("word"))
+    tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    n_docs = docs.agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (tf.join(dfreq, "word")
+              .join(F.broadcast(n_docs), how="cross")
+              .withColumn(
+                  "score",
+                  F.col("tf").cast("double")
+                  * F.log(F.col("n_docs").cast("double")
+                          / F.col("df").cast("double"))))
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(),
+                                         F.col("word").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("id", "rank", "word", "tf", "df", "score"))

@@ -375,6 +375,13 @@ def q_pii_scrub(spark, sf_dir, tok_dir):
             .select("doc_id", "scrubbed", "n_ip", "n_email"))
 
 
+def q_tfidf(spark, sf_dir):
+    """Per-doc TF-IDF top-5 keywords over the documents table."""
+    from .datapipe.lm_score import tfidf_keywords
+    return tfidf_keywords(_docs(spark, sf_dir).select("doc_id", "text"),
+                          top_k=5)
+
+
 def q_mix_sample(spark, sf_dir, tok_dir):
     """Training-mix construction: per-source quota sampling with
     deterministic upsampling (floor(f) copies + hash-gated remainder),
@@ -988,6 +995,29 @@ FROM read_parquet('{d}/media.parquet')""",
 
         "ring_route": _ring_oracle_sql(d),
 
+        "tfidf": f"""WITH d AS (
+  SELECT doc_id AS id, {WORDS_SQL} AS words FROM documents
+), w AS (
+  SELECT id, unnest(words) AS word FROM d
+), tf AS (
+  SELECT id, word, count(*)::BIGINT AS tf FROM w GROUP BY id, word
+), dfq AS (
+  SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), sc AS (
+  SELECT tf.id, tf.word, tf.tf, dfq.df,
+         CAST(tf.tf AS DOUBLE)
+         * ln(CAST(nd.n AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS score
+  FROM tf JOIN dfq USING (word), nd
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY score DESC, word ASC) AS rnk
+  FROM sc
+)
+SELECT id, CAST(rnk AS INT) AS rank, word, tf, df, score
+FROM r WHERE rnk <= 5""",
+
         "mix_sample": f"""WITH t AS (
   SELECT doc_id, source,
          CAST(('0x' || substr(md5('mix:' || doc_id), 1, 8)) AS BIGINT) AS h
@@ -1108,6 +1138,7 @@ def extra_queries(tok_dir_for) -> dict:
         "token_freq": with_tok(q_token_freq),
         "ngram_dedup": with_tok(q_ngram_dedup),
         "mix_sample": with_tok(q_mix_sample),
+        "tfidf": q_tfidf,
         "pii_scrub": with_tok(q_pii_scrub),
     } | {name: with_tok(fn)
          for name, fn in (scrape_queries() | k8s_queries()).items()}

@@ -353,3 +353,27 @@ def test_stratified_sample_quota_and_upsample(spark):
         sorted(map(tuple, again.collect()))
     with pytest.raises(ValueError):
         stratified_sample(df, {"a": -1.0})
+
+
+def test_tfidf_keywords_ranking(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.lm_score import (
+        tfidf_keywords)
+    import math
+    docs = [
+        ("a", "apple banana apple cherry"),
+        ("b", "banana cherry cherry"),
+        ("c", "apple durian"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {(r["id"], r["rank"]): r.asDict() for r in
+           tfidf_keywords(df, top_k=2).collect()}
+    # doc a: apple tf=2 df=2 score=2*ln(3/2); banana tf=1 df=2;
+    # cherry tf=1 df=2 -> apple first, banana beats cherry on the
+    # word tiebreak
+    assert got[("a", 1)]["word"] == "apple"
+    assert got[("a", 1)]["score"] == 2 * math.log(3 / 2)
+    assert got[("a", 2)]["word"] == "banana"
+    # doc c: durian df=1 idf=ln(3) outranks apple df=2
+    assert got[("c", 1)]["word"] == "durian"
+    assert got[("c", 1)]["df"] == 1
+    assert len([k for k in got if k[0] == "b"]) == 2
