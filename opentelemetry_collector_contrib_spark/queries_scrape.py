@@ -1693,6 +1693,86 @@ def _honeycomb_oracle_wrap(d: str) -> str:
 
 
 
+
+# ---------------------------------------------------------------------------
+# newrelic exporter (sinks/newrelic.py)
+# ---------------------------------------------------------------------------
+
+def q_newrelic(spark, sf_dir, tok_dir) -> DataFrame:
+    """New Relic span battery: invalid-id drops, Unset-code absence,
+    OK/ERROR/decimal status rendering, desc-needs-code-and-message,
+    conditional instrumentation fields, span-attr overlay, and the
+    collector.name/version final override (even over a spoofed span
+    attr)."""
+    from .sinks.newrelic import newrelic_spans
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    h = F.md5(F.col("scrape_id"))
+    kinds = ["client", "server", "producer", "consumer", "internal",
+             "unspecified"]
+    spans = b.select(
+        F.when(t % 13 != 0,
+               F.md5(F.concat(F.col("scrape_id"), F.lit("T"))))
+        .otherwise(F.lit("")).alias("trace_id"),
+        F.when(t % 17 != 0, F.substring(h, 1, 16))
+        .otherwise(F.lit("")).alias("span_id"),
+        F.when(t % 3 != 0, F.substring(h, 17, 16)).alias("parent_span_id"),
+        F.concat(F.lit("sp"), _s(t % 3)).alias("name"),
+        F.element_at(F.array(*[F.lit(k) for k in kinds]),
+                     (t % 6 + 1).cast("int")).alias("kind"),
+        (t * 1000000000).cast("long").alias("start_ns"),
+        (t * 1000000000 + 2000000 + t % 9).cast("long").alias("end_ns"),
+        (t % 4).cast("int").alias("status_code"),
+        F.when(t % 5 == 0, F.lit("boom")).otherwise(F.lit(""))
+        .alias("status_message"),
+        F.create_map(F.lit("aa"), F.col("vs"),
+                     F.lit("collector.name"), F.lit("spoof")).alias("attrs"),
+        F.create_map(F.lit("aa"), F.lit("res"),
+                     F.lit("service.name"), F.lit("svc")).alias("resource"),
+        F.when(t % 6 == 0, F.lit("")).otherwise(F.lit("lib"))
+        .alias("lib_name"),
+        F.when(t % 8 == 0, F.lit("")).otherwise(F.lit("1.0"))
+        .alias("lib_version"),
+        (t % 4).cast("int").alias("n_events"))
+    return newrelic_spans(spans)
+
+
+def _newrelic_oracle(d: str) -> str:
+    attrs = """'aa=' || vs
+ || ',collector.name=opentelemetry-collector,collector.version=0.0.0'
+ || CASE WHEN t%6=0 THEN ''
+         ELSE ',instrumentation.name=lib'
+              || CASE WHEN t%8=0 THEN ''
+                      ELSE ',instrumentation.version=1.0' END END
+ || CASE WHEN t%4=0 THEN ''
+         ELSE ',otel.status_code='
+              || CASE t%4 WHEN 1 THEN 'OK' WHEN 2 THEN 'ERROR'
+                          ELSE '3' END END
+ || CASE WHEN t%4<>0 AND t%5=0 THEN ',otel.status_description=boom'
+         ELSE '' END
+ || ',service.name=svc'
+ || CASE t%6 WHEN 0 THEN ',span.kind=client' WHEN 1 THEN ',span.kind=server'
+             WHEN 2 THEN ',span.kind=producer'
+             WHEN 3 THEN ',span.kind=consumer'
+             WHEN 4 THEN ',span.kind=internal' ELSE '' END"""
+    return f"""WITH {{base}}
+SELECT md5(scrape_id || 'T') AS trace_id,
+       substr(md5(scrape_id), 1, 16) AS span_id,
+       CASE WHEN t%3<>0 THEN substr(md5(scrape_id), 17, 16)
+            ELSE '' END AS parent_id,
+       'sp' || CAST(t%3 AS VARCHAR) AS name,
+       CAST(t*1000000000 AS BIGINT) AS ts_ns,
+       CAST(2000000 + t%9 AS BIGINT) AS duration_ns,
+       CAST(t%4 AS INT) AS n_events,
+       {attrs} AS attrs_s
+FROM base WHERE t%13 <> 0 AND t%17 <> 0"""
+
+
+def _newrelic_oracle_wrap(d: str) -> str:
+    return _newrelic_oracle(d).replace("{base}", _base_sql(d))
+
+
+
 def scrape_queries() -> dict:
     return {
         "redis_info": q_redis_info,
@@ -1716,6 +1796,7 @@ def scrape_queries() -> dict:
         "sentry_transactions": q_sentry,
         "alibaba_logs": q_alibaba,
         "honeycomb_events": q_honeycomb,
+        "newrelic_spans": q_newrelic,
     }
 
 
@@ -1742,4 +1823,5 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "sentry_transactions": _sentry_oracle_wrap(d),
         "alibaba_logs": _alibaba_oracle_wrap(d),
         "honeycomb_events": _honeycomb_oracle_wrap(d),
+        "newrelic_spans": _newrelic_oracle_wrap(d),
     }
