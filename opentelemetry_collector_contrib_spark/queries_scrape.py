@@ -1773,6 +1773,89 @@ def _newrelic_oracle_wrap(d: str) -> str:
 
 
 
+
+# ---------------------------------------------------------------------------
+# elastic exporter exceptions (operators/elastic.py)
+# ---------------------------------------------------------------------------
+
+def q_elastic(spark, sf_dir, tok_dir) -> DataFrame:
+    """Elastic APM exception battery over synthesized Java stacktraces:
+    a simple trace, a Caused-by chain with a '... 1 more' frame copy,
+    a malformed trace (raw-attribute fallback), and a non-java
+    language fallback; empty messages render [EMPTY]."""
+    from .operators.elastic import exception_errors
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    line_no = (10 + t % 5).cast("string")
+    v0 = F.concat(
+        F.lit("java.lang.RuntimeException: x\n"
+              "\tat com.example/app.Main.run(Main.java:"),
+        line_no, F.lit(")\n\tat app.Util.call(Util.java)\n"))
+    v1 = F.concat(
+        v0, F.lit("Caused by: java.io.IOException: io"), _s(t % 4),
+        F.lit("\n\tat app.IO.read(IO.java:7)\n\t... 1 more\n"))
+    v2 = F.lit("Exception\n\tgarbage line\n")
+    st = (F.when(t % 3 == 0, v0).when(t % 3 == 1, v1).otherwise(v2))
+    rows = b.select(
+        (t * 1000000000).cast("long").alias("ts_ns"),
+        F.md5(F.concat(F.col("scrape_id"), F.lit("T"))).alias("trace_id"),
+        F.substring(F.md5(F.col("scrape_id")), 1, 16).alias("span_id"),
+        F.concat(F.lit("T"), _s(t % 3)).alias("exc_type"),
+        F.when(t % 6 == 0, F.lit("")).otherwise(F.lit("m")).alias("exc_message"),
+        st.alias("exc_stacktrace"),
+        (t % 2 == 0).alias("exc_escaped"),
+        F.when(t % 9 == 0, F.lit("go")).otherwise(F.lit("java"))
+        .alias("language"))
+    return exception_errors(rows)
+
+
+def _elastic_oracle(d: str) -> str:
+    line_no = "CAST(10 + t%5 AS VARCHAR)"
+    v0 = ("'java.lang.RuntimeException: x' || chr(10) "
+          "|| chr(9) || 'at com.example/app.Main.run(Main.java:' || "
+          + line_no +
+          " || ')' || chr(10) || chr(9) || 'at app.Util.call(Util.java)'"
+          " || chr(10)")
+    v1 = (v0 + " || 'Caused by: java.io.IOException: io' "
+          "|| CAST(t%4 AS VARCHAR) || chr(10) "
+          "|| chr(9) || 'at app.IO.read(IO.java:7)' || chr(10) "
+          "|| chr(9) || '... 1 more' || chr(10)")
+    v2 = "'Exception' || chr(10) || chr(9) || 'garbage line' || chr(10)"
+    raw = (f"CASE WHEN t%3=0 THEN {v0} WHEN t%3=1 THEN {v1} "
+           f"ELSE {v2} END")
+    frames0 = ("'com.example|app.Main|run|Main.java|' || " + line_no +
+               " || ';|app.Util|call|Util.java|0'")
+    frames1 = ("'|app.IO|read|IO.java|7;|app.Util|call|Util.java|0'")
+    msg0 = "CASE WHEN t%6=0 THEN '[EMPTY]' ELSE 'm' END"
+    NUL = "CAST(NULL AS VARCHAR)"
+    common = ("CAST(t*1000000000 AS BIGINT) AS ts_ns, "
+              "md5(scrape_id || 'T') AS trace_id, "
+              "substr(md5(scrape_id), 1, 16) AS span_id")
+    return f"""WITH {{base}}
+-- parsed outer rows (java, variants 0 and 1)
+SELECT {common}, 0 AS depth, 'T' || CAST(t%3 AS VARCHAR) AS type,
+       {msg0} AS message, (t%2 <> 0) AS handled,
+       CAST(2 AS INT) AS n_frames, {frames0} AS frames_s,
+       {NUL} AS raw_stacktrace
+FROM base WHERE t%9 <> 0 AND t%3 IN (0, 1)
+UNION ALL
+-- cause rows (variant 1)
+SELECT {common}, 1, {NUL},
+       'java.io.IOException: io' || CAST(t%4 AS VARCHAR), (t%2 <> 0),
+       CAST(2 AS INT), {frames1}, {NUL}
+FROM base WHERE t%9 <> 0 AND t%3 = 1
+UNION ALL
+-- fallbacks: malformed (variant 2) or non-java language
+SELECT {common}, 0, 'T' || CAST(t%3 AS VARCHAR), {msg0}, (t%2 <> 0),
+       CAST(NULL AS INT), {NUL}, {raw}
+FROM base WHERE t%9 = 0 OR t%3 = 2"""
+
+
+def _elastic_oracle_wrap(d: str) -> str:
+    return _elastic_oracle(d).replace("{base}", _base_sql(d))
+
+
+
 def scrape_queries() -> dict:
     return {
         "redis_info": q_redis_info,
@@ -1797,6 +1880,7 @@ def scrape_queries() -> dict:
         "alibaba_logs": q_alibaba,
         "honeycomb_events": q_honeycomb,
         "newrelic_spans": q_newrelic,
+        "elastic_errors": q_elastic,
     }
 
 
@@ -1824,4 +1908,5 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "alibaba_logs": _alibaba_oracle_wrap(d),
         "honeycomb_events": _honeycomb_oracle_wrap(d),
         "newrelic_spans": _newrelic_oracle_wrap(d),
+        "elastic_errors": _elastic_oracle_wrap(d),
     }
