@@ -189,3 +189,224 @@ def exception_errors(df: DataFrame) -> DataFrame:
                     F.lit(None).cast("string").alias("frames_s"),
                     F.col("exc_stacktrace").alias("raw_stacktrace")))
     return parsed.unionByName(fallback)
+
+
+# ---------------------------------------------------------------------------
+# span / transaction mapping (translator/elastic/traces.go)
+# ---------------------------------------------------------------------------
+
+def _url_parts(url):
+    """Split a well-formed absolute-or-relative http(s) URL into
+    (scheme, hostport, path, query) Columns — the url.Parse subset the
+    synthesized/contracted inputs use (no IPv6 literals, no userinfo)."""
+    is_abs = url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    scheme = F.when(is_abs,
+                    F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.when(is_abs,
+                      F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    path = F.when(is_abs,
+                  F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)) \
+        .otherwise(F.regexp_extract(url, r"^([^?#]*)", 1))
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    return scheme, hostport, path, query
+
+
+def _hostname(hostport):
+    return F.regexp_extract(hostport, r"^([^:]*)", 1)
+
+
+def _port_str(hostport):
+    return F.regexp_extract(hostport, r":([0-9]+)$", 1)
+
+
+def _default_port(scheme):
+    """schemeDefaultPort (traces.go:607-615)."""
+    return (F.when(scheme == "http", F.lit(80))
+            .when(scheme == "https", F.lit(443)).otherwise(F.lit(0)))
+
+
+def elastic_spans(df: DataFrame) -> DataFrame:
+    """EncodeSpan (traces.go:38-98): root spans and SERVER spans become
+    transactions; everything else becomes a span.
+
+    Mirrored semantics (attribute inputs arrive key-flattened):
+    - outcome: status 1→success, 2→failure, else '' (:616-625);
+      transaction result OK/Error (:195-200);
+    - transaction type 'request' when any request attribute is present
+      (method/url/target/host/scheme/flavor/server_name), else
+      'unknown' (:202-204); URL protocol failsafe 'http' (:205-210);
+      hostname/port fall back to net.host.* (:211-216); socket remote
+      address from net.peer.ip [+port] (:217-223).  The reference
+      iterates a Go map, so conflicting attrs (http.url host vs
+      http.host) resolve nondeterministically there; here precedence is
+      fixed: absolute http.url > http.host > http.server_name;
+    - span type app / external+http / db (:292-351); URL host composed
+      from net.peer.name|ip [+port] when the URL lacks one (:313-326);
+      destination.address = URL hostname else net.peer.name else
+      net.peer.ip, destination.port = URL port else scheme default
+      (:286-290, :305-312); destination.service URL/resource with the
+      default-port rules of elastic/apm#180 (:328-338): an explicit
+      default port is stripped from the service URL, an implicit one
+      is appended to the resource; db spans overwrite the destination
+      service with db.system (:340-347).
+    """
+    root = F.coalesce(F.col("parent_span_id"), F.lit("")) == ""
+    is_tx = root | (F.lower(F.coalesce(F.col("kind"), F.lit(""))) == "server")
+    code = F.col("status_code")
+    outcome = (F.when(code == 1, F.lit("success"))
+               .when(code == 2, F.lit("failure")).otherwise(F.lit("")))
+    duration_ms = ((F.col("end_ns") - F.col("start_ns")).cast("double")
+                   / F.lit(1_000_000.0))
+
+    url = F.coalesce(F.col("http_url"), F.col("http_target"))
+    u_scheme, u_hostport, u_path, u_query = _url_parts(url)
+    has_url_ctx = (F.col("http_url").isNotNull()
+                   | F.col("http_target").isNotNull()
+                   | F.col("http_scheme").isNotNull()
+                   | F.col("http_host").isNotNull())
+
+    # ---- transaction side --------------------------------------------------
+    req_present = (F.col("http_method").isNotNull()
+                   | F.col("http_url").isNotNull()
+                   | F.col("http_target").isNotNull()
+                   | F.col("http_host").isNotNull()
+                   | F.col("http_scheme").isNotNull()
+                   | F.col("http_flavor").isNotNull()
+                   | F.col("http_server_name").isNotNull())
+    tx_type = F.when(req_present, F.lit("request")).otherwise(F.lit("unknown"))
+    tx_proto = F.coalesce(u_scheme, F.col("http_scheme"))
+    tx_proto = F.when(req_present,
+                      F.when(F.coalesce(tx_proto, F.lit("")) == "",
+                             F.lit("http")).otherwise(tx_proto))
+    tx_hostname0 = F.coalesce(
+        F.when(F.coalesce(_hostname(u_hostport), F.lit("")) != "",
+               _hostname(u_hostport)),
+        F.when(F.col("http_host").isNotNull(),
+               _hostname(F.col("http_host"))),
+        F.col("http_server_name"))
+    tx_hostname = F.when(req_present,
+                         F.when(F.coalesce(tx_hostname0, F.lit("")) == "",
+                                F.col("net_host_name"))
+                         .otherwise(tx_hostname0))
+    tx_port0 = F.coalesce(
+        F.when(F.coalesce(_port_str(u_hostport), F.lit("")) != "",
+               _port_str(u_hostport)),
+        F.when(F.col("http_host").isNotNull(),
+               F.when(_port_str(F.col("http_host")) != "",
+                      _port_str(F.col("http_host")))))
+    tx_port = F.when(req_present,
+                     F.when(F.coalesce(tx_port0, F.lit("")) == "",
+                            F.when(F.col("net_host_port") > 0,
+                                   F.col("net_host_port").cast("string")))
+                     .otherwise(tx_port0))
+    remote = F.when(req_present & F.col("net_peer_ip").isNotNull(),
+                    F.when(F.col("net_peer_port") > 0,
+                           F.concat(F.col("net_peer_ip"), F.lit(":"),
+                                    F.col("net_peer_port").cast("string")))
+                    .otherwise(F.col("net_peer_ip")))
+
+    # ---- span side ---------------------------------------------------------
+    http_present = (has_url_ctx | F.col("http_status_code").isNotNull())
+    sp_scheme0 = F.coalesce(u_scheme, F.col("http_scheme"))
+    sp_scheme = F.when(F.coalesce(sp_scheme0, F.lit("")) == "",
+                       F.lit("http")).otherwise(sp_scheme0)
+    url_host0 = F.coalesce(
+        F.when(F.coalesce(u_hostport, F.lit("")) != "", u_hostport),
+        F.col("http_host"))
+    peer_addr = F.coalesce(
+        F.when(F.coalesce(F.col("net_peer_name"), F.lit("")) != "",
+               F.col("net_peer_name")), F.col("net_peer_ip"))
+    peer_port = F.coalesce(F.col("net_peer_port"), F.lit(0))
+    composed_host = F.when(
+        peer_port > 0,
+        F.concat(peer_addr, F.lit(":"), peer_port.cast("string"))
+    ).otherwise(peer_addr)
+    url_host = F.coalesce(
+        url_host0,
+        F.when(F.coalesce(peer_addr, F.lit("")) != "", composed_host))
+    url_has_explicit_port = F.coalesce(_port_str(url_host), F.lit("")) != ""
+    dest_port = (
+        F.when(F.coalesce(url_host0, F.lit("")) != "",
+               F.when(url_has_explicit_port,
+                      _port_str(url_host0).cast("int"))
+               .otherwise(_default_port(sp_scheme)))
+        .when(F.coalesce(peer_addr, F.lit("")) != "",
+              F.when(peer_port > 0, peer_port)
+              .otherwise(_default_port(sp_scheme)))
+        .otherwise(peer_port))
+    dest_addr = F.when(F.coalesce(url_host0, F.lit("")) != "",
+                       _hostname(url_host0)).otherwise(peer_addr)
+    # destination.service rules (traces.go:328-338)
+    is_default_port = (dest_port != 0) & (dest_port == _default_port(sp_scheme))
+    svc_url = F.when(
+        is_default_port & url_has_explicit_port,
+        F.concat(sp_scheme, F.lit("://"), _hostname(url_host))
+    ).otherwise(F.concat(sp_scheme, F.lit("://"), url_host))
+    svc_resource = F.when(
+        is_default_port & ~url_has_explicit_port,
+        F.concat(url_host, F.lit(":"), dest_port.cast("string"))
+    ).otherwise(url_host)
+
+    db_present = (F.col("db_system").isNotNull()
+                  | F.col("db_name").isNotNull()
+                  | F.col("db_statement").isNotNull()
+                  | F.col("db_user").isNotNull())
+    span_type = (F.when(db_present, F.lit("db"))
+                 .when(http_present, F.lit("external"))
+                 .otherwise(F.lit("app")))
+    span_subtype = (F.when(db_present, F.col("db_system"))
+                    .when(http_present, F.lit("http")))
+    has_svc = has_url_ctx | (db_present
+                             & (F.coalesce(F.col("db_system"),
+                                           F.lit("")) != ""))
+    dest_service_name = F.when(
+        db_present, F.when(F.coalesce(F.col("db_system"), F.lit("")) != "",
+                           F.col("db_system"))
+    ).otherwise(F.when(has_url_ctx & url_host.isNotNull(), svc_url))
+    dest_service_resource = F.when(
+        db_present, F.when(F.coalesce(F.col("db_system"), F.lit("")) != "",
+                           F.col("db_system"))
+    ).otherwise(F.when(has_url_ctx & url_host.isNotNull(), svc_resource))
+    final_dest_addr = F.when(has_url_ctx & url_host.isNotNull(), dest_addr) \
+        .otherwise(F.when(F.coalesce(peer_addr, F.lit("")) != "", peer_addr))
+    final_dest_port = F.when(has_url_ctx & url_host.isNotNull(), dest_port) \
+        .otherwise(F.when(F.coalesce(peer_addr, F.lit("")) != "", peer_port))
+
+    NS = F.lit(None).cast("string")
+    NI = F.lit(None).cast("int")
+    tx = df.filter(is_tx).select(
+        F.lit("transaction").alias("kind_row"),
+        "trace_id", "span_id",
+        F.coalesce(F.col("parent_span_id"), F.lit("")).alias("parent_id"),
+        "name", F.col("start_ns").cast("bigint").alias("ts_ns"),
+        duration_ms.alias("duration_ms"), outcome.alias("outcome"),
+        F.when(code == 1, F.lit("OK")).when(code == 2, F.lit("Error"))
+        .alias("result"),
+        tx_type.alias("tx_type"),
+        tx_proto.alias("url_protocol"), tx_hostname.alias("url_hostname"),
+        tx_port.alias("url_port"),
+        F.when(req_present & url.isNotNull(), u_path).alias("url_path"),
+        F.when(req_present & url.isNotNull(), u_query).alias("url_search"),
+        F.col("http_status_code").cast("int").alias("status_code"),
+        F.col("http_flavor").alias("http_version"),
+        remote.alias("remote_addr"),
+        NS.alias("span_type"), NS.alias("span_subtype"),
+        NS.alias("dest_addr"), NI.alias("dest_port"),
+        NS.alias("dest_service_name"), NS.alias("dest_service_resource"))
+    sp = df.filter(~is_tx).select(
+        F.lit("span").alias("kind_row"),
+        "trace_id", "span_id",
+        F.coalesce(F.col("parent_span_id"), F.lit("")).alias("parent_id"),
+        "name", F.col("start_ns").cast("bigint").alias("ts_ns"),
+        duration_ms.alias("duration_ms"), outcome.alias("outcome"),
+        NS.alias("result"), NS.alias("tx_type"),
+        NS.alias("url_protocol"), NS.alias("url_hostname"),
+        NS.alias("url_port"), NS.alias("url_path"), NS.alias("url_search"),
+        F.col("http_status_code").cast("int").alias("status_code"),
+        NS.alias("http_version"), NS.alias("remote_addr"),
+        span_type.alias("span_type"), span_subtype.alias("span_subtype"),
+        final_dest_addr.alias("dest_addr"),
+        final_dest_port.cast("int").alias("dest_port"),
+        dest_service_name.alias("dest_service_name"),
+        dest_service_resource.alias("dest_service_resource"))
+    return tx.unionByName(sp)

@@ -1856,6 +1856,172 @@ def _elastic_oracle_wrap(d: str) -> str:
 
 
 
+
+# ---------------------------------------------------------------------------
+# elastic exporter spans/transactions (operators/elastic.py)
+# ---------------------------------------------------------------------------
+
+def q_elastic_spans(spark, sf_dir, tok_dir) -> DataFrame:
+    """Elastic APM span/transaction battery: nine variants cycling
+    through root/server transactions (absolute URL, target+host
+    composition, net.* fallbacks, the no-request 'unknown' type) and
+    client spans (implicit/explicit default-port destination rules,
+    peer-composed URL hosts, db destination overwrite, bare app
+    spans)."""
+    from .operators.elastic import elastic_spans
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    h = F.md5(F.col("scrape_id"))
+    v = (t % 9).cast("int")
+    NS = F.lit(None).cast("string")
+    NL = F.lit(None).cast("long")
+    NI = F.lit(None).cast("int")
+    port0 = (8000 + t % 100).cast("string")
+
+    def when_v(n, col, els):
+        return F.when(v == n, col).otherwise(els)
+
+    rows = b.select(
+        F.lit("T").alias("trace_id"),
+        F.substring(h, 1, 16).alias("span_id"),
+        F.when(~v.isin(0, 2, 3), F.substring(h, 17, 16))
+        .alias("parent_span_id"),
+        F.concat(F.lit("nm"), _s(t % 3)).alias("name"),
+        F.when(v == 1, F.lit("server")).when(v == 2, F.lit("internal"))
+        .otherwise(F.lit("client")).alias("kind"),
+        (t * 1000000000).cast("long").alias("start_ns"),
+        (t * 1000000000 + 2000000 + (t % 5) * 1000).cast("long")
+        .alias("end_ns"),
+        (t % 3).cast("int").alias("status_code"),
+        F.when(v == 0, F.lit("GET")).when(v == 2, F.lit("POST"))
+        .alias("http_method"),
+        F.when(v == 0, F.concat(F.lit("https://ex.com:"), port0,
+                                F.lit("/a/b?q="), _s(t % 3)))
+        .when(v == 4, F.concat(F.lit("http://svc"), _s(t % 4),
+                               F.lit(".io/api?z=3")))
+        .when(v == 5, F.concat(F.lit("https://svc"), _s(t % 4),
+                               F.lit(".io:443/x")))
+        .alias("http_url"),
+        F.when(v == 1, F.concat(F.lit("/p"), _s(t % 4), F.lit("?x=2")))
+        .when(v == 6, F.lit("/only")).alias("http_target"),
+        F.when(v == 1, F.concat(F.lit("h"), _s(t % 2), F.lit(".com:8080")))
+        .alias("http_host"),
+        F.when(v.isin(1, 6), F.lit("http")).alias("http_scheme"),
+        F.when(v == 0, 200 + t % 100).cast("long").alias("http_status_code"),
+        F.when(v == 0, F.lit("1.1")).alias("http_flavor"),
+        NS.alias("http_server_name"),
+        F.when(v == 6, F.concat(F.lit("np"), _s(t % 3)))
+        .alias("net_peer_name"),
+        F.when(v == 2, F.concat(F.lit("9.9.9."), _s(t % 250)))
+        .when(v == 7, F.lit("1.2.3.4")).alias("net_peer_ip"),
+        F.when(v == 2, (t % 5).cast("int"))
+        .when(v == 6, F.lit(9000)).cast("int").alias("net_peer_port"),
+        F.when(v == 2, F.concat(F.lit("nh"), _s(t % 3)))
+        .alias("net_host_name"),
+        F.when(v == 2, (8000 + t % 7).cast("int")).cast("int")
+        .alias("net_host_port"),
+        F.when(v == 7, F.when(t % 2 == 0, F.lit("mysql"))
+               .otherwise(F.lit("pg"))).alias("db_system"),
+        F.when(v == 7, F.lit("d1")).alias("db_name"),
+        NS.alias("db_statement"), NS.alias("db_user"))
+    return elastic_spans(rows)
+
+
+def _elastic_spans_oracle(d: str) -> str:
+    NS = "CAST(NULL AS VARCHAR)"
+    NI = "CAST(NULL AS INT)"
+    dur = "CAST(2000000 + (t%5)*1000 AS DOUBLE) / 1000000.0"
+    outc = ("CASE t%3 WHEN 1 THEN 'success' WHEN 2 THEN 'failure' "
+            "ELSE '' END")
+    res = "CASE t%3 WHEN 1 THEN 'OK' WHEN 2 THEN 'Error' ELSE NULL END"
+    cols = ("kind_row, trace_id, span_id, parent_id, name, ts_ns, "
+            "duration_ms, outcome, result, tx_type, url_protocol, "
+            "url_hostname, url_port, url_path, url_search, status_code, "
+            "http_version, remote_addr, span_type, span_subtype, "
+            "dest_addr, dest_port, dest_service_name, "
+            "dest_service_resource")
+
+    def row(v, kind_row, parent, body, where=""):
+        return (f"SELECT '{kind_row}' AS kind_row, 'T' AS trace_id, "
+                f"substr(md5(scrape_id),1,16) AS span_id, {parent} AS "
+                f"parent_id, 'nm' || CAST(t%3 AS VARCHAR) AS name, "
+                f"CAST(t*1000000000 AS BIGINT) AS ts_ns, {dur} AS "
+                f"duration_ms, {outc} AS outcome, {body} "
+                f"FROM base WHERE t%9 = {v}{where}")
+
+    par = "substr(md5(scrape_id),17,16)"
+    tx_tail = ("{res} AS result, '{ttype}' AS tx_type, {proto} AS "
+               "url_protocol, {host} AS url_hostname, {port} AS url_port, "
+               "{path} AS url_path, {search} AS url_search, {sc} AS "
+               "status_code, {flavor} AS http_version, {remote} AS "
+               "remote_addr, " + NS + " AS span_type, " + NS +
+               " AS span_subtype, " + NS + " AS dest_addr, " + NI +
+               " AS dest_port, " + NS + " AS dest_service_name, " + NS +
+               " AS dest_service_resource")
+    sp_tail = (f"{NS} AS result, {NS} AS tx_type, {NS} AS url_protocol, "
+               f"{NS} AS url_hostname, {NS} AS url_port, {NS} AS url_path, "
+               f"{NS} AS url_search, {NI} AS status_code, {NS} AS "
+               "http_version, " + NS + " AS remote_addr, '{stype}' AS "
+               "span_type, {sub} AS span_subtype, {addr} AS dest_addr, "
+               "{dport} AS dest_port, {sname} AS dest_service_name, "
+               "{sres} AS dest_service_resource")
+
+    parts = [
+        row(0, "transaction", "''", tx_tail.format(
+            res=res, ttype="request", proto="'https'",
+            host="'ex.com'", port="CAST(8000 + t%100 AS VARCHAR)",
+            path="'/a/b'", search="'q=' || CAST(t%3 AS VARCHAR)",
+            sc="CAST(200 + t%100 AS INT)", flavor="'1.1'", remote=NS)),
+        row(1, "transaction", par, tx_tail.format(
+            res=res, ttype="request", proto="'http'",
+            host="'h' || CAST(t%2 AS VARCHAR) || '.com'", port="'8080'",
+            path="'/p' || CAST(t%4 AS VARCHAR)", search="'x=2'",
+            sc=NI, flavor=NS, remote=NS)),
+        row(2, "transaction", "''", tx_tail.format(
+            res=res, ttype="request", proto="'http'",
+            host="'nh' || CAST(t%3 AS VARCHAR)",
+            port="CAST(8000 + t%7 AS VARCHAR)", path=NS, search=NS,
+            sc=NI, flavor=NS,
+            remote=("'9.9.9.' || CAST(t%250 AS VARCHAR) || "
+                    "CASE WHEN t%5 > 0 THEN ':' || CAST(t%5 AS VARCHAR) "
+                    "ELSE '' END"))),
+        row(3, "transaction", "''", tx_tail.format(
+            res=res, ttype="unknown", proto=NS, host=NS, port=NS,
+            path=NS, search=NS, sc=NI, flavor=NS, remote=NS)),
+        row(4, "span", par, sp_tail.format(
+            stype="external", sub="'http'",
+            addr="'svc' || CAST(t%4 AS VARCHAR) || '.io'", dport="80",
+            sname="'http://svc' || CAST(t%4 AS VARCHAR) || '.io'",
+            sres="'svc' || CAST(t%4 AS VARCHAR) || '.io:80'")),
+        row(5, "span", par, sp_tail.format(
+            stype="external", sub="'http'",
+            addr="'svc' || CAST(t%4 AS VARCHAR) || '.io'", dport="443",
+            sname="'https://svc' || CAST(t%4 AS VARCHAR) || '.io'",
+            sres="'svc' || CAST(t%4 AS VARCHAR) || '.io:443'")),
+        row(6, "span", par, sp_tail.format(
+            stype="external", sub="'http'",
+            addr="'np' || CAST(t%3 AS VARCHAR)", dport="9000",
+            sname="'http://np' || CAST(t%3 AS VARCHAR) || ':9000'",
+            sres="'np' || CAST(t%3 AS VARCHAR) || ':9000'")),
+        row(7, "span", par, sp_tail.format(
+            stype="db",
+            sub="CASE WHEN t%2=0 THEN 'mysql' ELSE 'pg' END",
+            addr="'1.2.3.4'", dport="0",
+            sname="CASE WHEN t%2=0 THEN 'mysql' ELSE 'pg' END",
+            sres="CASE WHEN t%2=0 THEN 'mysql' ELSE 'pg' END")),
+        row(8, "span", par, sp_tail.format(
+            stype="app", sub=NS, addr=NS, dport=NI, sname=NS, sres=NS)),
+    ]
+    body = "\nUNION ALL\n".join(parts)
+    return f"""WITH {{base}}
+{body}"""
+
+
+def _elastic_spans_oracle_wrap(d: str) -> str:
+    return _elastic_spans_oracle(d).replace("{base}", _base_sql(d))
+
+
+
 def scrape_queries() -> dict:
     return {
         "redis_info": q_redis_info,
@@ -1881,6 +2047,7 @@ def scrape_queries() -> dict:
         "honeycomb_events": q_honeycomb,
         "newrelic_spans": q_newrelic,
         "elastic_errors": q_elastic,
+        "elastic_spans": q_elastic_spans,
     }
 
 
@@ -1909,4 +2076,5 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "honeycomb_events": _honeycomb_oracle_wrap(d),
         "newrelic_spans": _newrelic_oracle_wrap(d),
         "elastic_errors": _elastic_oracle_wrap(d),
+        "elastic_spans": _elastic_spans_oracle_wrap(d),
     }
