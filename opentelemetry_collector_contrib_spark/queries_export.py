@@ -1,0 +1,630 @@
+"""Driver-contract queries for the round-2b exporter analogs.
+
+Same house pattern as queries_scrape: span batteries are synthesized
+deterministically from the DISTINCT carbon lines (``t`` = epoch field,
+``vs`` = value string), the Spark side runs the real sink
+transformation, and the DuckDB oracle derives the expected *output*
+directly from (t, vs) from first principles — it never re-runs the
+translation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_scrape import _base, _base_sql, _s
+
+
+def _omap_s(*entries):
+    """map<string,string> from (cond, key, val) triples; cond None = always."""
+    parts = []
+    empty = F.expr("cast(map() as map<string,string>)")
+    for cond, key, val in entries:
+        m = F.create_map(F.lit(key), val)
+        parts.append(m if cond is None else F.when(cond, m).otherwise(empty))
+    return F.map_concat(*parts) if parts else empty
+
+
+def _omap_l(*entries):
+    parts = []
+    empty = F.expr("cast(map() as map<string,bigint>)")
+    for cond, key, val in entries:
+        m = F.create_map(F.lit(key), val.cast("long"))
+        parts.append(m if cond is None else F.when(cond, m).otherwise(empty))
+    return F.map_concat(*parts) if parts else empty
+
+
+# ---------------------------------------------------------------------------
+# azuremonitor exporter (sinks/azuremonitor.py)
+# ---------------------------------------------------------------------------
+
+def q_azure(spark, sf_dir, tok_dir) -> DataFrame:
+    """Azure Monitor envelope battery: all 7 span kinds x 5 span types
+    (http/rpc/db/messaging/unknown, faas rows dropped), the 4-branch
+    URL preference chains incl. a port-0 fallback-to-http.url row, the
+    request-db no-copy quirk, RFC3339Nano fraction trimming, day-scale
+    durations, enum-name status properties with decimal out-of-range,
+    resource/lib property overlays, and 1024-char name truncation."""
+    from .sinks.azuremonitor import azure_envelopes
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    h = F.md5(F.col("scrape_id"))
+    kinds = ["server", "consumer", "client", "producer", "internal",
+             "unspecified", ""]
+    ty = t % 5
+    u = t % 4
+    name = F.when(t % 97 == 0, F.expr("repeat('x', 1030)")) \
+        .otherwise(F.concat(F.lit("nm"), _s(t % 10)))
+    attrs = F.map_concat(
+        # http
+        _omap_s((ty == 0, "http.method", F.lit("GET"))),
+        _omap_s(((ty == 0) & (t % 3 == 0), "http.route",
+                 F.concat(F.lit("r"), _s(t % 4)))),
+        _omap_s(((ty == 0) & (t % 3 == 1), "http.route",
+                 F.concat(F.lit("/s"), _s(t % 4)))),
+        _omap_s(((ty == 0) & (u == 0), "http.scheme", F.lit("http")),
+                ((ty == 0) & (u == 0), "http.host",
+                 F.concat(F.lit("h"), _s(t % 5))),
+                ((ty == 0) & (u == 0), "http.target",
+                 F.concat(F.lit("tg"), _s(t % 7)))),
+        _omap_s(((ty == 0) & (u == 1), "http.scheme", F.lit("https")),
+                ((ty == 0) & (u == 1), "http.server_name", F.lit("sn")),
+                ((ty == 0) & (u == 1), "http.target",
+                 F.concat(F.lit("/tp"), _s(t % 7))),
+                ((ty == 0) & (u == 1), "http.url",
+                 F.lit("http://fb.example/z"))),
+        _omap_s(((ty == 0) & (u == 2), "http.scheme", F.lit("https")),
+                ((ty == 0) & (u == 2), "net.host.name", F.lit("nh")),
+                ((ty == 0) & (u == 2), "http.target", F.lit("/tq"))),
+        _omap_s(((ty == 0) & (u == 3), "http.url",
+                 F.concat(F.lit("http://hh"), _s(t % 5), F.lit(":81/p"),
+                          _s(t % 9)))),
+        _omap_s(((ty == 0) & (t % 6 == 0), "http.client_ip",
+                 F.lit("9.9.9.9"))),
+        _omap_s(((ty == 0) & (t % 2 == 0), "net.peer.ip",
+                 F.lit("1.2.3.4"))),
+        # rpc
+        _omap_s((ty == 1, "rpc.system", F.lit("grpc"))),
+        _omap_s(((ty == 1) & (t % 2 == 0), "net.peer.name",
+                 F.concat(F.lit("pn"), _s(t % 3)))),
+        _omap_s((ty == 1, "net.peer.ip",
+                 F.concat(F.lit("10.0.0."), _s(t % 9)))),
+        # db
+        _omap_s((ty == 2, "db.system", F.lit("mysql"))),
+        _omap_s(((ty == 2) & (t % 2 == 0), "db.statement",
+                 F.concat(F.lit("SELECT "), _s(t % 7)))),
+        _omap_s(((ty == 2) & (t % 4 >= 2), "db.operation",
+                 F.concat(F.lit("op"), _s(t % 3)))),
+        _omap_s(((ty == 2) & (t % 3 != 2), "net.peer.ip",
+                 F.lit("10.1.1.1"))),
+        # messaging
+        _omap_s((ty == 3, "messaging.system", F.lit("kafka"))),
+        _omap_s(((ty == 3) & (t % 2 == 0), "messaging.url",
+                 F.concat(F.lit("amqp://q"), _s(t % 3)))),
+        _omap_s(((ty == 3) & (t % 3 == 0), "net.peer.name", F.lit("mq"))),
+        # unknown / faas
+        _omap_s(((ty == 4) & (t % 13 == 0), "faas.trigger", F.lit("http"))),
+        _omap_s(((ty == 4) & (t % 13 != 0), "k1", F.col("vs"))))
+    attrs_int = F.map_concat(
+        _omap_l(((ty == 0) & (t % 2 == 0), "http.status_code",
+                 100 + t % 400)),
+        _omap_l(((ty == 0) & (u == 1), "net.host.port", t % 1000)),
+        _omap_l(((ty == 0) & (u == 2), "net.host.port", (t % 900) + 1)),
+        _omap_l((ty == 1, "rpc.grpc.status_code", t % 17)),
+        _omap_l((ty == 1, "net.peer.port", t % 100)),
+        _omap_l((ty == 2, "net.peer.port", t % 90)),
+        _omap_l(((ty == 3) & (t % 4 < 2), "net.peer.port", F.lit(5672))),
+        _omap_l((t % 7 == 3, "mi", t % 50)))
+    attrs_double = F.when(
+        t % 3 == 0,
+        F.create_map(F.lit("md"), ((t % 9) + 0.5).cast("double"))) \
+        .otherwise(F.expr("cast(map() as map<string,double>)"))
+    attrs_bool = F.when(
+        t % 5 == 1, F.create_map(F.lit("flag"), t % 2 == 0)) \
+        .otherwise(F.expr("cast(map() as map<string,boolean>)"))
+    resource = F.map_concat(
+        _omap_s((None, "rk", F.concat(F.lit("rv"), _s(t % 5)))),
+        _omap_s(((t % 2 == 0), "service.name",
+                 F.concat(F.lit("svc"), _s(t % 3)))),
+        _omap_s(((t % 4 == 0), "service.namespace", F.lit("ns"))),
+        _omap_s(((t % 3 == 0), "service.instance.id",
+                 F.concat(F.lit("inst"), _s(t % 2)))))
+    start_ns = (t * 1_000_000_000 + (t % 1000) * 1_000_000).cast("long")
+    dur_ns = ((((t % 3) * 24 + t % 24) * 3600_000_000
+               + (t % 60) * 60_000_000 + (t % 61) * 1_000_000
+               + t % 1_000_000) * 1000 + t % 1000).cast("long")
+    spans = b.select(
+        h.alias("trace_id"),
+        F.substring(h, 1, 16).alias("span_id"),
+        F.when(t % 3 != 0, F.substring(h, 17, 16)).alias("parent_span_id"),
+        name.alias("name"),
+        F.element_at(F.array(*[F.lit(k) for k in kinds]),
+                     (t % 7 + 1).cast("int")).alias("kind"),
+        start_ns.alias("start_ns"),
+        (start_ns + dur_ns).alias("end_ns"),
+        (t % 4).cast("int").alias("status_code"),
+        (t % 3).cast("int").alias("deprecated_code"),
+        F.when(t % 5 == 0, F.concat(F.lit("m"), _s(t % 2)))
+        .otherwise(F.lit("")).alias("status_message"),
+        attrs.alias("attrs"), attrs_int.alias("attrs_int"),
+        attrs_double.alias("attrs_double"), attrs_bool.alias("attrs_bool"),
+        resource.alias("resource"),
+        F.when(t % 6 != 0, F.lit("il")).otherwise(F.lit(""))
+        .alias("lib_name"),
+        F.when(t % 6 >= 2, F.lit("1.2")).otherwise(F.lit(""))
+        .alias("lib_version"))
+    return azure_envelopes(spans)
+
+
+def _azure_oracle(d: str) -> str:
+    c = "CAST({} AS VARCHAR)".format
+    name = f"CASE WHEN t%97=0 THEN repeat('x', 1030) ELSE 'nm' || {c('t%10')} END"
+    # route: t%3=0 -> 'r'||t%4 (prefixed to '/r'||t%4 on requests),
+    # t%3=1 -> '/s'||t%4, else absent
+    req_name = f"""CASE
+  WHEN ty=0 THEN 'GET ' || CASE WHEN t%3=0 THEN '/r' || {c('t%4')}
+                                WHEN t%3=1 THEN '/s' || {c('t%4')}
+                                ELSE {name} END
+  WHEN ty=1 THEN 'grpc ' || {name}
+  ELSE {name} END"""
+    dep_name = f"""CASE
+  WHEN ty=0 THEN 'GET' || CASE WHEN t%3=0 THEN ' r' || {c('t%4')}
+                               WHEN t%3=1 THEN ' /s' || {c('t%4')}
+                               ELSE '' END
+  ELSE {name} END"""
+    item_name = f"CASE WHEN is_req THEN {req_name} ELSE {dep_name} END"
+    peer_rpc = (f"(CASE WHEN t%2=0 THEN 'pn' || {c('t%3')} "
+                f"ELSE '10.0.0.' || {c('t%9')} END)"
+                f" || (CASE WHEN t%100<>0 THEN ':' || {c('t%100')} "
+                "ELSE '' END)")
+    peer_db = (f"(CASE WHEN t%3<>2 THEN '10.1.1.1' ELSE '' END)"
+               f" || (CASE WHEN t%90<>0 THEN ':' || {c('t%90')} "
+               "ELSE '' END)")
+    peer_msg = ("(CASE WHEN t%3=0 THEN 'mq' ELSE '' END)"
+                " || (CASE WHEN t%4<2 THEN ':5672' ELSE '' END)")
+    req_url = f"""CASE
+  WHEN ty=0 AND u=0 THEN 'http://h' || {c('t%5')} || '/tg' || {c('t%7')}
+  WHEN ty=0 AND u=1 THEN CASE WHEN t%1000<>0
+       THEN 'https://sn:' || {c('t%1000')} || '/tp' || {c('t%7')}
+       ELSE 'http://fb.example/z' END
+  WHEN ty=0 AND u=2 THEN 'https://nh:' || {c('(t%900)+1')} || '/tq'
+  WHEN ty=0 AND u=3 THEN 'http://hh' || {c('t%5')} || ':81/p' || {c('t%9')}
+  WHEN ty=1 THEN substr({req_name}, 1, 2048)
+  ELSE '' END"""
+    req_source = f"""CASE
+  WHEN ty=0 THEN CASE WHEN t%6=0 THEN '9.9.9.9'
+                      WHEN t%2=0 THEN '1.2.3.4' ELSE '' END
+  WHEN ty=1 THEN {peer_rpc}
+  WHEN ty=3 THEN CASE WHEN t%2=0 THEN 'amqp://q' || {c('t%3')}
+                      ELSE {peer_msg} END
+  ELSE '' END"""
+    dep_type = f"""CASE
+  WHEN t%7 IN (4,5,6) THEN 'InProc'
+  WHEN ty=0 THEN 'HTTP' WHEN ty=1 THEN 'grpc'
+  WHEN ty=2 THEN 'mysql' WHEN ty=3 THEN 'kafka' ELSE '' END"""
+    dep_data = f"""CASE
+  WHEN ty=0 AND u IN (1,3) THEN CASE WHEN u=1 THEN 'http://fb.example/z'
+       ELSE 'http://hh' || {c('t%5')} || ':81/p' || {c('t%9')} END
+  WHEN ty=0 AND u=0 THEN 'http://h' || {c('t%5')} || '/tg' || {c('t%7')}
+  WHEN ty=1 THEN substr({name}, 1, 8192)
+  WHEN ty=2 THEN CASE WHEN t%2=0 THEN 'SELECT ' || {c('t%7')}
+                      WHEN t%4>=2 THEN 'op' || {c('t%3')} ELSE '' END
+  WHEN ty=3 AND t%2=0 THEN 'amqp://q' || {c('t%3')}
+  ELSE '' END"""
+    dep_target = f"""CASE
+  WHEN ty=0 AND u=1 THEN 'fb.example'
+  WHEN ty=0 AND u=3 THEN 'hh' || {c('t%5')} || ':81'
+  WHEN ty=0 AND u=0 THEN 'h' || {c('t%5')}
+  WHEN ty=1 THEN {peer_rpc}
+  WHEN ty=2 THEN {peer_db}
+  WHEN ty=3 THEN CASE WHEN t%2=0 THEN 'amqp://q' || {c('t%3')}
+                      ELSE {peer_msg} END
+  ELSE '' END"""
+    eff = "CASE WHEN t%4=0 AND t%3<>0 THEN 2 ELSE t%4 END"
+    response = f"""CASE
+  WHEN ty=0 AND t%2=0 THEN {c('100 + t%400')}
+  WHEN ty=1 THEN CASE WHEN t%17<>0 THEN {c('t%17')} ELSE {c('t%3')} END
+  ELSE {c(eff)} END"""
+    success = f"""CASE
+  WHEN ty=0 AND t%2=0 THEN CASE WHEN 100 + t%400 <= 399 THEN 1 ELSE 0 END
+  ELSE CASE WHEN ({eff})=2 THEN 0 ELSE 1 END END"""
+    time_rfc = ("strftime(make_timestamp(t*1000000), '%Y-%m-%dT%H:%M:%S')"
+                " || CASE WHEN t%1000>0"
+                " THEN '.' || rtrim(printf('%03d', t%1000), '0')"
+                " ELSE '' END || 'Z'")
+    dur_us = ("(((t%3)*24 + t%24)*3600000000 + (t%60)*60000000"
+              " + (t%61)*1000000 + t%1000000)")
+    duration = (f"printf('%02d.%02d:%02d:%02d.%06d', {dur_us}//86400000000,"
+                f" ({dur_us}%86400000000)//3600000000,"
+                f" ({dur_us}%3600000000)//60000000,"
+                f" ({dur_us}%60000000)//1000000, {dur_us}%1000000)")
+    copied = "NOT (is_req AND ty=2)"
+    dd = "CAST(CAST({} AS DOUBLE) AS VARCHAR)".format
+    props = f"""array_to_string(list_sort(list_filter([
+  CASE WHEN {copied} AND ty=0 THEN 'http.method=GET' END,
+  CASE WHEN {copied} AND ty=0 AND t%3=0 THEN 'http.route=r' || {c('t%4')}
+       WHEN {copied} AND ty=0 AND t%3=1 THEN 'http.route=/s' || {c('t%4')} END,
+  CASE WHEN {copied} AND ty=0 AND u=0 THEN 'http.scheme=http'
+       WHEN {copied} AND ty=0 AND u IN (1,2) THEN 'http.scheme=https' END,
+  CASE WHEN {copied} AND ty=0 AND u=0 THEN 'http.host=h' || {c('t%5')} END,
+  CASE WHEN {copied} AND ty=0 AND u=1 THEN 'http.server_name=sn' END,
+  CASE WHEN {copied} AND ty=0 AND u=0 THEN 'http.target=tg' || {c('t%7')}
+       WHEN {copied} AND ty=0 AND u=1 THEN 'http.target=/tp' || {c('t%7')}
+       WHEN {copied} AND ty=0 AND u=2 THEN 'http.target=/tq' END,
+  CASE WHEN {copied} AND ty=0 AND u=1 THEN 'http.url=http://fb.example/z'
+       WHEN {copied} AND ty=0 AND u=3
+       THEN 'http.url=http://hh' || {c('t%5')} || ':81/p' || {c('t%9')} END,
+  CASE WHEN {copied} AND ty=0 AND u=2 THEN 'net.host.name=nh' END,
+  CASE WHEN {copied} AND ty=0 AND t%6=0 THEN 'http.client_ip=9.9.9.9' END,
+  CASE WHEN {copied} AND ty=0 AND t%2=0 THEN 'net.peer.ip=1.2.3.4'
+       WHEN {copied} AND ty=1 THEN 'net.peer.ip=10.0.0.' || {c('t%9')}
+       WHEN {copied} AND ty=2 AND t%3<>2 THEN 'net.peer.ip=10.1.1.1' END,
+  CASE WHEN {copied} AND ty=1 THEN 'rpc.system=grpc' END,
+  CASE WHEN {copied} AND ty=1 AND t%2=0
+       THEN 'net.peer.name=pn' || {c('t%3')}
+       WHEN {copied} AND ty=3 AND t%3=0 THEN 'net.peer.name=mq' END,
+  CASE WHEN {copied} AND ty=2 THEN 'db.system=mysql' END,
+  CASE WHEN {copied} AND ty=2 AND t%2=0
+       THEN 'db.statement=SELECT ' || {c('t%7')} END,
+  CASE WHEN {copied} AND ty=2 AND t%4>=2
+       THEN 'db.operation=op' || {c('t%3')} END,
+  CASE WHEN {copied} AND ty=3 THEN 'messaging.system=kafka' END,
+  CASE WHEN {copied} AND ty=3 AND t%2=0
+       THEN 'messaging.url=amqp://q' || {c('t%3')} END,
+  CASE WHEN {copied} AND ty=4 THEN 'k1=' || vs END,
+  CASE WHEN {copied} AND t%5=1
+       THEN 'flag=' || CASE WHEN t%2=0 THEN 'true' ELSE 'false' END END,
+  'otel.status_code=' || CASE t%4 WHEN 0 THEN 'STATUS_CODE_UNSET'
+       WHEN 1 THEN 'STATUS_CODE_OK' WHEN 2 THEN 'STATUS_CODE_ERROR'
+       ELSE {c('t%4')} END,
+  'otel.status_deprecatedcode=' || CASE t%3
+       WHEN 0 THEN 'DEPRECATED_STATUS_CODE_OK'
+       WHEN 1 THEN 'DEPRECATED_STATUS_CODE_CANCELLED'
+       ELSE 'DEPRECATED_STATUS_CODE_UNKNOWN_ERROR' END,
+  CASE WHEN t%5=0 THEN 'otel.status_description=m' || {c('t%2')} END,
+  'rk=rv' || {c('t%5')},
+  CASE WHEN t%2=0 THEN 'service.name=svc' || {c('t%3')} END,
+  CASE WHEN t%4=0 THEN 'service.namespace=ns' END,
+  CASE WHEN t%3=0 THEN 'service.instance.id=inst' || {c('t%2')} END,
+  CASE WHEN t%6<>0 THEN 'instrumentationlibrary.name=il' END,
+  CASE WHEN t%6>=2 THEN 'instrumentationlibrary.version=1.2' END
+], x -> x IS NOT NULL)), ',')"""
+    meas = f"""array_to_string(list_sort(list_filter([
+  CASE WHEN {copied} AND ty=0 AND t%2=0
+       THEN 'http.status_code=' || {dd('100 + t%400')} END,
+  CASE WHEN {copied} AND ty=0 AND u=1
+       THEN 'net.host.port=' || {dd('t%1000')}
+       WHEN {copied} AND ty=0 AND u=2
+       THEN 'net.host.port=' || {dd('(t%900)+1')} END,
+  CASE WHEN {copied} AND ty=1
+       THEN 'rpc.grpc.status_code=' || {dd('t%17')} END,
+  CASE WHEN {copied} AND ty=1 THEN 'net.peer.port=' || {dd('t%100')}
+       WHEN {copied} AND ty=2 THEN 'net.peer.port=' || {dd('t%90')}
+       WHEN {copied} AND ty=3 AND t%4<2
+       THEN 'net.peer.port=' || {dd('5672')} END,
+  CASE WHEN {copied} AND t%7=3 THEN 'mi=' || {dd('t%50')} END,
+  CASE WHEN {copied} AND t%3=0 THEN 'md=' || {dd('(t%9)+0.5')} END
+], x -> x IS NOT NULL)), ',')"""
+    # an all-NULL filtered list stringifies to NULL in DuckDB, but the
+    # Spark side serializes an empty map to ''
+    meas = f"COALESCE({meas}, '')"
+    return f"""WITH {{base}},
+spans AS (
+  SELECT t, vs, scrape_id, t%5 AS ty, t%4 AS u,
+         t%7 IN (0,1) AS is_req
+  FROM base
+  WHERE NOT (t%5=4 AND t%13=0)
+)
+SELECT CASE WHEN is_req THEN 'Microsoft.ApplicationInsights.Request'
+       ELSE 'Microsoft.ApplicationInsights.RemoteDependency' END
+           AS envelope_name,
+       {time_rfc} AS time_rfc3339,
+       md5(scrape_id) AS operation_id,
+       CASE WHEN t%3<>0 THEN substr(md5(scrape_id), 17, 16)
+            ELSE '' END AS operation_parent_id,
+       CASE WHEN is_req THEN substr({req_name}, 1, 1024) END
+           AS operation_name,
+       CASE WHEN t%2=0 THEN
+         CASE WHEN t%4=0 THEN 'ns.svc' || {c('t%3')}
+              ELSE 'svc' || {c('t%3')} END END AS cloud_role,
+       CASE WHEN t%3=0 THEN 'inst' || {c('t%2')} END AS cloud_role_instance,
+       CASE WHEN is_req THEN 'RequestData'
+            ELSE 'RemoteDependencyData' END AS base_type,
+       substr(md5(scrape_id), 1, 16) AS item_id,
+       substr({item_name}, 1, 1024) AS item_name,
+       {duration} AS duration,
+       substr({response}, 1, 1024) AS response_code,
+       CAST({success} AS INT) AS success,
+       CASE WHEN is_req THEN substr({req_url}, 1, 2048) END AS url,
+       CASE WHEN is_req THEN substr({req_source}, 1, 1024) END AS source,
+       CASE WHEN NOT is_req THEN substr({dep_type}, 1, 1024) END
+           AS dep_type,
+       CASE WHEN NOT is_req THEN substr({dep_data}, 1, 8192) END
+           AS dep_data,
+       CASE WHEN NOT is_req THEN substr({dep_target}, 1, 1024) END
+           AS dep_target,
+       {props} AS props_s,
+       {meas} AS meas_s
+FROM spans"""
+
+
+# ---------------------------------------------------------------------------
+# splunkhec exporter (sinks/splunkhec.py)
+# ---------------------------------------------------------------------------
+
+_EMPTY_S = "cast(map() as map<string,string>)"
+
+
+def _hec_ts(t):
+    """0 when t%31==0 (time-omitted rule), else ns with a .4999/.5 ms
+    boundary to exercise the round-half-away millisecond rounding."""
+    return F.when(t % 31 == 0, F.lit(0)).otherwise(
+        t * 1_000_000_000 + (t % 999) * 1_000_000
+        + F.when(t % 2 == 0, F.lit(499_999)).otherwise(F.lit(500_000))) \
+        .cast("long")
+
+
+_HEC_TS_SQL = ("CASE WHEN t%31=0 THEN CAST(0 AS BIGINT) "
+               "ELSE t*1000000000 + (t%999)*1000000 "
+               "+ CASE WHEN t%2=0 THEN 499999 ELSE 500000 END END")
+# Go math.Round(float64(ns)/1e6)/1e3 — same IEEE division + half-away
+# rounding in DuckDB, so knife-edge ms boundaries resolve identically
+_HEC_TIME_SQL = (f"CASE WHEN t%31=0 THEN CAST(NULL AS DOUBLE) ELSE "
+                 f"round(CAST({_HEC_TS_SQL} AS DOUBLE)/1000000.0)/1000.0 END")
+
+
+def q_hec_logs(spark, sf_dir, tok_dir) -> DataFrame:
+    """HEC log-event mapping: the four envelope attrs routed out of
+    fields, typed field rendering, zero-ts time omission, ms rounding."""
+    from .sinks.splunkhec import hec_log_events
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    attrs = F.map_concat(
+        _omap_s(((t % 2 == 0), "host.name", F.concat(F.lit("hn"), _s(t % 3)))),
+        _omap_s(((t % 3 == 0), "service.name",
+                 F.concat(F.lit("sv"), _s(t % 2)))),
+        _omap_s(((t % 5 == 0), "com.splunk.sourcetype", F.lit("st"))),
+        _omap_s(((t % 7 == 0), "com.splunk.index", F.lit("ix"))),
+        _omap_s((None, "k1", F.col("vs"))),
+        _omap_s(((t % 3 == 1), "k2", F.concat(F.lit("x"), _s(t % 4)))))
+    logs = b.select(
+        _hec_ts(t).alias("ts_ns"),
+        F.concat(F.lit("log "), F.col("vs")).alias("body"),
+        attrs.alias("attrs"),
+        F.when(t % 2 == 0, F.create_map(F.lit("ni"),
+                                        (t % 100 - 7).cast("long")))
+        .otherwise(F.expr("cast(map() as map<string,bigint>)"))
+        .alias("attrs_int"),
+        F.when(t % 3 == 2, F.create_map(F.lit("nb"), t % 4 < 2))
+        .otherwise(F.expr("cast(map() as map<string,boolean>)"))
+        .alias("attrs_bool"))
+    return hec_log_events(logs, source="cfg-src", sourcetype="cfg-st",
+                          index="cfg-ix")
+
+
+def _hec_logs_oracle(d: str) -> str:
+    c = "CAST({} AS VARCHAR)".format
+    fields = f"""array_to_string(list_sort(list_filter([
+  'k1=' || vs,
+  CASE WHEN t%3=1 THEN 'k2=x' || {c('t%4')} END,
+  CASE WHEN t%3=2 THEN 'nb=' || CASE WHEN t%4<2 THEN 'true' ELSE 'false' END END,
+  CASE WHEN t%2=0 THEN 'ni=' || {c('t%100 - 7')} END
+], x -> x IS NOT NULL)), ',')"""
+    return f"""WITH {{base}}
+SELECT {_HEC_TIME_SQL} AS time,
+       CASE WHEN t%2=0 THEN 'hn' || {c('t%3')} ELSE 'unknown' END AS host,
+       CASE WHEN t%3=0 THEN 'sv' || {c('t%2')} ELSE 'cfg-src' END AS source,
+       CASE WHEN t%5=0 THEN 'st' ELSE 'cfg-st' END AS sourcetype,
+       CASE WHEN t%7=0 THEN 'ix' ELSE 'cfg-ix' END AS "index",
+       'log ' || vs AS event,
+       {fields} AS fields_s
+FROM base"""
+
+
+def q_hec_metrics(spark, sf_dir, tok_dir) -> DataFrame:
+    """HEC metric-event mapping: metric_name:<name> fields, cumulative
+    histogram buckets with %g-formatted le + +Inf overflow, the
+    counts-length bucket-skip rule, labels overlaying resource."""
+    from .sinks.splunkhec import hec_metric_events
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    mtypes = ["int_gauge", "double_gauge", "int_sum", "double_sum",
+              "histogram"]
+    nb = (t % 3 + 1).cast("int")
+    ladder = F.array(F.lit(0.5), F.lit(2.0), F.lit(7.5))
+    cbase = F.array(*[(t % m).cast("long") for m in (5, 7, 11, 13)])
+    resource = F.map_concat(
+        _omap_s(((t % 2 == 0), "host.name", F.concat(F.lit("hn"), _s(t % 3)))),
+        _omap_s(((t % 3 == 0), "service.name", F.lit("sv"))),
+        _omap_s(((t % 5 == 0), "com.splunk.sourcetype", F.lit("st"))),
+        _omap_s(((t % 7 == 0), "com.splunk.index", F.lit("ix"))),
+        _omap_s((None, "ra", F.concat(F.lit("v"), _s(t % 5)))))
+    labels = F.map_concat(
+        _omap_s((None, "l1", F.concat(F.lit("a"), _s(t % 3)))),
+        _omap_s(((t % 2 == 1), "l2", F.col("vs"))))
+    points = b.select(
+        F.concat(F.lit("m"), _s(t % 7)).alias("name"),
+        F.element_at(F.array(*[F.lit(m) for m in mtypes]),
+                     (t % 5 + 1).cast("int")).alias("mtype"),
+        _hec_ts(t).alias("ts_ns"),
+        (t % 1000 - 13).cast("long").alias("ival"),
+        ((t % 97).cast("double") / 4.0).alias("dval"),
+        ((t % 50).cast("double") / 2.0).alias("hsum"),
+        (t % 100).cast("long").alias("hcount"),
+        F.slice(ladder, 1, nb).alias("bounds"),
+        F.when(t % 17 == 0, F.expr("cast(array() as array<bigint>)"))
+        .otherwise(F.slice(cbase, 1, nb + 1)).alias("counts"),
+        labels.alias("labels"), resource.alias("resource"))
+    return hec_metric_events(points, source="cfg-src", sourcetype="cfg-st",
+                             index="cfg-ix")
+
+
+def _hec_metrics_oracle(d: str) -> str:
+    c = "CAST({} AS VARCHAR)".format
+    dd = "CAST(CAST({} AS DOUBLE) AS VARCHAR)".format
+    env = f"""{_HEC_TIME_SQL} AS time,
+       CASE WHEN t%2=0 THEN 'hn' || {c('t%3')} ELSE 'unknown' END AS host,
+       CASE WHEN t%3=0 THEN 'sv' ELSE 'cfg-src' END AS source,
+       CASE WHEN t%5=0 THEN 'st' ELSE 'cfg-st' END AS sourcetype,
+       CASE WHEN t%7=0 THEN 'ix' ELSE 'cfg-ix' END AS "index",
+       'metric' AS event"""
+    # sorted field serialization: com.splunk.* < host.name < l1 < l2
+    # < le < metric_name:* < ra < service.name
+    common = f"""CASE WHEN t%7=0 THEN 'com.splunk.index=ix,' ELSE '' END
+ || CASE WHEN t%5=0 THEN 'com.splunk.sourcetype=st,' ELSE '' END
+ || CASE WHEN t%2=0 THEN 'host.name=hn' || {c('t%3')} || ',' ELSE '' END
+ || 'l1=a' || {c('t%3')} || ','
+ || CASE WHEN t%2=1 THEN 'l2=' || vs || ',' ELSE '' END"""
+    tail = f"""',ra=v' || {c('t%5')}
+ || CASE WHEN t%3=0 THEN ',service.name=sv' ELSE '' END"""
+    mname = f"'m' || {c('t%7')}"
+    sval = f"""CASE
+  WHEN t%5 IN (0,2) THEN {c('t%1000 - 13')}
+  ELSE {dd('CAST(t%97 AS DOUBLE)/4.0')} END"""
+    # histogram pieces: nb = t%3+1 bounds from [0.5, 2, 7.5] (%g drops
+    # the 2.0 -> '2'); counts c1..c4 = t%5,t%7,t%11,t%13
+    les = ["'0.5'", "'2'", "'7.5'"]
+    cum = ["t%5", "(t%5)+(t%7)", "(t%5)+(t%7)+(t%11)"]
+    inf_v = ("CASE t%3 WHEN 0 THEN (t%5)+(t%7) "
+             "WHEN 1 THEN (t%5)+(t%7)+(t%11) "
+             "ELSE (t%5)+(t%7)+(t%11)+(t%13) END")
+    bucket_rows = "\nUNION ALL\n".join(
+        f"""SELECT {env},
+       {common} || 'le=' || {les[i]} || ',metric_name:' || {mname}
+       || '_bucket=' || {c(cum[i])} || {tail} AS fields_s
+FROM base WHERE t%5=4 AND t%17<>0 AND t%3+1 > {i}""" for i in range(3))
+    return f"""WITH {{base}}
+SELECT {env},
+       {common} || 'metric_name:' || {mname} || '=' || {sval} || {tail}
+           AS fields_s
+FROM base WHERE t%5 <> 4
+UNION ALL
+SELECT {env},
+       {common} || 'metric_name:' || {mname} || '_sum='
+       || {dd('CAST(t%50 AS DOUBLE)/2.0')} || {tail} AS fields_s
+FROM base WHERE t%5 = 4
+UNION ALL
+SELECT {env},
+       {common} || 'metric_name:' || {mname} || '_count='
+       || {c('t%100')} || {tail} AS fields_s
+FROM base WHERE t%5 = 4
+UNION ALL
+{bucket_rows}
+UNION ALL
+SELECT {env},
+       {common} || 'le=+Inf,metric_name:' || {mname}
+       || '_bucket=' || {c(inf_v)} || {tail} AS fields_s
+FROM base WHERE t%5=4 AND t%17<>0"""
+
+
+def q_hec_spans(spark, sf_dir, tok_dir) -> DataFrame:
+    """HEC span events: HecSpan flattening — enum-name kind/status,
+    empty-id parent rendering, in-order events/links payloads,
+    resource attrs as the Fields map."""
+    from .sinks.splunkhec import hec_span_events
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    h = F.md5(F.col("scrape_id"))
+    kinds = ["unspecified", "internal", "server", "client", "producer",
+             "consumer"]
+    ts = _hec_ts(t)
+    ev = lambda n, off, a: F.struct(
+        F.lit(n).alias("name"), (ts + off).cast("long").alias("ts_ns"),
+        F.lit(a).alias("attrs_s"))
+    events = (F.when(t % 2 == 0, F.array(ev("e1", 5, "x=1"), ev("e2", 9, "")))
+              .when(t % 5 == 1, F.array(ev("e3", 7, "z=3")))
+              .otherwise(F.filter(F.array(ev("e1", 5, "x=1")),
+                                  lambda s: F.lit(False))))
+    lk = F.struct(F.md5(F.concat(F.col("scrape_id"), F.lit("L")))
+                  .alias("trace_id"),
+                  F.substring(F.md5(F.concat(F.col("scrape_id"), F.lit("L"))),
+                              1, 16).alias("span_id"),
+                  F.lit("st").alias("state"), F.lit("y=2").alias("attrs_s"))
+    links = F.when(t % 4 == 0, F.array(lk)) \
+        .otherwise(F.filter(F.array(lk), lambda s: F.lit(False)))
+    spans = b.select(
+        h.alias("trace_id"), F.substring(h, 1, 16).alias("span_id"),
+        F.when(t % 3 != 0, F.substring(h, 17, 16)).alias("parent_span_id"),
+        F.concat(F.lit("sp"), _s(t % 5)).alias("name"),
+        F.element_at(F.array(*[F.lit(k) for k in kinds]),
+                     (t % 6 + 1).cast("int")).alias("kind"),
+        ts.alias("start_ns"), (ts + 1_000_000).cast("long").alias("end_ns"),
+        (t % 4).cast("int").alias("status_code"),
+        F.when(t % 2 == 0, F.concat(F.lit("sm"), _s(t % 3)))
+        .otherwise(F.lit("")).alias("status_message"),
+        F.create_map(F.lit("a1"), F.col("vs"),
+                     F.lit("a2"), F.concat(F.lit("b"), _s(t % 3)))
+        .alias("attrs"),
+        F.map_concat(
+            _omap_s(((t % 3 == 0), "host.name",
+                     F.concat(F.lit("h"), _s(t % 2)))),
+            _omap_s(((t % 4 == 0), "service.name", F.lit("s"))),
+            _omap_s((None, "rr", F.concat(F.lit("q"), _s(t % 3)))))
+        .alias("resource"),
+        events.alias("events"), links.alias("links"))
+    return hec_span_events(spans, source="cfg-src", sourcetype="cfg-st",
+                           index="cfg-ix")
+
+
+def _hec_spans_oracle(d: str) -> str:
+    c = "CAST({} AS VARCHAR)".format
+    ts = _HEC_TS_SQL
+    ev = (f"CASE WHEN t%2=0 THEN 'e1@' || CAST(({ts})+5 AS VARCHAR)"
+          f" || '{{x=1}}|e2@' || CAST(({ts})+9 AS VARCHAR) || '{{}}'"
+          f" WHEN t%5=1 THEN 'e3@' || CAST(({ts})+7 AS VARCHAR)"
+          f" || '{{z=3}}' ELSE '' END")
+    lk = ("CASE WHEN t%4=0 THEN md5(scrape_id || 'L') || '/'"
+          " || substr(md5(scrape_id || 'L'), 1, 16) || '/st{y=2}'"
+          " ELSE '' END")
+    fields = (f"CASE WHEN t%3=0 THEN 'host.name=h' || {c('t%2')} || ',' "
+              "ELSE '' END || 'rr=q' || " + c("t%3")
+              + " || CASE WHEN t%4=0 THEN ',service.name=s' ELSE '' END")
+    return f"""WITH {{base}}
+SELECT {_HEC_TIME_SQL} AS time,
+       CASE WHEN t%3=0 THEN 'h' || {c('t%2')} ELSE 'unknown' END AS host,
+       CASE WHEN t%4=0 THEN 's' ELSE 'cfg-src' END AS source,
+       'cfg-st' AS sourcetype, 'cfg-ix' AS "index",
+       {fields} AS fields_s,
+       md5(scrape_id) AS trace_id,
+       substr(md5(scrape_id), 1, 16) AS span_id,
+       CASE WHEN t%3<>0 THEN substr(md5(scrape_id), 17, 16)
+            ELSE '' END AS parent_span,
+       'sp' || {c('t%5')} AS name,
+       CASE t%6 WHEN 0 THEN 'SPAN_KIND_UNSPECIFIED'
+                WHEN 1 THEN 'SPAN_KIND_INTERNAL'
+                WHEN 2 THEN 'SPAN_KIND_SERVER'
+                WHEN 3 THEN 'SPAN_KIND_CLIENT'
+                WHEN 4 THEN 'SPAN_KIND_PRODUCER'
+                ELSE 'SPAN_KIND_CONSUMER' END AS kind_s,
+       CASE t%4 WHEN 0 THEN 'STATUS_CODE_UNSET'
+                WHEN 1 THEN 'STATUS_CODE_OK'
+                WHEN 2 THEN 'STATUS_CODE_ERROR'
+                ELSE {c('t%4')} END AS status_code_s,
+       CASE WHEN t%2=0 THEN 'sm' || {c('t%3')} ELSE '' END
+           AS status_message,
+       {ts} AS start_ns,
+       ({ts}) + 1000000 AS end_ns,
+       'a1=' || vs || ',a2=b' || {c('t%3')} AS attrs_s,
+       {ev} AS events_s,
+       {lk} AS links_s
+FROM base"""
+
+
+def export_queries() -> dict:
+    return {
+        "azure_envelopes": q_azure,
+        "hec_logs": q_hec_logs,
+        "hec_metrics": q_hec_metrics,
+        "hec_spans": q_hec_spans,
+    }
+
+
+def export_oracles(d: str) -> dict[str, str]:
+    base = _base_sql(d)
+    return {
+        "azure_envelopes": _azure_oracle(d).replace("{base}", base),
+        "hec_logs": _hec_logs_oracle(d).replace("{base}", base),
+        "hec_metrics": _hec_metrics_oracle(d).replace("{base}", base),
+        "hec_spans": _hec_spans_oracle(d).replace("{base}", base),
+    }

@@ -32,6 +32,7 @@ from .operators.json_parser import splunk_hec_events
 from .operators.metrics_transform import combine
 from .operators.partitioners import ring_route_column
 from .operators.statsd import flush_aggregate, parse_statsd, timer_aggregate
+from .queries_export import export_oracles, export_queries
 from .queries_k8s import k8s_oracles, k8s_queries
 from .queries_scrape import scrape_oracles, scrape_queries
 
@@ -663,7 +664,7 @@ def _pred_lang_sql() -> str:
 
 def extra_oracles(tok_dir: str) -> dict[str, str]:
     d = tok_dir
-    scrape = scrape_oracles(d) | k8s_oracles(d)
+    scrape = scrape_oracles(d) | k8s_oracles(d) | export_oracles(d)
     mh = _minhash_cols()
     score_sql = ("least(CAST(n_words AS DOUBLE) / 20.0, 1.0) * 0.4"
                  " + CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10"
@@ -1141,4 +1142,5 @@ def extra_queries(tok_dir_for) -> dict:
         "tfidf": q_tfidf,
         "pii_scrub": with_tok(q_pii_scrub),
     } | {name: with_tok(fn)
-         for name, fn in (scrape_queries() | k8s_queries()).items()}
+         for name, fn in (scrape_queries() | k8s_queries()
+                          | export_queries()).items()}
