@@ -611,20 +611,234 @@ SELECT {_HEC_TIME_SQL} AS time,
 FROM base"""
 
 
+# ---------------------------------------------------------------------------
+# datadog exporter (sinks/datadog.py)
+# ---------------------------------------------------------------------------
+
+def q_datadog(spark, sf_dir, tok_dir) -> DataFrame:
+    """Datadog APM span battery: the 7-step hostname chain incl. the
+    aws direct-return quirk, service precedence (resource / empty→cfg /
+    span-attr override), normalized il-based span names, the resource
+    name precedence chain, version-tag fallback, error rules (status,
+    5xx, client-4xx, unparseable status code), container tags,
+    analytics.event metrics, and low-8-byte uint64 APM ids."""
+    from .sinks.datadog import datadog_spans
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    h = F.md5(F.col("scrape_id"))
+    hp = F.md5(F.concat(F.col("scrape_id"), F.lit("P")))
+    m13 = t % 13
+    resource = F.map_concat(
+        _omap_s(((t % 3 == 0), "service.name",
+                 F.concat(F.lit("svc"), _s(t % 4)))),
+        _omap_s(((t % 3 == 1), "service.name", F.lit(""))),
+        _omap_s(((t % 4 == 0), "deployment.environment",
+                 F.concat(F.lit("prod"), _s(t % 2)))),
+        _omap_s(((m13 == 0), "datadog.host.name", F.lit("ddh"))),
+        _omap_s(((m13 == 1), "k8s.node.name",
+                 F.concat(F.lit("node"), _s(t % 2)))),
+        _omap_s(((m13 == 1) & (t % 2 == 0), "k8s.cluster.name",
+                 F.lit("cl"))),
+        _omap_s(((m13 == 2), "container.id",
+                 F.concat(F.lit("cont"), _s(t % 3)))),
+        _omap_s((m13.isin(3, 4), "cloud.provider", F.lit("aws"))),
+        _omap_s(((m13 == 3), "host.name", F.lit("ip-10-0-0-1"))),
+        _omap_s(((m13 == 4), "host.name", F.lit("web1"))),
+        _omap_s(((m13 == 6), "host.name",
+                 F.concat(F.lit("hn"), _s(t % 3)))),
+        _omap_s((m13.isin(3, 5), "host.id",
+                 F.concat(F.lit("i-"), _s(t % 5)))),
+        _omap_s(((t % 5 == 0), "service.version",
+                 F.concat(F.lit("2."), _s(t % 2)))),
+        _omap_s(((t % 5 == 1), "version", F.lit("0.1"))),
+        _omap_s((None, "rt", F.concat(F.lit("rv"), _s(t % 7)))))
+    attrs = F.map_concat(
+        _omap_s(((t % 5 == 0), "http.method", F.lit("GET"))),
+        _omap_s(((t % 5 == 0) & (t % 2 == 0), "http.route",
+                 F.concat(F.lit("/api/"), _s(t % 3)))),
+        _omap_s(((t % 5 == 0) & (t % 2 == 1) & (t % 3 == 0), "grpc.path",
+                 F.lit("/pkg.Svc/M"))),
+        _omap_s(((t % 5 == 1), "messaging.operation", F.lit("send"))),
+        _omap_s(((t % 5 == 1) & (t % 3 == 0), "messaging.destination",
+                 F.concat(F.lit("queue"), _s(t % 2)))),
+        _omap_s(((t % 5 == 2), "rpc.method", F.lit("Call"))),
+        _omap_s(((t % 5 == 2) & (t % 2 == 0), "rpc.service", F.lit("Sv"))),
+        _omap_s(((t % 7 == 0), "http.status_code", F.lit("503"))),
+        _omap_s(((t % 7 == 1), "http.status_code", F.lit("418"))),
+        _omap_s(((t % 7 == 2), "http.status_code", F.lit("oops"))),
+        _omap_s(((t % 11 == 0), "service.name", F.lit("ovr-svc"))),
+        _omap_s(((t % 11 == 1), "span.type", F.lit("db"))),
+        _omap_s(((t % 11 == 2), "analytics.event", F.lit("false"))),
+        _omap_s(((t % 11 == 3), "analytics.event", F.lit("yes"))),
+        _omap_s(((t % 11 == 4), "container.id", F.lit("spanc"))),
+        _omap_s(((t % 9 == 0), "k8s.pod.name",
+                 F.concat(F.lit("pp"), _s(t % 2)))),
+        _omap_s(((t % 6 == 4), "otel.instrumentation_library.name",
+                 F.lit("Old Lib"))),
+        _omap_s((None, "sa", F.col("vs"))))
+    kinds = ["unspecified", "internal", "server", "client", "producer",
+             "consumer"]
+    start = (t * 1_000_000_000 + t % 997).cast("long")
+    spans = b.select(
+        h.alias("trace_id"), F.substring(h, 1, 16).alias("span_id"),
+        F.when(t % 17 == 0, F.lit("0" * 16))
+        .when(t % 3 != 0, F.substring(hp, 1, 16)).alias("parent_span_id"),
+        F.concat(F.lit("op-"), _s(t % 5)).alias("name"),
+        F.element_at(F.array(*[F.lit(k) for k in kinds]),
+                     (t % 6 + 1).cast("int")).alias("kind"),
+        start.alias("start_ns"),
+        F.when(t % 29 == 0, F.lit(0).cast("long"))
+        .otherwise(start + (t % 1000) * 1000 + 7).alias("end_ns"),
+        (t % 3).cast("int").alias("status_code"),
+        F.when(t % 2 == 0, F.lit("boom")).otherwise(F.lit(""))
+        .alias("status_message"),
+        F.when(t % 4 == 1, F.lit("cc=1")).otherwise(F.lit(""))
+        .alias("trace_state"),
+        attrs.alias("attrs"), resource.alias("resource"),
+        F.when(t % 6 < 4, F.concat(F.lit("My-Lib"), _s(t % 2)))
+        .otherwise(F.lit("")).alias("lib_name"),
+        F.when(t % 6 < 4, F.lit("1.0")).otherwise(F.lit(""))
+        .alias("lib_version"))
+    return datadog_spans(spans, cfg_env="none", cfg_service="cfg-svc",
+                         cfg_version="9.9", cfg_hostname="otelcol")
+
+
+def _datadog_oracle(d: str) -> str:
+    c = "CAST({} AS VARCHAR)".format
+    udec = ("CAST(CAST('0x' || {} AS UBIGINT) AS VARCHAR)").format
+    hostname = f"""CASE t%13
+  WHEN 0 THEN 'ddh'
+  WHEN 1 THEN 'node' || {c('t%2')}
+       || CASE WHEN t%2=0 THEN '-cl' ELSE '' END
+  WHEN 2 THEN 'cont' || {c('t%3')}
+  WHEN 3 THEN 'i-' || {c('t%5')}
+  WHEN 4 THEN 'web1'
+  WHEN 5 THEN 'i-' || {c('t%5')}
+  WHEN 6 THEN 'hn' || {c('t%3')}
+  ELSE 'otelcol' END"""
+    service = f"""CASE WHEN t%11=0 THEN 'ovr-svc'
+  WHEN t%3=0 THEN 'svc' || {c('t%4')}
+  WHEN t%3=1 THEN 'cfg-svc'
+  ELSE 'OTLPResourceNoServiceName' END"""
+    iln = (f"CASE WHEN t%6<4 THEN 'my_lib' || {c('t%2')} "
+           "WHEN t%6=4 THEN 'old_lib' ELSE 'opentelemetry' END")
+    kind_l = ("CASE t%6 WHEN 0 THEN 'unspecified' WHEN 1 THEN 'internal' "
+              "WHEN 2 THEN 'server' WHEN 3 THEN 'client' "
+              "WHEN 4 THEN 'producer' ELSE 'consumer' END")
+    resource_name = f"""CASE
+  WHEN t%5=0 THEN CASE WHEN t%2=0 THEN 'GET /api/' || {c('t%3')}
+                       WHEN t%3=0 THEN 'GET /pkg.Svc/M'
+                       ELSE 'GET' END
+  WHEN t%5=1 THEN CASE WHEN t%3=0 THEN 'send queue' || {c('t%2')}
+                       ELSE 'send' END
+  WHEN t%5=2 THEN CASE WHEN t%2=0 THEN 'Call Sv' ELSE 'Call' END
+  ELSE 'op-' || {c('t%5')} END"""
+    dd_type = f"""CASE WHEN t%11=1 THEN 'db'
+  WHEN t%6=3 THEN 'http' WHEN t%6=2 THEN 'web' ELSE 'custom' END"""
+    error = ("CASE WHEN t%3=2 OR t%7=0 OR (t%7=1 AND t%6=3) "
+             "THEN 1 ELSE 0 END")
+    version = (f"CASE WHEN t%5=0 THEN '2.' || {c('t%2')} "
+               "WHEN t%5=1 THEN '0.1' ELSE '9.9' END")
+    cid = f"CASE WHEN t%11=4 THEN 'spanc' ELSE 'cont' || {c('t%3')} END"
+    container = f"""CASE WHEN (t%13=2 OR t%11=4) AND t%9=0
+       THEN 'container_id:' || {cid} || ',pod_name:pp' || {c('t%2')}
+  WHEN t%13=2 OR t%11=4 THEN 'container_id:' || {cid}
+  WHEN t%9=0 THEN 'pod_name:pp' || {c('t%2')}
+  ELSE '' END"""
+    meta = f"""array_to_string(list_sort(list_filter([
+  '_dd.tags.container=' || {container},
+  CASE WHEN t%13 IN (3,4) THEN 'cloud.provider=aws' END,
+  CASE WHEN t%13=2 OR t%11=4 THEN 'container.id=' || {cid} END,
+  CASE WHEN t%13=0 THEN 'datadog.host.name=ddh' END,
+  CASE WHEN t%4=0 THEN 'deployment.environment=prod' || {c('t%2')} END,
+  CASE WHEN t%3=2 THEN 'error.msg=' ||
+       CASE WHEN t%2=0 THEN 'boom' ELSE 'ERR_CODE_2' END END,
+  CASE WHEN t%3=2 THEN 'error.type=ERR_CODE_2' END,
+  CASE WHEN t%5=0 AND t%2=1 AND t%3=0 THEN 'grpc.path=/pkg.Svc/M' END,
+  CASE WHEN t%13 IN (3,5) THEN 'host.id=i-' || {c('t%5')} END,
+  CASE WHEN t%13=3 THEN 'host.name=ip-10-0-0-1'
+       WHEN t%13=4 THEN 'host.name=web1'
+       WHEN t%13=6 THEN 'host.name=hn' || {c('t%3')} END,
+  CASE WHEN t%5=0 THEN 'http.method=GET' END,
+  CASE WHEN t%5=0 AND t%2=0 THEN 'http.route=/api/' || {c('t%3')} END,
+  CASE WHEN t%7=0 THEN 'http.status_code=503'
+       WHEN t%7=1 THEN 'http.status_code=418'
+       WHEN t%7=2 THEN 'http.status_code=oops' END,
+  CASE WHEN t%13=1 AND t%2=0 THEN 'k8s.cluster.name=cl' END,
+  CASE WHEN t%13=1 THEN 'k8s.node.name=node' || {c('t%2')} END,
+  CASE WHEN t%9=0 THEN 'k8s.pod.name=pp' || {c('t%2')} END,
+  CASE WHEN t%5=1 AND t%3=0
+       THEN 'messaging.destination=queue' || {c('t%2')} END,
+  CASE WHEN t%5=1 THEN 'messaging.operation=send' END,
+  CASE WHEN t%6=4 THEN 'otel.instrumentation_library.name=Old Lib' END,
+  CASE WHEN t%6<4 THEN 'otel.library.name=My-Lib' || {c('t%2')} END,
+  CASE WHEN t%6<4 THEN 'otel.library.version=1.0' END,
+  CASE WHEN t%5=2 THEN 'rpc.method=Call' END,
+  CASE WHEN t%5=2 AND t%2=0 THEN 'rpc.service=Sv' END,
+  'rt=rv' || {c('t%7')},
+  'sa=' || vs,
+  CASE WHEN t%5=0 THEN 'service.version=2.' || {c('t%2')} END,
+  'version=' || {version},
+  CASE WHEN t%4=1 THEN 'w3c.tracestate=cc=1' END
+], x -> x IS NOT NULL)), ',')"""
+    return f"""WITH {{base}}
+SELECT {hostname} AS hostname,
+       CASE WHEN t%4=0 THEN 'prod' || {c('t%2')} ELSE 'none' END AS env,
+       {service} AS service,
+       {iln} || '.' || {kind_l} AS dd_name,
+       {resource_name} AS resource_name,
+       {udec("substr(md5(scrape_id), 17, 16)")} AS trace_id_dec,
+       {udec("substr(md5(scrape_id), 1, 16)")} AS span_id_dec,
+       CASE WHEN t%17<>0 AND t%3<>0
+            THEN {udec("substr(md5(scrape_id || 'P'), 1, 16)")}
+            ELSE '0' END AS parent_id_dec,
+       CAST(t*1000000000 + t%997 AS BIGINT) AS start_ns,
+       CASE WHEN t%29=0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((t%1000)*1000 + 7 AS BIGINT) END AS duration_ns,
+       {dd_type} AS dd_type,
+       {error} AS error,
+       {meta} AS meta_s,
+       CASE WHEN t%11=2 THEN '_dd1.sr.eausr=0.0'
+            WHEN t%11=3 THEN '_dd1.sr.eausr=1.0'
+            ELSE '' END AS metrics_s
+FROM base"""
+
+
+def q_datadog_rollup(spark, sf_dir, tok_dir) -> DataFrame:
+    """APITrace rollup per (hostname, env, trace): span count + min
+    start; EndTime mirrors the reference's inverted comparison (0)."""
+    from .sinks.datadog import datadog_trace_rollup
+    return datadog_trace_rollup(q_datadog(spark, sf_dir, tok_dir))
+
+
+def _datadog_rollup_oracle(d: str) -> str:
+    return f"""WITH dd AS ({{dd}})
+SELECT hostname, env, trace_id_dec,
+       count(*)::BIGINT AS n_spans,
+       min(start_ns) AS trace_start,
+       CAST(0 AS BIGINT) AS trace_end
+FROM dd GROUP BY hostname, env, trace_id_dec"""
+
+
 def export_queries() -> dict:
     return {
         "azure_envelopes": q_azure,
         "hec_logs": q_hec_logs,
         "hec_metrics": q_hec_metrics,
         "hec_spans": q_hec_spans,
+        "datadog_spans": q_datadog,
+        "datadog_traces": q_datadog_rollup,
     }
 
 
 def export_oracles(d: str) -> dict[str, str]:
     base = _base_sql(d)
+    dd = _datadog_oracle(d).replace("{base}", base)
     return {
         "azure_envelopes": _azure_oracle(d).replace("{base}", base),
         "hec_logs": _hec_logs_oracle(d).replace("{base}", base),
         "hec_metrics": _hec_metrics_oracle(d).replace("{base}", base),
         "hec_spans": _hec_spans_oracle(d).replace("{base}", base),
+        "datadog_spans": dd,
+        "datadog_traces": _datadog_rollup_oracle(d).replace("{dd}", dd),
     }
