@@ -820,6 +820,240 @@ SELECT hostname, env, trace_id_dec,
 FROM dd GROUP BY hostname, env, trace_id_dec"""
 
 
+# ---------------------------------------------------------------------------
+# jaeger family: jaegerthrifthttp + logzio + sapm (sinks/jaeger.py)
+# ---------------------------------------------------------------------------
+
+def _jaeger_spans_input(spark, tok_dir):
+    from .sinks.jaeger import SFX_TOKEN_LABEL
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    sid = F.col("scrape_id")
+    h = F.md5(sid)
+    zero32, zero16 = "0" * 32, "0" * 16
+    nilnode = t % 31 == 0
+    emptyp = (t % 21 == 0) & ~nilnode
+    start_ns = (t * 1_000_000_000 + (t % 997) * 1000 + t % 7).cast("long")
+    end_ns = (start_ns + (t % 1000) * 1000 + (t % 13) * 100).cast("long")
+
+    attrs_s = F.map_concat(
+        _omap_s((None, "as", F.col("vs"))),
+        _omap_s(((t % 13 == 0), "span.kind", F.lit("producer"))),
+        _omap_s(((t % 11 == 0), "status.code", F.lit("7"))))
+    attrs_i = F.when(t % 2 == 0,
+                     F.create_map(F.lit("ai"), (t % 1000).cast("long")))
+    attrs_b = F.when(t % 5 == 0, F.create_map(F.lit("ab"), t % 4 < 2))
+    attrs_d = F.when(t % 3 == 1,
+                     F.create_map(F.lit("ad"), (t % 9) / F.lit(2.0)))
+
+    l1 = F.struct(
+        F.md5(F.concat(sid, F.lit("L"))).alias("trace_id"),
+        F.substring(F.md5(F.concat(sid, F.lit("LS"))), 1, 16)
+        .alias("span_id"),
+        F.lit("parent").alias("link_type"))
+    l2 = F.struct(F.lit(zero32).alias("trace_id"),
+                  F.lit(zero16).alias("span_id"),
+                  F.lit("other").alias("link_type"))
+    links = F.when(t % 12 == 0, F.array(l1, l2)) \
+        .when(t % 6 == 0, F.array(l1))
+
+    nil_s = F.lit(None).cast("string")
+    ann = F.struct(
+        (start_ns + 12345).alias("time_ns"),
+        F.when(t % 6 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("d"), _s(t % 3))).alias("desc"),
+        F.create_map(F.lit("ek"), F.col("vs")).alias("eattrs"),
+        F.lit(False).alias("is_msg"),
+        F.lit(None).cast("long").alias("msg_id"), nil_s.alias("msg_type"),
+        F.lit(0).cast("long").alias("comp"),
+        F.lit(0).cast("long").alias("uncomp"))
+    msg = F.struct(
+        (start_ns + 777).alias("time_ns"), nil_s.alias("desc"),
+        F.lit(None).cast("map<string,string>").alias("eattrs"),
+        F.lit(True).alias("is_msg"),
+        (t % 50).cast("long").alias("msg_id"),
+        F.when(t % 3 == 0, F.lit("SENT")).otherwise(F.lit("RECEIVED"))
+        .alias("msg_type"),
+        F.when(t % 8 < 4, t % 128).otherwise(F.lit(0)).cast("long")
+        .alias("comp"),
+        F.when(t % 8 < 4, 2 * (t % 128)).otherwise(F.lit(0)).cast("long")
+        .alias("uncomp"))
+    events = F.when(t % 4 == 1, F.array(ann)).when(t % 4 == 2, F.array(msg))
+
+    res_labels = F.when(~emptyp, F.map_concat(
+        _omap_s(((t % 3 == 0), "rk", F.concat(F.lit("rv"), _s(t % 5)))),
+        _omap_s(((t % 2 == 0), SFX_TOKEN_LABEL,
+                 F.concat(F.lit("tok"), _s(t % 3))))))
+
+    return b.select(
+        F.when(t % 19 == 0, F.lit(zero32)).otherwise(h).alias("trace_id"),
+        F.when(t % 23 == 0, F.lit(zero16))
+        .otherwise(F.substring(F.md5(F.concat(sid, F.lit("S"))), 1, 16))
+        .alias("span_id"),
+        F.when(t % 3 == 0, nil_s).when(t % 17 == 0, F.lit(zero16))
+        .otherwise(F.substring(F.md5(F.concat(sid, F.lit("P"))), 1, 16))
+        .alias("parent_span_id"),
+        F.when(t % 41 == 0, nil_s)
+        .otherwise(F.concat(F.lit("op-"), _s(t % 7))).alias("name"),
+        F.element_at(F.array(F.lit("client"), F.lit("server"),
+                             F.lit("unspecified")),
+                     (t % 3 + 1).cast("int")).alias("kind"),
+        start_ns.alias("start_ns"), end_ns.alias("end_ns"),
+        F.when(t % 4 != 0, (t % 5).cast("int")).alias("status_code"),
+        F.when(t % 2 == 0, F.concat(F.lit("m"), _s(t % 3)))
+        .otherwise(F.lit("")).alias("status_message"),
+        attrs_s.alias("attrs_s"), attrs_i.alias("attrs_i"),
+        attrs_b.alias("attrs_b"), attrs_d.alias("attrs_d"),
+        links.alias("links"), events.alias("events"),
+        nilnode.alias("node_nil"),
+        F.when(emptyp, F.lit(""))
+        .otherwise(F.concat(F.lit("svc"), _s(t % 4))).alias("service"),
+        F.when(~emptyp & (t % 3 != 1), F.concat(F.lit("hn"), _s(t % 5)))
+        .otherwise(F.lit("")).alias("hostname"),
+        F.when(~emptyp, t % 100).otherwise(F.lit(0)).cast("long")
+        .alias("pid"),
+        F.when(~emptyp & (t % 7 != 0), F.lit(1485467190) + t % 3)
+        .otherwise(F.lit(0)).cast("long").alias("start_sec"),
+        ((t % 1000) * 1000000).cast("long").alias("start_nanos"),
+        F.when(~emptyp & (t % 2 == 0),
+               F.create_map(F.lit("na"), F.concat(F.lit("nv"), _s(t % 3))))
+        .alias("node_attrs"),
+        F.when(~emptyp & (t % 5 == 2), F.lit("GO_LANG"))
+        .otherwise(F.lit("")).alias("language"),
+        F.when(~emptyp & (t % 4 < 2), F.concat(F.lit("v"), _s(t % 3)))
+        .otherwise(F.lit("")).alias("exporter_version"),
+        F.when(~emptyp & (t % 6 == 0), F.lit("c1")).otherwise(F.lit(""))
+        .alias("core_lib_version"),
+        F.when(~emptyp & (t % 2 == 1), F.lit("k8s.io/container"))
+        .otherwise(F.lit("")).alias("resource_type"),
+        res_labels.alias("resource_labels"),
+        F.when(~emptyp & (t % 2 == 0), F.concat(F.lit("tok"), _s(t % 3)))
+        .alias("token"))
+
+
+def q_jaeger(spark, sf_dir, tok_dir) -> DataFrame:
+    """Jaeger thrift span battery via the logzio per-span+process view:
+    signed two's-complement (hi, lo) ids, per-side microsecond
+    truncation, 4-type tags, span.kind/status tag suppression by
+    attr-key existence, CHILD_OF/FOLLOWS_FROM refs incl. a legal
+    all-zero link, annotation + message-event logs (both-zero size
+    short form), the nil-node unknown-service process, the nil
+    (empty) process, RFC3339Nano start.time, and quarantined zero
+    trace/span ids."""
+    from .sinks.jaeger import logzio_spans
+    return logzio_spans(_jaeger_spans_input(spark, tok_dir))
+
+
+def q_sapm(spark, sf_dir, tok_dir) -> DataFrame:
+    """SAPM per-access-token batches: token from the resource label,
+    token tag filtered out of the serialized process tags."""
+    from .sinks.jaeger import sapm_batches
+    return sapm_batches(_jaeger_spans_input(spark, tok_dir))
+
+
+def _jaeger_oracle(d: str) -> str:
+    c = "CAST({} AS VARCHAR)".format
+
+    def sgn(h):
+        u = f"CAST('0x' || {h} AS UBIGINT)"
+        return (f"CAST(CAST({u} AS HUGEINT) - CASE WHEN {u} >= "
+                "9223372036854775808 THEN CAST(18446744073709551616 AS "
+                "HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)")
+
+    tags = f"""array_to_string(list_sort(list_filter([
+  'as=STRING:' || vs,
+  CASE WHEN t%13=0 THEN 'span.kind=STRING:producer' END,
+  CASE WHEN t%11=0 THEN 'status.code=STRING:7' END,
+  CASE WHEN t%2=0 THEN 'ai=LONG:' || {c('t%1000')} END,
+  CASE WHEN t%5=0 THEN 'ab=BOOL:' ||
+       CASE WHEN t%4<2 THEN 'true' ELSE 'false' END END,
+  CASE WHEN t%3=1 THEN 'ad=DOUBLE:' || CAST((t%9)/2.0 AS VARCHAR) END,
+  CASE WHEN t%3 IN (0,1) AND t%13<>0 THEN 'span.kind=STRING:' ||
+       CASE WHEN t%3=0 THEN 'client' ELSE 'server' END END,
+  CASE WHEN t%4<>0 AND t%11<>0 THEN 'status.code=LONG:' || {c('t%5')} END,
+  CASE WHEN t%4<>0 AND t%11<>0 AND t%2=0
+       THEN 'status.message=STRING:m' || {c('t%3')} END
+], x -> x IS NOT NULL)), '|')"""
+
+    l_hi = c(sgn("substr(md5(scrape_id || 'L'), 1, 16)"))
+    l_lo = c(sgn("substr(md5(scrape_id || 'L'), 17, 16)"))
+    l_sid = c(sgn("substr(md5(scrape_id || 'LS'), 1, 16)"))
+    r1 = f"{l_hi} || ',' || {l_lo} || ',' || {l_sid} || ',CHILD_OF'"
+    refs = f"""CASE WHEN t%12=0 THEN {r1} || ';0,0,0,FOLLOWS_FROM'
+  WHEN t%6=0 THEN {r1} ELSE '' END"""
+
+    logs = f"""CASE
+  WHEN t%4=1 THEN {c('t*1000000 + t%997 + 12')} || '@ek=STRING:' || vs ||
+    CASE WHEN t%6<>1 THEN ',description=STRING:d' || {c('t%3')}
+         ELSE '' END
+  WHEN t%4=2 THEN {c('t*1000000 + t%997')} || '@message.id=LONG:' ||
+    {c('t%50')} || ',message.type=STRING:' ||
+    CASE WHEN t%3=0 THEN 'SENT' ELSE 'RECEIVED' END ||
+    CASE WHEN t%8<4 AND t%128<>0
+         THEN ',message.compressed_size=LONG:' || {c('t%128')} ||
+              ',message.uncompressed_size=LONG:' || {c('2*(t%128)')}
+         ELSE '' END
+  ELSE '' END"""
+
+    rfc = ("strftime(TIMESTAMP '1970-01-01 00:00:00' + "
+           "INTERVAL (1485467190 + t%3) SECOND, '%Y-%m-%dT%H:%M:%S') || "
+           "CASE WHEN t%1000=0 THEN '' ELSE '.' || "
+           f"rtrim(lpad({c('(t%1000)*1000000')}, 9, '0'), '0') END || 'Z'")
+    proc_tags = f"""array_to_string(list_sort(list_filter([
+  CASE WHEN t%2=0 THEN 'na=STRING:nv' || {c('t%3')} END,
+  CASE WHEN t%3<>1 THEN 'hostname=STRING:hn' || {c('t%5')} END,
+  CASE WHEN t%100<>0 THEN 'pid=LONG:' || {c('t%100')} END,
+  CASE WHEN t%7<>0 THEN 'start.time=STRING:' || {rfc} END,
+  CASE WHEN t%5=2 THEN 'opencensus.language=STRING:GO_LANG' END,
+  CASE WHEN t%4<2 THEN 'opencensus.exporterversion=STRING:v'
+       || {c('t%3')} END,
+  CASE WHEN t%6=0 THEN 'opencensus.corelibversion=STRING:c1' END,
+  CASE WHEN t%2=1
+       THEN 'opencensus.resourcetype=STRING:k8s.io/container' END,
+  CASE WHEN t%3=0 THEN 'rk=STRING:rv' || {c('t%5')} END,
+  CASE WHEN t%2=0 THEN 'com.splunk.signalfx.access_token=STRING:tok'
+       || {c('t%3')} END
+], x -> x IS NOT NULL)), '|')"""
+
+    return f"""WITH {{base}}
+SELECT {sgn('substr(md5(scrape_id), 1, 16)')} AS trace_hi,
+       {sgn('substr(md5(scrape_id), 17, 16)')} AS trace_lo,
+       {sgn("substr(md5(scrape_id || 'S'), 1, 16)")} AS span_id_s,
+       CASE WHEN t%3=0 OR t%17=0 THEN CAST(0 AS BIGINT)
+            ELSE {sgn("substr(md5(scrape_id || 'P'), 1, 16)")}
+       END AS parent_id_s,
+       CASE WHEN t%41=0 THEN '' ELSE 'op-' || {c('t%7')} END AS op_name,
+       CAST(t*1000000 + t%997 AS BIGINT) AS start_us,
+       CAST(t%1000 + CASE WHEN t%7 + (t%13)*100 >= 1000 THEN 1 ELSE 0 END
+            AS BIGINT) AS duration_us,
+       {tags} AS tags_s,
+       {refs} AS refs_s,
+       {logs} AS logs_s,
+       CASE WHEN t%31=0 THEN 'unknown-service-name'
+            WHEN t%21=0 THEN NULL
+            ELSE 'svc' || {c('t%4')} END AS proc_service_name,
+       CASE WHEN t%31=0 THEN ''
+            WHEN t%21=0 THEN NULL
+            ELSE {proc_tags} END AS proc_s,
+       CASE WHEN t%2=0 AND NOT (t%21=0 AND t%31<>0)
+            THEN 'tok' || {c('t%3')} END AS token
+FROM base
+WHERE t%19<>0 AND t%23<>0"""
+
+
+def _sapm_oracle(d: str) -> str:
+    return """WITH jg AS ({jg})
+SELECT coalesce(token, '') AS access_token,
+       proc_service_name AS service,
+       CASE WHEN proc_s IS NOT NULL THEN array_to_string(
+         list_filter(string_split(proc_s, '|'),
+           x -> NOT starts_with(x, 'com.splunk.signalfx.access_token=')),
+         '|') END AS proc_tags,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM jg
+GROUP BY access_token, service, proc_tags"""
+
+
 def export_queries() -> dict:
     return {
         "azure_envelopes": q_azure,
@@ -828,6 +1062,8 @@ def export_queries() -> dict:
         "hec_spans": q_hec_spans,
         "datadog_spans": q_datadog,
         "datadog_traces": q_datadog_rollup,
+        "jaeger_spans": q_jaeger,
+        "sapm_batches": q_sapm,
     }
 
 
@@ -841,4 +1077,7 @@ def export_oracles(d: str) -> dict[str, str]:
         "hec_spans": _hec_spans_oracle(d).replace("{base}", base),
         "datadog_spans": dd,
         "datadog_traces": _datadog_rollup_oracle(d).replace("{dd}", dd),
+        "jaeger_spans": _jaeger_oracle(d).replace("{base}", base),
+        "sapm_batches": _sapm_oracle(d).replace(
+            "{jg}", _jaeger_oracle(d).replace("{base}", base)),
     }

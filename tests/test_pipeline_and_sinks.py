@@ -434,7 +434,10 @@ def test_group_by_trace_spans_across_micro_batches(spark, tmp_path):
         .coalesce(1).write.mode("append").parquet(str(src))
     stream = (spark.readStream.schema("trace_id string, span_id string")
               .parquet(str(src)))
-    out = group_by_trace_stream(stream, wait_duration_ms=8000)
+    # wait_duration must outlive the batch-1-detect -> batch-2-write gap
+    # even on a loaded host, else the timer fires between the two
+    # appends and the trace emits split (flaky under a full-suite run)
+    out = group_by_trace_stream(stream, wait_duration_ms=25000)
     q = (out.writeStream.format("memory").queryName("t_gbt2")
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ck_gbt2")).start())
