@@ -1054,6 +1054,215 @@ FROM jg
 GROUP BY access_token, service, proc_tags"""
 
 
+# ---------------------------------------------------------------------------
+# kinesis exporter (sinks/kinesis.py)
+# ---------------------------------------------------------------------------
+
+def q_kinesis(spark, sf_dir, tok_dir) -> DataFrame:
+    """Kinesis KPL batching over jaeger-translated spans: per-span
+    process attach, over-sized-span quarantine, trace-hash sharding,
+    byte-offset batch assignment per shard."""
+    from .sinks.kinesis import kinesis_batches
+    return kinesis_batches(_jaeger_spans_input(spark, tok_dir))
+
+
+def _kinesis_oracle(d: str) -> str:
+    return """WITH jg AS ({jg}),
+sized AS (
+  SELECT trace_hi, trace_lo, span_id_s, start_us,
+         CAST(length(op_name) + length(tags_s) + length(refs_s) +
+              length(logs_s) + length(coalesce(proc_s, '')) + 48
+              AS BIGINT) AS nbytes
+  FROM jg),
+kept AS (
+  SELECT *,
+         CAST(CAST('0x' || substr(md5(CAST(trace_hi AS VARCHAR) || ',' ||
+              CAST(trace_lo AS VARCHAR)), 1, 8) AS UBIGINT) % 8 AS INT)
+           AS shard
+  FROM sized WHERE nbytes <= 400),
+placed AS (
+  SELECT shard,
+         CAST(floor(coalesce(sum(nbytes) OVER (
+           PARTITION BY shard ORDER BY start_us, span_id_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 4096.0) AS BIGINT) AS batch,
+         span_id_s, nbytes
+  FROM kept)
+SELECT shard, batch, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(nbytes) AS BIGINT) AS batch_bytes,
+       min(span_id_s) AS first_span, max(span_id_s) AS last_span
+FROM placed GROUP BY shard, batch"""
+
+
+# ---------------------------------------------------------------------------
+# stackdriver exporter (sinks/stackdriver.py)
+# ---------------------------------------------------------------------------
+
+SD_MAPPINGS = [
+    {"source_type": "k8s_container", "target_type": "k8s_set",
+     "label_mappings": [("k8s.cluster", "cluster_name", False),
+                        ("k8s.ns", "namespace", True)]},
+    {"source_type": "k8s_container", "target_type": "k8s_alt",
+     "label_mappings": [("alt.key", "alt", False)]},
+]
+
+
+def q_stackdriver(spark, sf_dir, tok_dir) -> DataFrame:
+    """Stackdriver OT-SpanData battery: the first-match resource rules
+    engine (required label gates the mapping, optional renamed when
+    present, second mapping catches the miss, global fallback), all 7
+    span kinds (UNSPECIFIED folds into internal), ok/error/unset
+    status, resource-attrs-then-span-attrs merge with span-wins
+    conflict, links with zero ids + empty-resource attrs, named and
+    unnamed events, and dropped-count/library passthrough."""
+    from .sinks.stackdriver import ot_spans
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    sid = F.col("scrape_id")
+    nil_s = F.lit(None).cast("string")
+
+    rtype = F.when(t % 3 == 0, F.lit("k8s_container")) \
+        .when(t % 3 == 1, F.lit("gce_instance")).otherwise(F.lit(""))
+    res_labels = F.when(t % 11 != 0, F.map_concat(
+        _omap_s(((t % 4 != 0), "k8s.cluster",
+                 F.concat(F.lit("cl"), _s(t % 4)))),
+        _omap_s(((t % 5 == 0), "k8s.ns", F.concat(F.lit("ns"), _s(t % 5)))),
+        _omap_s(((t % 7 == 0), "alt.key", F.concat(F.lit("av"), _s(t % 6)))),
+        _omap_s(((t % 2 == 0), "rk", F.concat(F.lit("rv"), _s(t % 3))))))
+
+    attrs_s = F.map_concat(
+        _omap_s((None, "as", F.col("vs"))),
+        _omap_s(((t % 13 == 0), "rk", F.concat(F.lit("sp"), _s(t % 3)))))
+    attrs_i = F.when(t % 2 == 0,
+                     F.create_map(F.lit("ai"), (t % 100).cast("long")))
+    attrs_b = F.when(t % 5 == 1, F.create_map(F.lit("ab"), t % 4 < 2))
+    attrs_d = F.when(t % 3 == 1,
+                     F.create_map(F.lit("ad"), (t % 7) / F.lit(2.0)))
+
+    l1 = F.struct(
+        F.md5(F.concat(sid, F.lit("L"))).alias("trace_id"),
+        F.substring(F.md5(F.concat(sid, F.lit("LS"))), 1, 16)
+        .alias("span_id"),
+        F.when(t % 2 == 0, F.create_map(F.lit("lk"), F.col("vs")))
+        .alias("attrs"))
+    l2 = F.struct(F.lit("0" * 32).alias("trace_id"),
+                  F.lit("0" * 16).alias("span_id"),
+                  F.lit(None).cast("map<string,string>").alias("attrs"))
+    links = F.when(t % 12 == 0, F.array(l1, l2)) \
+        .when(t % 6 == 0, F.array(l1))
+
+    ev1 = F.struct(F.concat(F.lit("ev"), _s(t % 3)).alias("name"),
+                   (t * 1000 + 5).cast("long").alias("time_ns"),
+                   F.create_map(F.lit("ek"), F.col("vs")).alias("eattrs"))
+    ev2 = F.struct(F.lit("").alias("name"),
+                   (t * 1000 + 9).cast("long").alias("time_ns"),
+                   F.lit(None).cast("map<string,string>").alias("eattrs"))
+    events = F.when(t % 4 == 1, F.array(ev1)).when(t % 4 == 2, F.array(ev2))
+
+    spans = b.select(
+        F.md5(sid).alias("trace_id"),
+        F.substring(F.md5(F.concat(sid, F.lit("S"))), 1, 16)
+        .alias("span_id"),
+        F.when(t % 5 == 0, nil_s)
+        .otherwise(F.substring(F.md5(F.concat(sid, F.lit("P"))), 1, 16))
+        .alias("parent_span_id"),
+        F.when(t % 41 == 0, nil_s)
+        .otherwise(F.concat(F.lit("op-"), _s(t % 7))).alias("name"),
+        F.element_at(F.array(*[F.lit(k) for k in (
+            "unspecified", "internal", "server", "client", "producer",
+            "consumer", "weird")]), (t % 7 + 1).cast("int")).alias("kind"),
+        F.when(t % 3 == 0, F.lit("ok")).when(t % 3 == 1, F.lit("error"))
+        .otherwise(F.lit("")).alias("status"),
+        F.when(t % 2 == 1, F.concat(F.lit("m"), _s(t % 5)))
+        .otherwise(F.lit("")).alias("status_message"),
+        (t * 1_000_000_000).cast("long").alias("start_ns"),
+        (t * 1_000_000_000 + (t % 1000) * 1000).cast("long")
+        .alias("end_ns"),
+        attrs_s.alias("attrs_s"), attrs_i.alias("attrs_i"),
+        attrs_b.alias("attrs_b"), attrs_d.alias("attrs_d"),
+        rtype.alias("resource_type"), res_labels.alias("resource_labels"),
+        links.alias("links"), events.alias("events"),
+        (t % 5).cast("int").alias("dropped_attrs"),
+        (t % 6).cast("int").alias("dropped_events"),
+        (t % 7).cast("int").alias("dropped_links"),
+        F.when(t % 2 == 0, F.lit("lib")).otherwise(F.lit(""))
+        .alias("il_name"),
+        F.when(t % 4 == 0, F.lit("v1")).otherwise(F.lit(""))
+        .alias("il_version"))
+    return ot_spans(spans, SD_MAPPINGS)
+
+
+def _stackdriver_oracle(d: str) -> str:
+    c = "CAST({} AS VARCHAR)".format
+
+    attrs = f"""array_to_string(list_sort(list_filter([
+  'as=STRING:' || vs,
+  CASE WHEN t%13=0 THEN 'rk=STRING:sp' || {c('t%3')} END,
+  CASE WHEN t%2=0 THEN 'ai=LONG:' || {c('t%100')} END,
+  CASE WHEN t%5=1 THEN 'ab=BOOL:' ||
+       CASE WHEN t%4<2 THEN 'true' ELSE 'false' END END,
+  CASE WHEN t%3=1 THEN 'ad=DOUBLE:' || CAST((t%7)/2.0 AS VARCHAR) END,
+  CASE WHEN t%4<>0 AND t%11<>0
+       THEN 'k8s.cluster=STRING:cl' || {c('t%4')} END,
+  CASE WHEN t%5=0 AND t%11<>0 THEN 'k8s.ns=STRING:ns' || {c('t%5')} END,
+  CASE WHEN t%7=0 AND t%11<>0 THEN 'alt.key=STRING:av' || {c('t%6')} END,
+  CASE WHEN t%2=0 AND t%11<>0 AND t%13<>0
+       THEN 'rk=STRING:rv' || {c('t%3')} END
+], x -> x IS NOT NULL)), '|')"""
+
+    mr_type = """CASE
+  WHEN t%3=0 AND t%11<>0 AND t%4<>0 THEN 'k8s_set'
+  WHEN t%3=0 AND t%11<>0 AND t%7=0 THEN 'k8s_alt'
+  ELSE 'global' END"""
+    mr_labels = f"""CASE
+  WHEN t%3=0 AND t%11<>0 AND t%4<>0 THEN array_to_string(list_sort(
+    list_filter(['cluster_name=cl' || {c('t%4')},
+      CASE WHEN t%5=0 THEN 'namespace=ns' || {c('t%5')} END],
+      x -> x IS NOT NULL)), '|')
+  WHEN t%3=0 AND t%11<>0 AND t%7=0 THEN 'alt=av' || {c('t%6')}
+  ELSE '' END"""
+
+    l1 = ("md5(scrape_id || 'L') || '@' || "
+          "substr(md5(scrape_id || 'LS'), 1, 16) || '@' || "
+          "CASE WHEN t%2=0 THEN 'lk=STRING:' || vs ELSE '' END")
+    links = f"""CASE
+  WHEN t%12=0 THEN {l1} || ';' || repeat('0',32) || '@' ||
+       repeat('0',16) || '@'
+  WHEN t%6=0 THEN {l1} ELSE '' END"""
+    events = f"""CASE
+  WHEN t%4=1 THEN 'ev' || {c('t%3')} || '@' || {c('t*1000+5')} ||
+       '@ek=STRING:' || vs
+  WHEN t%4=2 THEN '@' || {c('t*1000+9')} || '@' ELSE '' END"""
+
+    return f"""WITH {{base}}
+SELECT md5(scrape_id) AS trace_id,
+       substr(md5(scrape_id || 'S'), 1, 16) AS span_id,
+       CASE WHEN t%5=0 THEN ''
+            ELSE substr(md5(scrape_id || 'P'), 1, 16) END AS parent_id,
+       CASE WHEN t%41=0 THEN '' ELSE 'op-' || {c('t%7')} END AS span_name,
+       CASE t%7 WHEN 0 THEN 'internal' WHEN 1 THEN 'internal'
+                WHEN 2 THEN 'server' WHEN 3 THEN 'client'
+                WHEN 4 THEN 'producer' WHEN 5 THEN 'consumer'
+                ELSE 'unspecified' END AS ot_kind,
+       CAST(t*1000000000 AS BIGINT) AS start_ns,
+       CAST(t*1000000000 + (t%1000)*1000 AS BIGINT) AS end_ns,
+       {attrs} AS attrs_s_out,
+       {links} AS links_s,
+       {events} AS events_s,
+       CASE WHEN t%3=0 THEN 'ok' WHEN t%3=1 THEN 'error'
+            ELSE 'unset' END AS ot_status,
+       CASE WHEN t%2=1 THEN 'm' || {c('t%5')} ELSE '' END
+         AS status_message,
+       CAST(t%5 AS INT) AS dropped_attrs,
+       CAST(t%6 AS INT) AS dropped_events,
+       CAST(t%7 AS INT) AS dropped_links,
+       CASE WHEN t%2=0 THEN 'lib' ELSE '' END AS il_name,
+       CASE WHEN t%4=0 THEN 'v1' ELSE '' END AS il_version,
+       {mr_type} AS mr_type,
+       {mr_labels} AS mr_labels
+FROM base"""
+
+
 def export_queries() -> dict:
     return {
         "azure_envelopes": q_azure,
@@ -1064,6 +1273,8 @@ def export_queries() -> dict:
         "datadog_traces": q_datadog_rollup,
         "jaeger_spans": q_jaeger,
         "sapm_batches": q_sapm,
+        "stackdriver_spans": q_stackdriver,
+        "kinesis_batches": q_kinesis,
     }
 
 
@@ -1079,5 +1290,8 @@ def export_oracles(d: str) -> dict[str, str]:
         "datadog_traces": _datadog_rollup_oracle(d).replace("{dd}", dd),
         "jaeger_spans": _jaeger_oracle(d).replace("{base}", base),
         "sapm_batches": _sapm_oracle(d).replace(
+            "{jg}", _jaeger_oracle(d).replace("{base}", base)),
+        "stackdriver_spans": _stackdriver_oracle(d).replace("{base}", base),
+        "kinesis_batches": _kinesis_oracle(d).replace(
             "{jg}", _jaeger_oracle(d).replace("{base}", base)),
     }
