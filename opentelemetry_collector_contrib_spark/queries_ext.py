@@ -155,6 +155,14 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), dim=64, k=3)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) semantic dedup: coarse-quantize the
+    embeddings (seeded IVF centroids), compare pairs only within a
+    cluster, drop greedy min-id near-duplicates at cosine >= 0.3."""
+    from .datapipe.semdedup import semantic_dedup
+    return semantic_dedup(_emb(spark, sf_dir), dim=64, threshold=0.3)
+
+
 def q_textstats(spark, sf_dir):
     """Fused Arrow path (ONE Python hop for all stats); the per-feature
     Catalyst forms are pinned equal in tests/test_textstats parity."""
@@ -613,6 +621,22 @@ SELECT query_id, neighbor_id, cosine,
 FROM scored QUALIFY rank <= 3"""
 
 
+def _semdedup_oracle_sql() -> str:
+    """SemDeDup twin: same inlined centroid assignment as ann_ivf, the
+    pair test restricted to same-cluster smaller-id partners."""
+    from .datapipe.ivf import ivf_assign_sql
+    return f"""WITH {_VEC_CTE}, {ivf_assign_sql(64)},
+drops AS (
+  SELECT DISTINCT x.id
+  FROM ivf_a x JOIN ivf_a y ON x.list_id = y.list_id AND y.id < x.id
+  JOIN nv a ON a.id = x.id JOIN nv b ON b.id = y.id
+  WHERE round({_DOT_SQL} / (a.nrm * b.nrm), 6) >= 0.3
+)
+SELECT x.id AS vec_id, x.list_id,
+       (d.id IS NULL) AS kept
+FROM ivf_a x LEFT JOIN drops d ON d.id = x.id"""
+
+
 def _span_bucket_sql(value_sql: str, bounds: list[float]) -> str:
     terms = " + ".join(
         f"CASE WHEN {value_sql} > {float(b)!r} THEN 1 ELSE 0 END"
@@ -904,6 +928,7 @@ SELECT query_id, neighbor_id, cosine,
 FROM scored QUALIFY rank <= 3""",
 
         "ann_ivf": _ann_ivf_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
 
         "span_metrics": f"""WITH b AS (
   SELECT event_type, value,
@@ -1118,6 +1143,7 @@ def extra_queries(tok_dir_for) -> dict:
         "embed_neardup": q_embed_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "semdedup": q_semdedup,
         "textstats": q_textstats,
         "repetition": q_repetition,
         "langid_agg": q_langid_agg,

@@ -2022,6 +2022,271 @@ def _elastic_spans_oracle_wrap(d: str) -> str:
 
 
 
+# ---------------------------------------------------------------------------
+# windowsperfcounters (scraper.go:86-150, pdh.go:87-106)
+# ---------------------------------------------------------------------------
+
+def q_winperf(spark, sf_dir, tok_dir) -> DataFrame:
+    """PDH readings -> DoubleGauges: a wildcard Processor counter whose
+    expansion always includes a ``_Total`` rollup (dropped — multiple
+    values), a single-value ``_Total`` LogicalDisk counter (instance
+    cleared) and an instance-less Memory counter."""
+    from .operators.winperf import winperf_gauges
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    proc = (b.select(
+        "scrape_id", t.alias("t"),
+        F.explode(F.sequence(F.lit(0), (t % 3).cast("int"))).alias("i"))
+        .select("scrape_id", F.lit("Processor").alias("object"),
+                F.lit("*").alias("instance_cfg"),
+                F.lit("% Processor Time").alias("counter"),
+                F.col("i").cast("string").alias("instance_name"),
+                ((F.col("t") % 100) + F.col("i")).cast("double")
+                .alias("value")))
+    proc_total = b.select(
+        "scrape_id", F.lit("Processor").alias("object"),
+        F.lit("*").alias("instance_cfg"),
+        F.lit("% Processor Time").alias("counter"),
+        F.lit("_Total").alias("instance_name"),
+        ((t % 100) + F.lit(50)).cast("double").alias("value"))
+    disk = b.select(
+        "scrape_id", F.lit("LogicalDisk").alias("object"),
+        F.lit("_Total").alias("instance_cfg"),
+        F.lit("% Free Space").alias("counter"),
+        F.lit("_Total").alias("instance_name"),
+        (t % 55).cast("double").alias("value"))
+    mem = b.select(
+        "scrape_id", F.lit("Memory").alias("object"),
+        F.lit("").alias("instance_cfg"),
+        F.lit("Committed Bytes").alias("counter"),
+        F.lit("").alias("instance_name"),
+        (t % 1000).cast("double").alias("value"))
+    scraped = (proc.unionByName(proc_total).unionByName(disk)
+               .unionByName(mem))
+    return winperf_gauges(scraped)
+
+
+def _winperf_oracle(d: str) -> str:
+    return f"""WITH {_base_sql(d)}
+SELECT scrape_id,
+       '\\Processor(*)\\% Processor Time' AS metric_name,
+       CAST(u.i AS VARCHAR) AS instance,
+       CAST(t % 100 + u.i AS DOUBLE) AS value
+FROM base, UNNEST(range(0, t % 3 + 1)) AS u(i)
+UNION ALL
+SELECT scrape_id, '\\LogicalDisk(_Total)\\% Free Space',
+       CAST(NULL AS VARCHAR), CAST(t % 55 AS DOUBLE) FROM base
+UNION ALL
+SELECT scrape_id, '\\Memory\\Committed Bytes',
+       CAST(NULL AS VARCHAR), CAST(t % 1000 AS DOUBLE) FROM base"""
+
+
+# ---------------------------------------------------------------------------
+# signalfx receiver-side translation (signalfxv2_to_metricdata.go,
+# signalfxv2_event_to_logdata.go)
+# ---------------------------------------------------------------------------
+
+def q_sfx_receive(spark, sf_dir, tok_dir) -> DataFrame:
+    """SFx v2 datapoints -> metrics: the 6 synth arms exercise the full
+    type matrix plus the nil-datum drop (t%6=4) and the unknown-type
+    drop (t%6=5, datum present but type ENUM)."""
+    from .operators.sfx_receive import sfx_datapoints_to_metrics
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    m = t % 6
+    dps = b.select(
+        F.col("scrape_id").alias("dp_id"),
+        F.concat(F.lit("metric."), (t % 7).cast("string")).alias("metric"),
+        (F.when(m == 5, F.lit("ENUM"))
+         .when((m == 0) | (m == 1), F.lit("GAUGE"))
+         .when(m == 2, F.lit("COUNTER"))
+         .otherwise(F.lit("CUMULATIVE_COUNTER"))).alias("metric_type"),
+        F.when((m == 1) | (m == 2) | (m == 5), t % 97).cast("long")
+        .alias("int_value"),
+        F.when((m == 0) | (m == 3), (t % 89) / F.lit(7.0))
+        .alias("double_value"),
+        (t * 1000).alias("timestamp_ms"),
+        F.create_map(F.lit("host"),
+                     F.concat(F.lit("h"), (t % 4).cast("string")))
+        .alias("dimensions"))
+    out = sfx_datapoints_to_metrics(dps)
+    return out.select(
+        "dp_id", "name", "data_type", "temporality", "monotonic",
+        "ts_ns", "value_i", "value_d",
+        F.col("dimensions")["host"].alias("host"))
+
+
+def _sfx_receive_oracle(d: str) -> str:
+    return f"""WITH {_base_sql(d)}
+SELECT scrape_id AS dp_id,
+       'metric.' || CAST(t % 7 AS VARCHAR) AS name,
+       CASE WHEN t % 6 = 0 THEN 'DoubleGauge'
+            WHEN t % 6 = 1 THEN 'IntGauge'
+            WHEN t % 6 = 2 THEN 'IntSum'
+            ELSE 'DoubleSum' END AS data_type,
+       CASE WHEN t % 6 = 2 THEN 'delta'
+            WHEN t % 6 = 3 THEN 'cumulative'
+            ELSE NULL END AS temporality,
+       CASE WHEN t % 6 IN (2, 3) THEN TRUE ELSE NULL END AS monotonic,
+       t * 1000 * 1000000 AS ts_ns,
+       CASE WHEN t % 6 IN (1, 2) THEN t % 97 ELSE NULL END AS value_i,
+       CASE WHEN t % 6 IN (0, 3) THEN (t % 89) / 7.0
+            ELSE NULL END AS value_d,
+       'h' || CAST(t % 4 AS VARCHAR) AS host
+FROM base WHERE t % 6 IN (0, 1, 2, 3)"""
+
+
+def q_sfx_events(spark, sf_dir, tok_dir) -> DataFrame:
+    """SFx v2 events -> logs: typed-property rendering (str/double/bool
+    precedence on key 's', always-int 'i', always-null 'n'), ms -> ns,
+    and the explicit-null category marker."""
+    from .operators.sfx_receive import sfx_events_to_logs
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    snull = F.lit(None).cast("string")
+    lnull = F.lit(None).cast("long")
+    dnull = F.lit(None).cast("double")
+    bnull = F.lit(None).cast("boolean")
+
+    def pstruct(s, i, dd, bb):
+        return F.struct(s.alias("str_v"), i.alias("int_v"),
+                        dd.alias("double_v"), bb.alias("bool_v"))
+
+    props = F.create_map(
+        F.lit("i"), pstruct(snull, (t % 7).cast("long"), dnull, bnull),
+        F.lit("s"), pstruct(
+            F.when(t % 3 == 0,
+                   F.concat(F.lit("x"), (t % 5).cast("string"))),
+            lnull,
+            F.when(t % 3 == 1, (t % 11) / F.lit(2.0)),
+            F.when(t % 3 == 2, (t % 2 == 0))),
+        F.lit("n"), pstruct(snull, lnull, dnull, bnull))
+    events = b.select(
+        F.col("scrape_id").alias("event_id"),
+        F.concat(F.lit("ev"), (t % 3).cast("string")).alias("event_type"),
+        (t * 1000).alias("timestamp_ms"),
+        F.when(t % 2 == 0, t % 1000).cast("long").alias("category"),
+        F.create_map(F.lit("env"),
+                     F.concat(F.lit("e"), (t % 3).cast("string")))
+        .alias("dimensions"),
+        props.alias("properties"))
+    out = sfx_events_to_logs(events)
+    return out.select(
+        "event_id", "name", "ts_ns", "category",
+        F.col("properties_typed")["i"].alias("p_i"),
+        F.col("properties_typed")["s"].alias("p_s"),
+        F.col("properties_typed")["n"].alias("p_n"),
+        F.col("dimensions")["env"].alias("env"))
+
+
+def _sfx_events_oracle(d: str) -> str:
+    return f"""WITH {_base_sql(d)}
+SELECT scrape_id AS event_id,
+       'ev' || CAST(t % 3 AS VARCHAR) AS name,
+       t * 1000 * 1000000 AS ts_ns,
+       CASE WHEN t % 2 = 0 THEN t % 1000 ELSE NULL END AS category,
+       'i:' || CAST(t % 7 AS VARCHAR) AS p_i,
+       CASE WHEN t % 3 = 0 THEN 's:x' || CAST(t % 5 AS VARCHAR)
+            WHEN t % 3 = 1 THEN 'd:' || CAST((t % 11) / 2.0 AS VARCHAR)
+            ELSE 'b:' || CASE WHEN t % 2 = 0 THEN 'true' ELSE 'false' END
+       END AS p_s,
+       'null' AS p_n,
+       'e' || CAST(t % 3 AS VARCHAR) AS env
+FROM base"""
+
+
+# ---------------------------------------------------------------------------
+# prometheus_exec (receiver.go:99-153, 283-295)
+# ---------------------------------------------------------------------------
+
+def q_promexec(spark, sf_dir, tok_dir) -> DataFrame:
+    """Receiver-fleet config derivation: custom-name extraction
+    (incl. the empty-suffix fallback and SplitN keep-rest), {{port}}
+    templating, and the static localhost target."""
+    from .operators.promexec import (extract_name_column,
+                                     fill_port_placeholders_column)
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    name = F.concat(
+        F.lit("prometheus_exec/"),
+        F.when(t % 3 == 0, F.lit("postgres"))
+        .when(t % 3 == 1, F.lit(""))
+        .otherwise(F.lit("a/b")))
+    port = (F.lit(9000) + t % 1000).cast("int")
+    cmd = F.lit("exporter --web.listen-address=:{{port}} --x={{port}}")
+    df = b.select("scrape_id", name.alias("receiver_name"),
+                  port.alias("port"), cmd.alias("command"))
+    return df.select(
+        "scrape_id",
+        extract_name_column(F.col("receiver_name")).alias("job_name"),
+        fill_port_placeholders_column(F.col("command"), F.col("port"))
+        .alias("command_filled"),
+        F.concat(F.lit("localhost:"), F.col("port").cast("string"))
+        .alias("target"))
+
+
+def _promexec_oracle(d: str) -> str:
+    return f"""WITH {_base_sql(d)}
+SELECT scrape_id,
+       CASE WHEN t % 3 = 0 THEN 'postgres'
+            WHEN t % 3 = 1 THEN 'prometheus_exec'
+            ELSE 'a/b' END AS job_name,
+       replace('exporter --web.listen-address=:{{{{port}}}} --x={{{{port}}}}',
+               '{{{{port}}}}', CAST(9000 + t % 1000 AS VARCHAR))
+           AS command_filled,
+       'localhost:' || CAST(9000 + t % 1000 AS VARCHAR) AS target
+FROM base"""
+
+
+# ---------------------------------------------------------------------------
+# jmx gatherer properties (receiver.go:132-175)
+# ---------------------------------------------------------------------------
+
+def q_jmx_props(spark, sf_dir, tok_dir) -> DataFrame:
+    """Per-endpoint gatherer properties: endpoint coercion to the RMI
+    service URL, target-system-over-groovy precedence, conditional
+    credential lines, fixed field order."""
+    from .operators.jmx import jmx_gatherer_properties_column
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    endpoint = F.concat(F.lit("host"), (t % 50).cast("string"),
+                        F.lit(":"), (F.lit(7000) + t % 100).cast("string"))
+    target = (F.when(t % 3 == 0, F.lit("jvm")).otherwise(F.lit("")))
+    groovy = (F.when(t % 3 == 1, F.lit("script.groovy"))
+              .otherwise(F.lit("")))
+    user = F.when(t % 5 == 0, F.lit("admin")).otherwise(F.lit(""))
+    pw = F.when(t % 7 == 0, F.lit("secret")).otherwise(F.lit(""))
+    return b.select(
+        "scrape_id",
+        jmx_gatherer_properties_column(
+            endpoint, F.lit(10000) + t % 7, F.lit("0.0.0.0:4317"),
+            F.lit(5000), target, groovy, user, pw).alias("props"))
+
+
+def _jmx_oracle(d: str) -> str:
+    return f"""WITH {_base_sql(d)}
+SELECT scrape_id,
+       'otel.jmx.service.url = service:jmx:rmi:///jndi/rmi://host'
+       || CAST(t % 50 AS VARCHAR) || ':'
+       || CAST(7000 + t % 100 AS VARCHAR) || '/jmxrmi'
+       || chr(10)
+       || 'otel.jmx.interval.milliseconds = '
+       || CAST(10000 + t % 7 AS VARCHAR) || chr(10)
+       || CASE WHEN t % 3 = 0 THEN 'otel.jmx.target.system = jvm'
+               || chr(10)
+               WHEN t % 3 = 1 THEN 'otel.jmx.groovy.script = script.groovy'
+               || chr(10)
+               ELSE '' END
+       || 'otel.exporter = otlp' || chr(10)
+       || 'otel.exporter.otlp.endpoint = 0.0.0.0:4317' || chr(10)
+       || 'otel.exporter.otlp.metric.timeout = 5000' || chr(10)
+       || CASE WHEN t % 5 = 0 THEN 'otel.jmx.username = admin' || chr(10)
+               ELSE '' END
+       || CASE WHEN t % 7 = 0 THEN 'otel.jmx.password = secret' || chr(10)
+               ELSE '' END AS props
+FROM base"""
+
+
 def scrape_queries() -> dict:
     return {
         "redis_info": q_redis_info,
@@ -2048,6 +2313,11 @@ def scrape_queries() -> dict:
         "newrelic_spans": q_newrelic,
         "elastic_errors": q_elastic,
         "elastic_spans": q_elastic_spans,
+        "winperf": q_winperf,
+        "sfx_receive": q_sfx_receive,
+        "sfx_events": q_sfx_events,
+        "promexec": q_promexec,
+        "jmx_props": q_jmx_props,
     }
 
 
@@ -2077,4 +2347,9 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "newrelic_spans": _newrelic_oracle_wrap(d),
         "elastic_errors": _elastic_oracle_wrap(d),
         "elastic_spans": _elastic_spans_oracle_wrap(d),
+        "winperf": _winperf_oracle(d),
+        "sfx_receive": _sfx_receive_oracle(d),
+        "sfx_events": _sfx_events_oracle(d),
+        "promexec": _promexec_oracle(d),
+        "jmx_props": _jmx_oracle(d),
     }
