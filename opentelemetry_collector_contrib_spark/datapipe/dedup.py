@@ -507,9 +507,15 @@ def token_ngram_profile(df: DataFrame, n: int = 13,
                .groupBy("id")
                .agg(F.count(F.lit(1)).alias("n_dup_grams"),
                     F.sum("cov").alias("covered_tokens")))
+    # doc-side base: prefer a pre-materialized n_tok column (the tokens
+    # table carries one) so this third pass scans two scalar columns
+    # instead of re-reading the token arrays
+    if "n_tok" in df.columns and tokens_col != "n_tok":
+        ntok = F.coalesce(F.col("n_tok").cast("int"), F.lit(0))
+    else:
+        ntok = F.coalesce(F.size(tokens_col), F.lit(0))
     base = df.select(
-        F.col(id_col).alias("id"),
-        F.coalesce(F.size(tokens_col), F.lit(0)).alias("n_tok")
+        F.col(id_col).alias("id"), ntok.alias("n_tok")
     ).withColumn("n_grams",
                  F.greatest(F.col("n_tok") - F.lit(n - 1), F.lit(0)))
     out = (base.join(per_doc, "id", "left")

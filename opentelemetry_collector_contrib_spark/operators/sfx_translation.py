@@ -330,14 +330,36 @@ _ACTIONS = {
 }
 
 
-def translate_datapoints(df: DataFrame, rules: list[SfxRule]) -> DataFrame:
+# Rules whose output reads its input MORE THAN ONCE (union of the
+# original frame with a derived branch, or a self-join): without reuse
+# the whole upstream chain — scan, synth, earlier rules — is recomputed
+# per branch, and chained branching rules multiply (observed: 4 full
+# input scans for the default battery).  Persisting the branch input
+# collapses the diamond to one computation; MEMORY_AND_DISK spills
+# instead of evicting under pressure.  CacheManager keys entries by
+# canonical logical plan, so re-running the same pipeline reuses the
+# same cache entry rather than stacking new ones.
+_BRANCHING = {"copy_metrics", "aggregate_metric", "calculate_new_metric",
+              "delta_metric"}
+
+
+def translate_datapoints(df: DataFrame, rules: list[SfxRule],
+                         reuse: bool = True) -> DataFrame:
     """Apply the ordered rule list to a datapoint DataFrame with columns
-    ``(scrape_id, metric, metric_type, dims, value_i, value_d, ts)``."""
+    ``(scrape_id, metric, metric_type, dims, value_i, value_d, ts)``.
+
+    ``reuse=False`` trades executor storage memory for recompute (the
+    diamond plans come back); keep the default unless the cluster is
+    storage-starved.
+    """
+    from pyspark import StorageLevel
     _validate(rules)
     missing = set(DP_COLS) - set(df.columns)
     if missing:
         raise ValueError(f"datapoint frame missing columns: {missing}")
     out = df
     for r in rules:
+        if reuse and r.action in _BRANCHING:
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
         out = _ACTIONS[r.action](out, r)
     return out

@@ -232,10 +232,14 @@ def q_prom_parse(spark, sf_dir, tok_dir):
     name0 = F.regexp_replace(
         F.split_part(F.element_at(parts, 1), F.lit(";"), F.lit(1)),
         r"\.", "_")
+    from pyspark import StorageLevel
     samples = c.select(F.concat(
         name0, F.lit('{host="h1",dc="us-east"} '),
         F.element_at(parts, 2), F.lit(" "),
         F.element_at(parts, 3), F.lit("000")).alias("line"))
+    # the header derivation + union + parser's types/samples split would
+    # otherwise re-scan the synth 4x (diamond); one cached pass instead
+    samples = samples.persist(StorageLevel.MEMORY_AND_DISK)
     headers = (samples.select(
         F.regexp_extract("line", r"^([a-zA-Z_:][a-zA-Z0-9_:]*)", 1)
         .alias("n")).distinct()

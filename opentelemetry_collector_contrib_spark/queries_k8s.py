@@ -77,9 +77,14 @@ def q_k8s_cluster(spark: SparkSession, sf_dir: str, tok_dir: str) -> DataFrame:
     pods_raw = spark.read.parquet(os.path.join(tok_dir, "pods.parquet"))
     h = _h(F.col("pod_name"))
     h2 = _h(F.concat(F.col("pod_name"), F.lit("#2")))
+    # 11 object-kind batteries below all derive from this one snapshot;
+    # persist so the union does not re-scan pods.parquet per branch
+    # (pods is a small dimension — O(cluster size) — even at 100 TB)
+    from pyspark import StorageLevel
     base = pods_raw.select(
         "pod_name", "namespace", "node_name", h.alias("h"), h2.alias("h2"),
-        _pick(PHASES, h % 6).alias("phase"))
+        _pick(PHASES, h % 6).alias("phase")).persist(
+            StorageLevel.MEMORY_AND_DISK)
 
     hc, hc2 = F.col("h"), F.col("h2")
     app = F.struct(

@@ -38,8 +38,15 @@ def _base(spark: SparkSession, tok_dir: str) -> DataFrame:
     # AQE coalesces the small post-distinct shuffle to ONE partition,
     # single-threading the heavy per-scrape synth+parse downstream;
     # rebalance so the payload work parallelizes (at real scale the
-    # scrape archive arrives pre-partitioned and this is a no-op shape)
-    return out.repartition(spark.sparkContext.defaultParallelism)
+    # scrape archive arrives pre-partitioned and this is a no-op shape).
+    # persist: translation batteries with union/self-join branches
+    # (docker_stats, ecs_task, prom_parse, ...) otherwise recompute the
+    # distinct+synth chain once per branch — and CacheManager keys by
+    # canonical plan, so every scrape query in the same session shares
+    # this one entry instead of re-running the distinct.
+    from pyspark import StorageLevel
+    return (out.repartition(spark.sparkContext.defaultParallelism)
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def _base_sql(d: str) -> str:
