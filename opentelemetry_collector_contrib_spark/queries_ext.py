@@ -163,6 +163,14 @@ def q_semdedup(spark, sf_dir):
     return semantic_dedup(_emb(spark, sf_dir), dim=64, threshold=0.3)
 
 
+def q_quality_clf(spark, sf_dir):
+    """fastText-style hashed bag-of-ngrams linear quality classifier
+    (arXiv:1607.01759) with deterministic seeded weights; the LOGIT is
+    the checked value (pure rational arithmetic, bit-identical)."""
+    from .datapipe.quality_clf import quality_scores
+    return quality_scores(_docs(spark, sf_dir))
+
+
 def q_textstats(spark, sf_dir):
     """Fused Arrow path (ONE Python hop for all stats); the per-feature
     Catalyst forms are pinned equal in tests/test_textstats parity."""
@@ -641,6 +649,11 @@ SELECT x.id AS vec_id, x.list_id,
 FROM ivf_a x LEFT JOIN drops d ON d.id = x.id"""
 
 
+def _quality_clf_oracle() -> str:
+    from .datapipe.quality_clf import quality_oracle_sql
+    return "WITH " + quality_oracle_sql(WORDS_SQL)
+
+
 def _span_bucket_sql(value_sql: str, bounds: list[float]) -> str:
     terms = " + ".join(
         f"CASE WHEN {value_sql} > {float(b)!r} THEN 1 ELSE 0 END"
@@ -933,6 +946,7 @@ FROM scored QUALIFY rank <= 3""",
 
         "ann_ivf": _ann_ivf_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "quality_clf": _quality_clf_oracle(),
 
         "span_metrics": f"""WITH b AS (
   SELECT event_type, value,
@@ -1148,6 +1162,7 @@ def extra_queries(tok_dir_for) -> dict:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "semdedup": q_semdedup,
+        "quality_clf": q_quality_clf,
         "textstats": q_textstats,
         "repetition": q_repetition,
         "langid_agg": q_langid_agg,

@@ -218,3 +218,56 @@ def test_sentry_assembly_single_group_exchange(spark):
     # the only hash exchanges are the trace grouping
     for m in re.finditer(r"Exchange hashpartitioning\(([^,)]*)", plan):
         assert m.group(1).startswith("trace_id"), m.group(1)
+
+
+def test_sfx_rules_branch_inputs_are_cached(spark):
+    """Branching rules (union/self-join diamonds) must read their input
+    from cache, not recompute the upstream chain per branch — the plan
+    shows InMemoryTableScan and no duplicate source scan."""
+    from opentelemetry_collector_contrib_spark.operators.sfx_translation import (
+        SfxRule, translate_datapoints)
+    df = spark.createDataFrame(
+        [("s", "m.a", "gauge", {"k": "v"}, 1, None, 0)],
+        "scrape_id string, metric string, metric_type string, "
+        "dims map<string,string>, value_i long, value_d double, ts long")
+    rules = [
+        SfxRule("calculate_new_metric", metric_name="m.c",
+                operand1_metric="m.a", operand2_metric="m.b",
+                operator="/"),
+        SfxRule("aggregate_metric", metric_name="m.c",
+                aggregation_method="sum", without_dimensions=["k"]),
+    ]
+    plan = plan_of(translate_datapoints(df, rules))
+    assert "InMemoryTableScan" in plan
+    # (no reuse=False counter-assert: CacheManager matches canonical
+    # sub-plans, so once persisted even a reuse=False rebuild of the
+    # same frame reads the cache)
+
+
+def test_winperf_single_window_exchange(spark):
+    """The _Total rules need one count-over-window — the only exchange,
+    keyed by (scrape_id, metric_name); everything else codegen."""
+    from opentelemetry_collector_contrib_spark.operators.winperf import (
+        winperf_gauges)
+    df = spark.createDataFrame(
+        [("s", "O", "", "C", "", 1.0)],
+        "scrape_id string, object string, instance_cfg string, "
+        "counter string, instance_name string, value double")
+    plan = plan_of(winperf_gauges(df))
+    # formatted explain puts the node name and its hashpartitioning
+    # arguments on separate lines — count Exchange nodes
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert plan.count("hashpartitioning(scrape_id") == 1
+    assert "EvalPython" not in plan
+
+
+def test_sfx_receive_and_config_planes_are_narrow(spark):
+    from opentelemetry_collector_contrib_spark.operators.sfx_receive import (
+        sfx_datapoints_to_metrics)
+    df = spark.createDataFrame(
+        [("d", "m", "GAUGE", None, 1.0, 0, {"k": "v"})],
+        "dp_id string, metric string, metric_type string, int_value long, "
+        "double_value double, timestamp_ms long, "
+        "dimensions map<string,string>")
+    plan = plan_of(sfx_datapoints_to_metrics(df))
+    assert "Exchange" not in plan and "EvalPython" not in plan
