@@ -169,6 +169,24 @@ def _rx_scrape(spark: SparkSession, conf: dict) -> DataFrame:
     return parsers[parser](df, **kwargs)
 
 
+def _rx_winperf(spark: SparkSession, conf: dict) -> DataFrame:
+    """windowsperfcounters analog: the table carries raw PDH readings
+    (scrape_id, object, instance_cfg, counter, instance_name, value)."""
+    from ..operators.winperf import winperf_gauges
+    return winperf_gauges(_rx_table(spark, conf))
+
+
+def _rx_signalfx(spark: SparkSession, conf: dict) -> DataFrame:
+    """signalfxreceiver analog: decoded v2 datapoint rows -> metrics
+    (``mode: events`` selects the event->log translation instead)."""
+    from ..operators.sfx_receive import (sfx_datapoints_to_metrics,
+                                         sfx_events_to_logs)
+    df = _rx_table(spark, conf)
+    if conf.get("mode", "datapoints") == "events":
+        return sfx_events_to_logs(df)
+    return sfx_datapoints_to_metrics(df)
+
+
 def _rx_receiver_creator(spark: SparkSession, conf: dict) -> DataFrame:
     from ..operators.scrapers import (ReceiverTemplate,
                                       receiver_creator_dispatch)
@@ -196,6 +214,8 @@ RECEIVERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "scrape": _rx_scrape,
     "receiver_creator": _rx_receiver_creator,
     "k8s_cluster": _rx_k8s_cluster,
+    "winperf": _rx_winperf,
+    "signalfx": _rx_signalfx,
 }
 
 

@@ -296,3 +296,39 @@ def test_sigv4_gates():
     with pytest.raises(ValueError, match="credentials"):
         sigv4_sign("POST", "https://x/w", h, b"b", "us-east-1", "aps",
                    "20200101T000000Z", "", "")
+
+
+# ---------------------------------------------------------------------------
+# YAML registry wiring
+# ---------------------------------------------------------------------------
+
+def test_config_driven_winperf_and_signalfx(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.plans.config import (
+        build_from_config, load_config)
+    p1 = str(tmp_path / "pdh.parquet")
+    spark.createDataFrame(
+        [("s1", "Memory", "", "Committed Bytes", "", 42.0)],
+        "scrape_id string, object string, instance_cfg string, "
+        "counter string, instance_name string, value double"
+    ).write.parquet(p1)
+    p2 = str(tmp_path / "sfx.parquet")
+    spark.createDataFrame(
+        [("a", "cpu", "GAUGE", None, 1.5, 1000, {"host": "h1"}),
+         ("b", "bad", "ENUM", 1, None, 1000, {})],
+        "dp_id string, metric string, metric_type string, int_value long, "
+        "double_value double, timestamp_ms long, "
+        "dimensions map<string,string>").write.parquet(p2)
+    cfg = load_config(f"""
+receivers:
+  pdh: {{type: winperf, path: {p1}}}
+  sfx: {{type: signalfx, path: {p2}}}
+service:
+  pipelines:
+    win: {{receivers: [pdh], processors: []}}
+    sfx: {{receivers: [sfx], processors: []}}
+""")
+    win = build_from_config(spark, cfg, pipeline="win").collect()
+    assert [(r.metric_name, r.value) for r in win] == \
+        [("\\Memory\\Committed Bytes", 42.0)]
+    sfx = build_from_config(spark, cfg, pipeline="sfx").collect()
+    assert [(r.dp_id, r.data_type) for r in sfx] == [("a", "DoubleGauge")]
