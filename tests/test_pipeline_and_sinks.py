@@ -515,3 +515,26 @@ def test_snapshot_published_and_consistent(spark, sf_dir, tmp_path):
         for f in snap["files"]:
             full = _os.path.join(cfg.sink_cfg(sink).path, f["path"])
             assert _os.path.getsize(full) == f["bytes"]
+
+
+def test_pipeline_zero_route_sink_completes(spark, sf_dir, tmp_path):
+    """A routing-table entry whose predicate matches NOTHING must not
+    crash the run or the metrics pass (round-1 read the sink output
+    back and threw 'Unable to infer schema' on a data-less directory);
+    the manifest reports zero rows for it."""
+    from opentelemetry_collector_contrib_spark.operators.routing import (
+        RoutingTable)
+    cfg = _cfg(sf_dir, str(tmp_path / "out"))
+    cfg.routes = RoutingTable(
+        from_attribute="source",
+        table={"hot-source": ["sumologic"],
+               "no-such-source-value": ["ghost-sink"]},
+        default_sinks=["default-sink"])
+    res = run_pipeline(spark, cfg)
+    assert res["status"] == "complete"
+    import ast
+    entries = RunManifest(f"{cfg.out_dir}/_manifest").entries()
+    counts = [ast.literal_eval(e["sink_counts"]) for e in entries
+              if e["status"] == "done"]
+    assert sum(c.get("ghost-sink", 0) for c in counts) == 0
+    assert sum(c.get("sumologic", 0) for c in counts) > 0
