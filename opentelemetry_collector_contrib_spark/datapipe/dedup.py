@@ -464,7 +464,8 @@ def token_gram_hashes_udf(n: int):
 
 def token_ngram_profile(df: DataFrame, n: int = 13,
                         id_col: str = "doc_id",
-                        tokens_col: str = "tokens") -> DataFrame:
+                        tokens_col: str = "tokens",
+                        n_tok_col: str | None = None) -> DataFrame:
     """Per-document profile of cross-document duplicated token n-grams
     — the batch shape of exact-substring training-data dedup (a gram is
     "duplicated" when it occurs in >= 2 distinct documents; the
@@ -507,11 +508,13 @@ def token_ngram_profile(df: DataFrame, n: int = 13,
                .groupBy("id")
                .agg(F.count(F.lit(1)).alias("n_dup_grams"),
                     F.sum("cov").alias("covered_tokens")))
-    # doc-side base: prefer a pre-materialized n_tok column (the tokens
-    # table carries one) so this third pass scans two scalar columns
-    # instead of re-reading the token arrays
-    if "n_tok" in df.columns and tokens_col != "n_tok":
-        ntok = F.coalesce(F.col("n_tok").cast("int"), F.lit(0))
+    # doc-side base: the caller may OPT IN to a pre-materialized length
+    # column (the tokens table carries n_tok) so this third pass scans
+    # two scalar columns instead of re-reading the token arrays.  Never
+    # inferred from the schema: a frame can carry an n_tok that was
+    # derived from a DIFFERENT column than tokens_col.
+    if n_tok_col is not None:
+        ntok = F.coalesce(F.col(n_tok_col).cast("int"), F.lit(0))
     else:
         ntok = F.coalesce(F.size(tokens_col), F.lit(0))
     base = df.select(

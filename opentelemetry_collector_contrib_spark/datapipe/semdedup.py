@@ -60,5 +60,4 @@ def semantic_dedup(df: DataFrame, dim: int, threshold: float = 0.3,
     return (assigned
             .join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
             .select(F.col("id").alias("vec_id"), "list_id",
-                    F.coalesce(F.col("_drop") == F.lit(False),
-                               F.lit(True)).alias("kept")))
+                    F.col("_drop").isNull().alias("kept")))

@@ -426,7 +426,9 @@ def q_ngram_dedup(spark, sf_dir, tok_dir):
     covered-token count."""
     from .datapipe.dedup import token_ngram_profile
     df = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
-    return token_ngram_profile(df, n=13)
+    # n_tok is the table's own length column for tokens — opt in so the
+    # doc-side pass scans (doc_id, n_tok) instead of the token arrays
+    return token_ngram_profile(df, n=13, n_tok_col="n_tok")
 
 
 def q_token_freq(spark, sf_dir, tok_dir):

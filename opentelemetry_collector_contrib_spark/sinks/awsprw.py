@@ -56,9 +56,13 @@ def canonical_request(method: str, url: str, headers: dict[str, str],
     # canonical query: split on & / =, URI-encode, sort by encoded pair
     pairs = []
     if parts.query:
+        from urllib.parse import unquote
         for item in parts.query.split("&"):
             k, _, v = item.partition("=")
-            pairs.append((_uri_encode(k), _uri_encode(v)))
+            # decode once, re-encode once: urlsplit leaves the query
+            # percent-encoded, and encoding it again would double-encode
+            # (%2F -> %252F) and break the server-side canonicalization
+            pairs.append((_uri_encode(unquote(k)), _uri_encode(unquote(v))))
     canon_query = "&".join(f"{k}={v}" for k, v in sorted(pairs))
     hdrs = sorted((k.lower(), " ".join(v.split()))
                   for k, v in headers.items())
@@ -103,8 +107,13 @@ def sigv4_sign(method: str, url: str, headers: dict[str, str],
     if not access_key or not secret_key:
         raise ValueError("no AWS credentials exist")
     hdrs = dict(headers)
-    hdrs.setdefault("x-amz-date", amz_date)
-    if "host" not in {k.lower() for k in hdrs}:
+    lowered = {k.lower() for k in hdrs}
+    # both defaults must be case-insensitive: a caller-supplied
+    # 'X-Amz-Date' plus a setdefault'd 'x-amz-date' would sign the
+    # header twice and invalidate the signature
+    if "x-amz-date" not in lowered:
+        hdrs["x-amz-date"] = amz_date
+    if "host" not in lowered:
         hdrs["host"] = urlsplit(url).netloc
     canon, signed = canonical_request(method, url, hdrs, body)
     sts, scope = string_to_sign(canon, amz_date, region, service)

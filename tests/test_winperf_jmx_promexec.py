@@ -332,3 +332,17 @@ service:
         [("\\Memory\\Committed Bytes", 42.0)]
     sfx = build_from_config(spark, cfg, pipeline="sfx").collect()
     assert [(r.dp_id, r.data_type) for r in sfx] == [("a", "DoubleGauge")]
+
+
+def test_sigv4_case_insensitive_amz_date_and_encoded_query():
+    # a caller-supplied 'X-Amz-Date' must not be signed twice
+    out = sigv4_sign("GET", "https://x.amazonaws.com/",
+                     {"X-Amz-Date": "20200101T000000Z", "host": "x"},
+                     b"", "us-east-1", "aps", "20200101T000000Z", "k", "s")
+    assert "x-amz-date" not in out          # no duplicate added
+    assert "SignedHeaders=host;x-amz-date," in out["Authorization"]
+    # pre-encoded query values are decoded once, not double-encoded
+    canon, _ = canonical_request(
+        "GET", "https://x/api?label=a%2Fb&plain=c", {"host": "x"}, b"")
+    query_line = canon.split("\n")[2]
+    assert query_line == "label=a%2Fb&plain=c"   # not a%252Fb
