@@ -142,8 +142,9 @@ def q_embed_neardup(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Scale-path ANN (bucketed LSH) — rows-only check (recall subset of
-    the oracle-checked brute-force ann_topk)."""
+    """Scale-path ANN (bucketed LSH) — value-hash-checked: the sign UDF
+    accumulates left-associatively per dimension so every bucket bit is
+    IEEE-identical to the oracle's inlined hyperplane expressions."""
     return lsh_topk(_emb(spark, sf_dir), dim=64, k=3)
 
 

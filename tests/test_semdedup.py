@@ -44,3 +44,45 @@ def test_semdedup_chain_is_pairwise_not_transitive(spark):
     out = {r["vec_id"]: r["kept"] for r in
            semantic_dedup(df, dim=4, threshold=0.95, n_lists=1).collect()}
     assert out == {1: True, 2: False, 3: False}
+
+
+def test_semdedup_matches_bruteforce_twin(spark):
+    """Randomized (seeded) corpus vs a brute-force Python twin of the
+    greedy min-id rule: dropped iff a smaller same-cluster id has
+    cosine >= threshold."""
+    import numpy as np
+    from opentelemetry_collector_contrib_spark.datapipe.ivf import centroids
+
+    rng = np.random.default_rng(7)
+    dim, n, n_lists, thr = 8, 40, 4, 0.8
+    V = rng.normal(size=(n, dim))
+    # plant duplicates so the threshold actually fires
+    V[7] = V[3] * 1.001
+    V[19] = V[11] + rng.normal(scale=1e-3, size=dim)
+    C = centroids(n_lists, dim)
+
+    def assign(v):
+        d = ((C - v) ** 2).sum(axis=1)
+        return int(np.argmin(d))
+
+    lists = [assign(V[i]) for i in range(n)]
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    expect = {}
+    for i in range(n):
+        dropped = any(lists[j] == lists[i] and cos(V[i], V[j]) >= thr
+                      for j in range(i))
+        expect[i] = not dropped
+
+    from opentelemetry_collector_contrib_spark.datapipe.semdedup import (
+        semantic_dedup)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["kept"] for r in
+           semantic_dedup(df, dim=dim, threshold=thr,
+                          n_lists=n_lists).collect()}
+    assert got == expect
+    assert not got[7] and not got[19]   # the planted dups were dropped
