@@ -81,6 +81,50 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = ("media_id string, kind string, payload binary, "
+                  "width int, height int, target_w int, target_h int, "
+                  "scale double, ok boolean")
+
+
+def resize_images(df: DataFrame, target_w: int = 224,
+                  target_h: int = 224, fake: bool = True) -> DataFrame:
+    """mapInPandas resize: decode -> aspect-preserving downscale ->
+    re-encode.  The codec step is the same honest stub as decode
+    (raises without ``fake``); the FAKE path still exercises the real
+    plumbing — blob in, blob out, metadata columns, Arrow batch shape —
+    by computing the scale factor from the fake-decoded dimensions and
+    passing the payload through (a real implementation re-encodes).
+
+    Scale notes: the output carries the payload column, so cap
+    ``arrow.maxRecordsPerBatch`` for multi-MB blobs and never groupBy
+    the resized frame directly — extract features first.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires codec libs")
+            checksums = pdf["payload"].map(_checksum)
+            dims = checksums.map(_fake_decode)
+            w = dims.map(lambda t: t[0]).astype("int32")
+            h = dims.map(lambda t: t[1]).astype("int32")
+            # aspect-preserving: one uniform factor, never upscale
+            scale = pd.concat([target_w / w, target_h / h],
+                              axis=1).min(axis=1).clip(upper=1.0)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": pdf["payload"],
+                "width": w,
+                "height": h,
+                "target_w": (w * scale).astype("int32"),
+                "target_h": (h * scale).astype("int32"),
+                "scale": scale.astype("float64"),
+                "ok": True,
+            })
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Deterministic frame-sampling stand-in: keep every Nth media row
     per kind by stable hash (the video-frame-sample plumbing: the real

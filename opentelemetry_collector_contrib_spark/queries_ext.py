@@ -385,6 +385,19 @@ def q_media_features(spark, sf_dir, tok_dir):
     return extract_features(df.select("media_id", "kind", "payload"), fake=True)
 
 
+def q_media_resize(spark, sf_dir, tok_dir):
+    """Aspect-preserving resize plumbing (payload rides through the
+    mapInPandas hop; checked columns are the geometry — the blob itself
+    is verified by media_features' checksum)."""
+    from .datapipe.multimodal import resize_images
+    df = spark.read.parquet(os.path.join(tok_dir, "media.parquet"))
+    out = resize_images(df.select("media_id", "kind", "payload"),
+                        target_w=64, target_h=64, fake=True)
+    return out.select("media_id", "kind", "width", "height",
+                      "target_w", "target_h", F.round("scale", 6)
+                      .alias("scale_r"), "ok")
+
+
 def q_pii_scrub(spark, sf_dir, tok_dir):
     """PII redaction over decoded log bodies (training pipelines scrub
     before training): replace IPs/emails, count redactions.  Entirely
@@ -1040,6 +1053,23 @@ FROM read_parquet('{d}/hec.parquet')""",
   true AS ok
 FROM read_parquet('{d}/media.parquet')""",
 
+        "media_resize": f"""WITH f AS (
+  SELECT media_id, kind,
+    CAST(16 + (CAST(('0x' || substr(md5(lower(hex(payload))), 1, 2)) AS INT)
+               % 240) AS INT) AS width,
+    CAST(16 + (CAST(('0x' || substr(md5(lower(hex(payload))), 3, 2)) AS INT)
+               % 240) AS INT) AS height
+  FROM read_parquet('{d}/media.parquet')
+), s AS (
+  SELECT *, least(64.0 / width, 64.0 / height, 1.0) AS scale FROM f
+)
+SELECT media_id, kind, width, height,
+       CAST(trunc(width * scale) AS INT) AS target_w,
+       CAST(trunc(height * scale) AS INT) AS target_h,
+       round(scale, 6) AS scale_r,
+       true AS ok
+FROM s""",
+
         "ring_route": _ring_oracle_sql(d),
 
         "tfidf": f"""WITH d AS (
@@ -1183,6 +1213,7 @@ def extra_queries(tok_dir_for) -> dict:
         "trace_sessions": q_trace_sessions,
         "hec_parse": with_tok(q_hec_parse),
         "media_features": with_tok(q_media_features),
+        "media_resize": with_tok(q_media_resize),
         "ring_route": with_tok(q_ring_route),
         "token_freq": with_tok(q_token_freq),
         "ngram_dedup": with_tok(q_ngram_dedup),

@@ -284,6 +284,30 @@ def test_multimodal_real_decode_is_stubbed():
                                          "payload": [b"x"]}), fake=False)
 
 
+def test_multimodal_resize_plumbing(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.multimodal import (
+        resize_images)
+    media = synth_media(spark, n=12)
+    out = resize_images(media, target_w=64, target_h=64).collect()
+    assert len(out) == 12
+    for r in out:
+        # aspect-preserving single factor, never upscaled
+        assert 0 < r["scale"] <= 1.0
+        assert r["target_w"] <= 64 or r["target_h"] <= 64
+        assert abs(r["target_w"] - int(r["width"] * r["scale"])) <= 1
+        assert r["payload"] is not None and r["ok"]
+    big = resize_images(media, target_w=10000, target_h=10000).collect()
+    assert all(r["scale"] == 1.0 for r in big)   # never upscale
+
+
+def test_multimodal_real_resize_is_stubbed(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.multimodal import (
+        resize_images)
+    media = synth_media(spark, n=3)
+    with pytest.raises(Exception):   # NotImplementedError inside the task
+        resize_images(media, fake=False).collect()
+
+
 def test_frame_sample_deterministic(spark):
     media = synth_media(spark, n=64)
     a = sorted(r["media_id"] for r in frame_sample(media, 4).collect())
