@@ -433,6 +433,64 @@ def dedup_survivors(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# corpus-wide line (paragraph) dedup — CCNet-style
+# ---------------------------------------------------------------------------
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", delim: str = "\n") -> DataFrame:
+    """Remove corpus-wide duplicated lines/paragraphs, keep-first.
+
+    The CCNet preprocessing step: boilerplate (nav bars, cookie
+    banners, license headers) repeats across millions of pages; exact
+    doc-level dedup never sees it.  Split every document into lines,
+    keep only the FIRST occurrence of each distinct line corpus-wide
+    (ordered by (id, line_no) so any engine picks the same survivor),
+    and reassemble each document from its kept lines in order.
+
+    Returns one row per input document:
+      (id, n_lines, n_kept, n_dropped, kept_md5) where kept_md5 is
+    md5 of the reassembled deduped text ('' when every line dropped) —
+    compact proof of the exact surviving content.
+
+    Scale (10^12 lines): two shuffles — a row_number window keyed by
+    the 128-bit line digest (uniform), then the reassembly groupBy
+    keyed by doc id.  Empty lines are NOT deduped (each keeps a unique
+    window key): semantically they are structure, not content, and at
+    corpus scale they would otherwise concentrate ~10% of all rows on
+    one hash partition — the classic skew hot-key.
+    """
+    from pyspark.sql import Window
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(delim)))
+         .alias("line_no", "line"))
+    # empty lines bypass dedup via a per-row-unique partition key
+    key = (F.when(F.col("line") == "",
+                  F.concat_ws(":", F.lit("E"), F.col("id").cast("string"),
+                              F.col("line_no").cast("string")))
+           .otherwise(F.md5(F.col("line"))))
+    w = Window.partitionBy(key).orderBy(F.col("id").asc(),
+                                        F.col("line_no").asc())
+    ranked = lines.withColumn("rk", F.row_number().over(w))
+    kept_struct = F.when(F.col("rk") == 1,
+                         F.struct(F.col("line_no"), F.col("line")))
+    return (ranked
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+                  .cast("bigint").alias("n_kept"),
+                 # collect_list skips the when()-null non-survivors;
+                 # array_sort on (line_no, line) restores doc order
+                 F.md5(F.concat_ws(delim, F.transform(
+                     F.array_sort(F.collect_list(kept_struct)),
+                     lambda s: s["line"]))).alias("kept_md5"))
+            .withColumn("n_dropped",
+                        (F.col("n_lines") - F.col("n_kept")).cast("bigint"))
+            .select("id", F.col("n_lines").cast("bigint").alias("n_lines"),
+                    "n_kept", "n_dropped", "kept_md5"))
+
+
+# ---------------------------------------------------------------------------
 # token-level cross-document n-gram dedup (exact-substring profile)
 # ---------------------------------------------------------------------------
 

@@ -87,6 +87,19 @@ def q_dedup_survivors(spark, sf_dir):
     return out.select("doc_id", "dup_count")
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide duplicated-line removal over the exact
+    corpus (the byte-exact copies lose every line to their originals).
+    Line breaks are synthesized deterministically (every 8th space ->
+    newline) since the synthetic docs are single-line."""
+    from .datapipe.dedup import dedup_lines
+    d = _exact_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((\S+ ){7}\S+) ", "$1\n")
+         .alias("body"))
+    return dedup_lines(d, text_col="body", id_col="doc_id")
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_near_corpus(spark, sf_dir), threshold=0.5, k=3)
 
@@ -736,6 +749,30 @@ SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
        count(*)::BIGINT AS dup_count
 FROM corpus GROUP BY md5(text)""",
 
+        "line_dedup": f"""WITH {EXACT_CORPUS_SQL},
+bodies AS (
+  SELECT doc_id AS id,
+         regexp_replace(text, '((\\S+ ){{7}}\\S+) ', '\\1' || chr(10), 'g')
+           AS body
+  FROM corpus),
+l0 AS (SELECT id, string_split(body, chr(10)) AS parts FROM bodies),
+l1 AS (SELECT id, unnest(generate_series(1, len(parts))) AS i, parts FROM l0),
+lx AS (SELECT id, i - 1 AS line_no, parts[i] AS line FROM l1),
+ranked AS (
+  SELECT id, line_no, line,
+         row_number() OVER (
+           PARTITION BY CASE WHEN line = ''
+                             THEN 'E:' || id || ':' || line_no
+                             ELSE md5(line) END
+           ORDER BY id, line_no) AS rk
+  FROM lx)
+SELECT id, count(*)::BIGINT AS n_lines,
+       (count(*) FILTER (WHERE rk = 1))::BIGINT AS n_kept,
+       (count(*) - count(*) FILTER (WHERE rk = 1))::BIGINT AS n_dropped,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                      FILTER (WHERE rk = 1), '')) AS kept_md5
+FROM ranked GROUP BY id""",
+
         "dedup_survivors": f"""WITH {EXACT_CORPUS_SQL},
 r AS (
   SELECT doc_id,
@@ -1184,6 +1221,7 @@ def extra_queries(tok_dir_for) -> dict:
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
         "dedup_jaccard": q_dedup_jaccard,
+        "line_dedup": q_line_dedup,
         "dedup_clusters": q_dedup_clusters,
         "minhash_sig": q_minhash_sig,
         "sample_split": q_sample_split,
