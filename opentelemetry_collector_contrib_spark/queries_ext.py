@@ -100,6 +100,47 @@ def q_line_dedup(spark, sf_dir):
     return dedup_lines(d, text_col="body", id_col="doc_id")
 
 
+_ASOF_BASE_MS = 1704067200000          # epoch ms of 2024-01-01T00:00:00Z
+_ASOF_DAY_MS = 86400000
+_ASOF_HOUR_MS = 3600000
+
+
+def q_asof_enrich(spark, sf_dir):
+    """Temporal (as-of) enrich: each event gets the newest version of a
+    deterministic per-user dimension (user u has u%3+1 versions; tier
+    changes per version) in effect at the event's timestamp, with a
+    7-day staleness tolerance.  Events before a user's first version
+    keep NULLs — left as-of semantics.  Oracle: DuckDB native ASOF
+    LEFT JOIN."""
+    from .operators.asof import asof_join
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id",
+        # parquet ts is NTZ; session tz is pinned UTC, so the cast makes
+        # it the same instant DuckDB's epoch_ms(naive-as-UTC) computes
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"))
+    users = ev.select("user_id").distinct()
+    dim = (users
+           .select("user_id",
+                   F.explode(F.expr("sequence(0, CAST(user_id % 3 AS INT))"))
+                    .alias("v"))
+           .select("user_id", "v",
+                   (F.lit(_ASOF_BASE_MS)
+                    + F.col("v") * (7 * _ASOF_DAY_MS)
+                    + (F.col("user_id") % 5) * _ASOF_HOUR_MS)
+                   .cast("long").alias("valid_from_ms"),
+                   F.concat(F.lit("tier"),
+                            ((F.col("user_id") + F.col("v")) % 4)
+                            .cast("string")).alias("tier")))
+    out = asof_join(ev, dim, on="user_id", fact_time="t_ms",
+                    dim_time="valid_from_ms", dim_cols=["v", "tier"],
+                    tolerance_ms=7 * _ASOF_DAY_MS)
+    return out.select(
+        "event_id", "user_id", "tier",
+        F.col("v").cast("bigint").alias("dim_v"),
+        (F.col("t_ms") - F.col("_asof_time")).cast("bigint")
+        .alias("staleness_ms"))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_near_corpus(spark, sf_dir), threshold=0.5, k=3)
 
@@ -749,6 +790,30 @@ SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
        count(*)::BIGINT AS dup_count
 FROM corpus GROUP BY md5(text)""",
 
+        "asof_enrich": """WITH ev AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events),
+users AS (SELECT DISTINCT user_id FROM ev),
+dim0 AS (
+  SELECT user_id, unnest(generate_series(0, CAST(user_id % 3 AS INT))) AS v
+  FROM users),
+dim AS (
+  SELECT user_id, v,
+         (1704067200000 + v * 604800000
+          + (user_id % 5) * 3600000)::BIGINT AS valid_from_ms,
+         'tier' || CAST((user_id + v) % 4 AS VARCHAR) AS tier
+  FROM dim0),
+j AS (
+  SELECT e.event_id, e.user_id, e.t_ms, d.v, d.tier, d.valid_from_ms
+  FROM ev e ASOF LEFT JOIN dim d
+    ON e.user_id = d.user_id AND e.t_ms >= d.valid_from_ms)
+SELECT event_id, user_id,
+  CASE WHEN t_ms - valid_from_ms > 604800000 THEN NULL ELSE tier END AS tier,
+  CAST(CASE WHEN t_ms - valid_from_ms > 604800000 THEN NULL ELSE v END
+       AS BIGINT) AS dim_v,
+  CAST(CASE WHEN t_ms - valid_from_ms > 604800000 THEN NULL
+       ELSE t_ms - valid_from_ms END AS BIGINT) AS staleness_ms
+FROM j""",
+
         "line_dedup": f"""WITH {EXACT_CORPUS_SQL},
 bodies AS (
   SELECT doc_id AS id,
@@ -1222,6 +1287,7 @@ def extra_queries(tok_dir_for) -> dict:
         "dedup_survivors": q_dedup_survivors,
         "dedup_jaccard": q_dedup_jaccard,
         "line_dedup": q_line_dedup,
+        "asof_enrich": q_asof_enrich,
         "dedup_clusters": q_dedup_clusters,
         "minhash_sig": q_minhash_sig,
         "sample_split": q_sample_split,
