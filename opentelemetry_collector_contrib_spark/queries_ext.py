@@ -141,6 +141,40 @@ def q_asof_enrich(spark, sf_dir):
         .alias("staleness_ms"))
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event stream (30-min inactivity
+    gap per user), rolled up to one row per session: event count,
+    bounds, duration."""
+    from .operators.sessionize import sessionize
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"))
+    s = sessionize(ev, key="user_id", time_ms="t_ms",
+                   gap_ms=30 * 60 * 1000, tiebreak="event_id")
+    return (s.groupBy("user_id", "session_no")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("t_ms").alias("start_ms"),
+                 F.max("t_ms").alias("end_ms"))
+            .withColumn("duration_ms",
+                        (F.col("end_ms") - F.col("start_ms"))
+                        .cast("bigint")))
+
+
+def q_latency_quantiles(spark, sf_dir):
+    """Exact interpolated p50/p95/p99 of event value per event_type —
+    the latency-percentile rollup every telemetry backend serves.
+    Exact `percentile` (linear interpolation), not the approx sketch,
+    so the DuckDB quantile_cont twin agrees to the bit."""
+    ev = _events(spark, sf_dir)
+    q = F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), q.alias("qs"))
+            .select("event_type", "n",
+                    F.round(F.element_at("qs", 1), 6).alias("p50"),
+                    F.round(F.element_at("qs", 2), 6).alias("p95"),
+                    F.round(F.element_at("qs", 3), 6).alias("p99")))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_near_corpus(spark, sf_dir), threshold=0.5, k=3)
 
@@ -790,6 +824,32 @@ SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
        count(*)::BIGINT AS dup_count
 FROM corpus GROUP BY md5(text)""",
 
+        "sessionize": """WITH ev AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events),
+g AS (
+  SELECT user_id, event_id, t_ms,
+         CASE WHEN lag(t_ms) OVER w IS NULL
+                   OR t_ms - lag(t_ms) OVER w > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)),
+s AS (
+  SELECT user_id, t_ms,
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY t_ms, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session_no
+  FROM g)
+SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+       min(t_ms) AS start_ms, max(t_ms) AS end_ms,
+       (max(t_ms) - min(t_ms))::BIGINT AS duration_ms
+FROM s GROUP BY user_id, session_no""",
+
+        "latency_quantiles": """SELECT event_type, count(*)::BIGINT AS n,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type""",
+
         "asof_enrich": """WITH ev AS (
   SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events),
 users AS (SELECT DISTINCT user_id FROM ev),
@@ -1288,6 +1348,8 @@ def extra_queries(tok_dir_for) -> dict:
         "dedup_jaccard": q_dedup_jaccard,
         "line_dedup": q_line_dedup,
         "asof_enrich": q_asof_enrich,
+        "sessionize": q_sessionize,
+        "latency_quantiles": q_latency_quantiles,
         "dedup_clusters": q_dedup_clusters,
         "minhash_sig": q_minhash_sig,
         "sample_split": q_sample_split,
