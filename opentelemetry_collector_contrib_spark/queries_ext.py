@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .datapipe.dedup import (dedup_survivors, exact_dedup, minhash_lsh_dedup,
-                             ngram_jaccard_pairs, minhash_signatures,
+                             ngram_jaccard_pairs, minhash_signatures, norm_words,
                              simhash_fingerprints, simhash_near_pairs_blocked,
                              embedding_neardup_pairs)
 from .datapipe.hashing import (MERSENNE_P, NUM_HASHES, BANDS, ROWS_PER_BAND,
@@ -173,6 +173,55 @@ def q_latency_quantiles(spark, sf_dir):
                     F.round(F.element_at("qs", 1), 6).alias("p50"),
                     F.round(F.element_at("qs", 2), 6).alias("p95"),
                     F.round(F.element_at("qs", 3), 6).alias("p99")))
+
+
+def q_corpus_rollup(spark, sf_dir):
+    """Hierarchical rollup (lang, source) -> (lang) -> grand total in
+    ONE grouping-sets aggregate — Catalyst expands the sets map-side,
+    so the corpus is scanned once, not once per level.  Rollup nulls
+    are coalesced to '(all)' (the corpus has no NULL dims)."""
+    d = _docs(spark, sf_dir)
+    return (d.rollup("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"))
+            .select(F.coalesce("lang", F.lit("(all)")).alias("lang"),
+                    F.coalesce("source", F.lit("(all)")).alias("source"),
+                    "n_docs", "sum_chars"))
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]    # fixed synthetic langs
+
+
+def q_lang_source_pivot(spark, sf_dir):
+    """source x lang count matrix via pivot with an EXPLICIT value
+    list — the contract pivot needs at 100 TB: explicit values skip
+    the extra distinct-collect pass and keep the plan one map-side-
+    combined aggregate with a static schema."""
+    d = _docs(spark, sf_dir)
+    return (d.groupBy("source").pivot("lang", _PIVOT_LANGS)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, _PIVOT_LANGS)
+            .select("source", *[F.col(c).cast("bigint").alias(f"n_{c}")
+                                for c in _PIVOT_LANGS]))
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted index (word -> posting list): document frequency,
+    id bounds, and an md5 of the ordered posting list per word.  The
+    classic search/dedup-support reduce: explode distinct words per
+    doc, ONE shuffle keyed by word; the posting list is aggregated
+    sorted so any engine emits identical bytes."""
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id",
+                 F.explode(F.array_distinct(norm_words(F.col("text"))))
+                  .alias("word"))
+    return (w.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"),
+                 F.md5(F.concat_ws(",", F.array_sort(
+                     F.collect_list(F.col("doc_id").cast("string")))))
+                  .alias("posting_md5")))
 
 
 def q_dedup_jaccard(spark, sf_dir):
@@ -824,6 +873,28 @@ SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
        count(*)::BIGINT AS dup_count
 FROM corpus GROUP BY md5(text)""",
 
+        "corpus_rollup": """SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY ROLLUP (lang, source)""",
+
+        "lang_source_pivot": """SELECT source,
+  (count(*) FILTER (WHERE lang = 'de'))::BIGINT AS n_de,
+  (count(*) FILTER (WHERE lang = 'en'))::BIGINT AS n_en,
+  (count(*) FILTER (WHERE lang = 'es'))::BIGINT AS n_es,
+  (count(*) FILTER (WHERE lang = 'fr'))::BIGINT AS n_fr,
+  (count(*) FILTER (WHERE lang = 'zh'))::BIGINT AS n_zh
+FROM documents GROUP BY source""",
+
+        "inverted_index": f"""WITH w AS (
+  SELECT doc_id, unnest(list_distinct({WORDS_SQL})) AS word
+  FROM documents)
+SELECT word, count(*)::BIGINT AS df,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR))) AS posting_md5
+FROM w GROUP BY word""",
+
         "sessionize": """WITH ev AS (
   SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events),
 g AS (
@@ -1349,6 +1420,9 @@ def extra_queries(tok_dir_for) -> dict:
         "line_dedup": q_line_dedup,
         "asof_enrich": q_asof_enrich,
         "sessionize": q_sessionize,
+        "corpus_rollup": q_corpus_rollup,
+        "lang_source_pivot": q_lang_source_pivot,
+        "inverted_index": q_inverted_index,
         "latency_quantiles": q_latency_quantiles,
         "dedup_clusters": q_dedup_clusters,
         "minhash_sig": q_minhash_sig,
