@@ -134,3 +134,33 @@ def aggregate_labels(df: DataFrame, keep_labels: list[str], agg: str,
     return (df.groupBy(name_col, F.col(ts_col).cast("long").alias("ts_sec"),
                        *keep_labels)
             .agg(agg_fn(value_col).alias(value_col)))
+
+
+def cumulative_to_delta(df: DataFrame, keys: list[str], time_col: str,
+                        value_col: str, tiebreak: str,
+                        monotonic: bool = True) -> DataFrame:
+    """Cumulative-counter -> per-interval delta with reset detection.
+
+    The collector ecosystem pairs metricstransform with cumulative->
+    delta conversion; the semantics here are Prometheus rate()'s reset
+    rule: a sample SMALLER than its predecessor means the counter was
+    reset, so the whole new value is the delta (the counter restarted
+    from 0).  The series' first sample has NULL delta (no predecessor
+    — exporters drop or hold it).
+
+    One window over (keys) ordered by (time, tiebreak): a single hash
+    shuffle keyed by the series identity, O(1) state per row — the
+    shape that survives 10^12 samples (series count is the
+    parallelism; hot series are the usual AQE-skew story).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(*keys).orderBy(F.col(time_col).asc(),
+                                          F.col(tiebreak).asc())
+    prev = F.lag(value_col).over(w)
+    raw = F.col(value_col) - prev
+    delta = (F.when(prev.isNull(), F.lit(None))
+             .when(raw < 0, F.col(value_col)).otherwise(raw)
+             if monotonic else raw)
+    prev_t = F.lag(time_col).over(w)
+    return (df.withColumn("delta", delta)
+            .withColumn("dt", F.col(time_col) - prev_t))

@@ -224,6 +224,32 @@ def q_inverted_index(spark, sf_dir):
                   .alias("posting_md5")))
 
 
+def q_counter_rate(spark, sf_dir):
+    """Cumulative->delta with Prometheus reset semantics, then rate.
+    A deterministic cumulative counter per event_type is synthesized
+    integer-exactly (running sum of value*100 mod 10k injects resets),
+    so both engines see identical series; the delta/rate columns
+    exercise the reset rule and the dt divisor."""
+    from .operators.metrics_transform import cumulative_to_delta
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vi"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.col("t_ms").asc(), F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = ev.withColumn("cum", (F.sum("vi").over(w) % 10000).cast("bigint"))
+    out = cumulative_to_delta(cum, keys=["event_type"], time_col="t_ms",
+                              value_col="cum", tiebreak="event_id")
+    return out.select(
+        "event_id", "event_type", "cum",
+        F.col("delta").cast("bigint").alias("delta"),
+        F.when(F.col("dt") > 0,
+               F.round(F.col("delta") / (F.col("dt") / 1000.0), 6))
+         .alias("rate_per_s"))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_near_corpus(spark, sf_dir), threshold=0.5, k=3)
 
@@ -873,6 +899,31 @@ SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
        count(*)::BIGINT AS dup_count
 FROM corpus GROUP BY md5(text)""",
 
+        "counter_rate": """WITH ev AS (
+  SELECT event_id, event_type, epoch_ms(ts) AS t_ms,
+         CAST(round(value * 100) AS BIGINT) AS vi
+  FROM events),
+c AS (
+  SELECT event_id, event_type, t_ms,
+         CAST(sum(vi) OVER (PARTITION BY event_type
+                            ORDER BY t_ms, event_id
+                            ROWS UNBOUNDED PRECEDING) % 10000
+              AS BIGINT) AS cum
+  FROM ev),
+d AS (
+  SELECT event_id, event_type, t_ms, cum,
+         lag(cum) OVER w AS prev,
+         lag(t_ms) OVER w AS prev_t
+  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY t_ms, event_id))
+SELECT event_id, event_type, cum,
+  CAST(CASE WHEN prev IS NULL THEN NULL
+            WHEN cum - prev < 0 THEN cum
+            ELSE cum - prev END AS BIGINT) AS delta,
+  CASE WHEN t_ms - prev_t > 0
+       THEN round((CASE WHEN cum - prev < 0 THEN cum ELSE cum - prev END)
+                  / ((t_ms - prev_t) / 1000.0), 6) END AS rate_per_s
+FROM d""",
+
         "corpus_rollup": """SELECT coalesce(lang, '(all)') AS lang,
        coalesce(source, '(all)') AS source,
        count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
@@ -1420,6 +1471,7 @@ def extra_queries(tok_dir_for) -> dict:
         "line_dedup": q_line_dedup,
         "asof_enrich": q_asof_enrich,
         "sessionize": q_sessionize,
+        "counter_rate": q_counter_rate,
         "corpus_rollup": q_corpus_rollup,
         "lang_source_pivot": q_lang_source_pivot,
         "inverted_index": q_inverted_index,
