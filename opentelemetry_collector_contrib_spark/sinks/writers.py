@@ -224,3 +224,24 @@ def write_sink(df: DataFrame, cfg: SinkConfig,
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(cfg.path)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
+                   path: str, sort: bool = True) -> None:
+    """Write a hash-bucketed (and optionally bucket-sorted) table.
+
+    THE co-location primitive for big-big joins at 100 TB: two tables
+    bucketed by the same key into the same bucket count join with ZERO
+    exchange (and zero sort, when bucket-sorted) — the shuffle is paid
+    once at write time and amortized over every downstream join/agg on
+    that key.  Candidate-pair verification (minhash_lsh), token n-gram
+    profiles, and the per-sink routed outputs are the natural users:
+    they re-join on doc_id repeatedly.
+
+    Bucketing requires the table catalog (saveAsTable), so the layout
+    survives as metadata — a bare .parquet(path) write loses it.
+    """
+    w = df.write.mode("overwrite").option("path", path).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
