@@ -250,6 +250,22 @@ def q_counter_rate(spark, sf_dir):
          .alias("rate_per_s"))
 
 
+GROK_EXPR = "%{TIMESTAMP_ISO8601:gts} %{LOGLEVEL:lvl} %{GREEDYDATA:gmsg}"
+
+
+def q_grok_parse(spark, sf_dir, tok_dir):
+    """Grok-dialect parse of the flagship log bodies: the compiled
+    pattern rides the RE2 mapInArrow fast path; non-standard levels
+    (WEIRD/CATASTROPHE) and continuation lines flag parsed=false."""
+    from .operators.grok import grok_parser
+    from .sources.tokens_source import read_tokens
+    p = grok_parser(GROK_EXPR, timestamp_from=None, severity_from=None)
+    df = p.apply(read_tokens(
+        spark, os.path.join(tok_dir, "tokens.parquet")))
+    return df.select("doc_id", "parsed", "gts", "lvl",
+                     F.md5(F.coalesce("gmsg", F.lit(""))).alias("gmsg_md5"))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_near_corpus(spark, sf_dir), threshold=0.5, k=3)
 
@@ -893,7 +909,23 @@ def extra_oracles(tok_dir: str) -> dict[str, str]:
                  " + CASE WHEN punct_r < 0.1 THEN 0.1 ELSE 0.0 END")
     carbon_rx = r"^(cpu|mem|disk|net)\.([a-z.]+)$"
     combine_rx = r"^(cpu|mem)\.([a-z.]+)$"
+    from .operators.grok import grok_to_regex
+    from .operators.regex_parser import java_pattern
+    grok_rx = java_pattern(grok_to_regex(GROK_EXPR)).replace("'", "''")
     return {
+        "grok_parse": f"""WITH raw AS (
+  SELECT doc_id,
+         array_to_string(list_transform(tokens, t -> chr(t)), '') AS body
+  FROM read_parquet('{d}/tokens.parquet')),
+p AS (
+  SELECT doc_id, regexp_matches(body, '{grok_rx}') AS parsed,
+         regexp_extract(body, '{grok_rx}', ['gts','lvl','gmsg']) AS g
+  FROM raw)
+SELECT doc_id, parsed,
+       CASE WHEN parsed THEN g.gts END AS gts,
+       CASE WHEN parsed THEN g.lvl END AS lvl,
+       md5(coalesce(CASE WHEN parsed THEN g.gmsg END, '')) AS gmsg_md5
+FROM p""",
         "dedup_exact": f"""WITH {EXACT_CORPUS_SQL}
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
        count(*)::BIGINT AS dup_count
@@ -1491,6 +1523,7 @@ def extra_queries(tok_dir_for) -> dict:
         "textstats": q_textstats,
         "repetition": q_repetition,
         "langid_agg": q_langid_agg,
+        "grok_parse": with_tok(q_grok_parse),
         "carbon_parse": with_tok(q_carbon_parse),
         "wavefront": with_tok(q_wavefront),
         "prom_parse": with_tok(q_prom_parse),
