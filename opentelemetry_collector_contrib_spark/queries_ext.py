@@ -266,6 +266,25 @@ def q_grok_parse(spark, sf_dir, tok_dir):
                      F.md5(F.coalesce("gmsg", F.lit(""))).alias("gmsg_md5"))
 
 
+def q_token_coverage(spark, sf_dir, tok_dir):
+    """Token-frequency coverage curve: histogram of raw token ids,
+    ranked most-frequent-first, with a DISTRIBUTED global running sum
+    (two-pass range-partitioned prefix scan — never a one-partition
+    window) and the cumulative share of the corpus each rank covers —
+    the vocabulary-truncation curve tokenizer builds read off."""
+    from .functions.prefix import global_cumsum
+    toks = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    hist = (toks.select(F.explode("tokens").alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    cum = global_cumsum(hist, [F.col("cnt").desc(), F.col("tok").asc()],
+                        "cnt", out="cum")
+    total = hist.agg(F.sum("cnt").alias("_total"))
+    return (cum.crossJoin(F.broadcast(total))
+            .select(F.col("tok").cast("bigint").alias("tok"), "cnt", "cum",
+                    F.round(F.col("cum") / F.col("_total"), 6)
+                    .alias("coverage")))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_near_corpus(spark, sf_dir), threshold=0.5, k=3)
 
@@ -913,6 +932,17 @@ def extra_oracles(tok_dir: str) -> dict[str, str]:
     from .operators.regex_parser import java_pattern
     grok_rx = java_pattern(grok_to_regex(GROK_EXPR)).replace("'", "''")
     return {
+        "token_coverage": f"""WITH t AS (
+  SELECT unnest(tokens) AS tok FROM read_parquet('{d}/tokens.parquet')),
+h AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY tok),
+g AS (SELECT (SELECT sum(cnt) FROM h) AS total)
+SELECT CAST(tok AS BIGINT) AS tok, cnt,
+  CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS cum,
+  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING)
+             AS DOUBLE) / (SELECT total FROM g), 6) AS coverage
+FROM h""",
+
         "grok_parse": f"""WITH raw AS (
   SELECT doc_id,
          array_to_string(list_transform(tokens, t -> chr(t)), '') AS body
@@ -1524,6 +1554,7 @@ def extra_queries(tok_dir_for) -> dict:
         "repetition": q_repetition,
         "langid_agg": q_langid_agg,
         "grok_parse": with_tok(q_grok_parse),
+        "token_coverage": with_tok(q_token_coverage),
         "carbon_parse": with_tok(q_carbon_parse),
         "wavefront": with_tok(q_wavefront),
         "prom_parse": with_tok(q_prom_parse),
