@@ -97,3 +97,31 @@ def salted_repartition(df: DataFrame, key: str, n_partitions: int,
     identically (no rand() — resume-safe)."""
     salt = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(salt_buckets))
     return df.repartition(n_partitions, F.col(key), salt)
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt_buckets: int = 16, salt_from: str | None = None,
+                how: str = "inner", seed: int = 7) -> DataFrame:
+    """Skew-proof big-to-medium equi-join: salt the big side, replicate
+    the small side.
+
+    When one join key holds a large share of the big side (the 62%-hot
+    ``source`` of this corpus), a plain shuffle join lands that share
+    on ONE reducer.  AQE's skew split covers sort-merge joins after the
+    fact; this is the explicit, planner-independent form the north
+    rule names: the big side gets a deterministic salt in
+    [0, salt_buckets) derived from a row-unique column, the small side
+    is replicated once per salt value (an O(|small| x buckets) explode
+    — 'medium' side must tolerate the fan-out), and the join key
+    becomes (key, salt), spreading each hot key over salt_buckets
+    reducers.  Join RESULTS are salt-invariant (asserted in tests).
+    """
+    salt_col = F.col(salt_from) if salt_from else F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in big.columns])
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_col, F.lit(seed)),
+                        F.lit(salt_buckets)).cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in
+                                     range(salt_buckets)])))
+    return b.join(s, [key, "_salt"], how).drop("_salt")
