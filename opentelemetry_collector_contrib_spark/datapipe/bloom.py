@@ -1,0 +1,117 @@
+"""Bloom-filter membership: incremental dedup without a join.
+
+The 100 TB problem this solves: dedup a NEW crawl batch against a
+10^12-document existing corpus.  A join against the corpus shuffles
+the corpus every run; a Bloom filter is built once, is ~1.2 GB for
+10^9 keys at 1% false positives (m = -n·lnp/ln²2 bits), broadcasts to
+every executor, and filters the new batch with zero shuffle.  False
+positives only ever DROP a genuinely-new doc (tunable via m/k);
+false negatives are impossible, so no duplicate ever slips through.
+
+Spark-first shape:
+- bit positions are computed JVM-side (portable md5 hash + the
+  committed universal-hash family from hashing.py — the exact math
+  the DuckDB oracle replays, so membership is oracle-checkable
+  bit-for-bit);
+- the build is one mapInPandas pass emitting ONE bitmap per
+  partition (numpy ``bitwise_or.at``), OR-reduced on the driver —
+  O(partitions · m/8) driver work, the treeAggregate shape;
+- the probe is one Arrow hop testing all k bits vectorized against
+  the broadcast bitmap.
+
+Spark's own ``DataFrameStatFunctions.bloomFilter`` (Scala) builds the
+same structure with xxhash; this implementation trades that for
+cross-engine determinism (same rationale as hashing.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .hashing import MERSENNE_P, _A, _B, portable_hash, portable_hash_sql
+
+BLOOM_M = 1 << 20          # bits (test-scale default; see sizing above)
+BLOOM_K = 4                # hashes — reuses committed (a_i, b_i) pairs
+
+
+def bloom_positions(col: Column, m: int = BLOOM_M,
+                    k: int = BLOOM_K) -> Column:
+    """array<long> of the k bit positions for a key — pure Catalyst."""
+    h = portable_hash(col)
+    return F.array(*[((h * _A[i] + _B[i]) % MERSENNE_P % m)
+                     for i in range(k)])
+
+
+def bloom_positions_sql(col_sql: str, i: int, m: int = BLOOM_M) -> str:
+    """DuckDB twin of position i (bigint math, no overflow: H < 2^32,
+    a_i < 2^31 → product < 2^63)."""
+    h = portable_hash_sql(col_sql)
+    return f"(({h} * {_A[i]} + {_B[i]}) % {MERSENNE_P} % {m})"
+
+
+def build_bloom(df: DataFrame, key_col: str, m: int = BLOOM_M,
+                k: int = BLOOM_K) -> bytes:
+    """Scan the corpus once and return the filter bitmap (m/8 bytes).
+
+    One bitmap per partition rides back to the driver (a few hundred
+    rows of m/8 bytes each), OR-reduced here.  At 10^12 keys the
+    corpus scan is the irreducible cost; everything else is O(m)."""
+    if m % 8:
+        raise ValueError("m must be a multiple of 8")
+    pos = df.select(bloom_positions(F.col(key_col), m, k).alias("pos"))
+
+    def part(it):
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        seen = False
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            flat = np.concatenate(pdf["pos"].to_numpy()).astype(np.int64)
+            np.bitwise_or.at(bm, flat >> 3,
+                             (1 << (flat & 7)).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = pos.mapInPandas(part, schema="bm binary").collect()
+    out = np.zeros(m // 8, dtype=np.uint8)
+    for r in parts:
+        out |= np.frombuffer(r.bm, dtype=np.uint8)
+    return out.tobytes()
+
+
+def might_contain(spark, probe: DataFrame, key_col: str, bloom: bytes,
+                  m: int = BLOOM_M, k: int = BLOOM_K,
+                  out_col: str = "hit") -> DataFrame:
+    """Tag each probe row with Bloom membership — zero shuffle.
+
+    The bitmap ships once per executor via a SparkContext broadcast
+    (NOT captured per-task in the UDF closure)."""
+    bc = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf(T.BooleanType())
+    def hit(pos: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        flat = np.concatenate(pos.to_numpy()).astype(np.int64)
+        bits = (bm[flat >> 3] >> (flat & 7)) & 1
+        return pd.Series(bits.reshape(len(pos), -1).all(axis=1),
+                         index=pos.index)
+
+    return probe.withColumn(
+        out_col, hit(bloom_positions(F.col(key_col), m, k)))
+
+
+def bloom_filter_new(spark, corpus: DataFrame, probe: DataFrame,
+                     key_col: str, m: int = BLOOM_M,
+                     k: int = BLOOM_K) -> DataFrame:
+    """The production composition: keep only probe rows whose key is
+    definitely NOT in the corpus (Bloom miss ⇒ certain non-member)."""
+    bloom = build_bloom(corpus, key_col, m, k)
+    tagged = might_contain(spark, probe, key_col, bloom, m, k)
+    return tagged.filter(~F.col("hit")).drop("hit")

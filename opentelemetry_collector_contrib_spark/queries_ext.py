@@ -35,6 +35,7 @@ from .operators.statsd import flush_aggregate, parse_statsd, timer_aggregate
 from .queries_export import export_oracles, export_queries
 from .queries_k8s import k8s_oracles, k8s_queries
 from .queries_scrape import scrape_oracles, scrape_queries
+from .queries_wire import wire_oracles, wire_queries
 
 # ---------------------------------------------------------------------------
 # corpora (built in-query from the documents table, mirrored in SQL)
@@ -85,6 +86,24 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_survivors(spark, sf_dir):
     out = dedup_survivors(_exact_corpus(spark, sf_dir))
     return out.select("doc_id", "dup_count")
+
+
+def q_bloom_hits(spark, sf_dir):
+    """Incremental dedup via broadcast Bloom filter: probe = members
+    (doc_id%3==0, must all hit) + novel texts (doc_id%3==1, hit only
+    on a deterministic false positive).  The oracle replays the exact
+    bit positions in SQL, so FP behavior is value-hash-checked too."""
+    from .datapipe.bloom import build_bloom, might_contain
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    probe = (corpus.filter(F.col("doc_id") % 3 == 0)
+             .unionByName(
+                 corpus.filter(F.col("doc_id") % 3 == 1)
+                 .select((F.col("doc_id") + 50000).alias("doc_id"),
+                         F.concat(F.col("text"), F.lit(" NEW"))
+                          .alias("text"))))
+    bloom = build_bloom(corpus, "text")
+    return (might_contain(spark, probe, "text", bloom)
+            .select("doc_id", "hit"))
 
 
 def q_line_dedup(spark, sf_dir):
@@ -720,6 +739,34 @@ EXACT_CORPUS_SQL = """corpus AS (
 )"""
 
 
+def _bloom_hits_sql() -> str:
+    """DuckDB twin of q_bloom_hits: the corpus's exact bit-position
+    set, probe positions, and all-k membership — same md5-derived
+    math as datapipe/bloom.py, so even false positives match."""
+    from .datapipe.bloom import BLOOM_K, bloom_positions_sql
+    pos_union = "\n    UNION ALL\n".join(
+        f"    SELECT {bloom_positions_sql('text', i)} AS pos FROM corpus"
+        for i in range(BLOOM_K))
+    probe_cols = ",\n         ".join(
+        f"{bloom_positions_sql('text', i)} AS p{i}"
+        for i in range(BLOOM_K))
+    hit = " AND ".join(
+        f"p{i} IN (SELECT pos FROM pos)" for i in range(BLOOM_K))
+    return f"""WITH corpus AS (SELECT doc_id, text FROM documents),
+probe AS (
+  SELECT doc_id, text FROM corpus WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 50000 AS doc_id, text || ' NEW' AS text
+  FROM corpus WHERE doc_id % 3 = 1),
+pos AS (SELECT DISTINCT pos FROM (
+{pos_union})),
+pr AS (
+  SELECT doc_id,
+         {probe_cols}
+  FROM probe)
+SELECT doc_id, ({hit}) AS hit FROM pr"""
+
+
 def _shingle_cte(src: str = "corpus", k: int = 3) -> str:
     return f"""docs AS (
   SELECT id, {WORDS_SQL} AS words FROM {src}
@@ -919,7 +966,8 @@ def _pred_lang_sql() -> str:
 
 def extra_oracles(tok_dir: str) -> dict[str, str]:
     d = tok_dir
-    scrape = scrape_oracles(d) | k8s_oracles(d) | export_oracles(d)
+    scrape = (scrape_oracles(d) | k8s_oracles(d) | export_oracles(d)
+              | wire_oracles(d))
     mh = _minhash_cols()
     score_sql = ("least(CAST(n_words AS DOUBLE) / 20.0, 1.0) * 0.4"
                  " + CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10"
@@ -960,6 +1008,8 @@ FROM p""",
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
        count(*)::BIGINT AS dup_count
 FROM corpus GROUP BY md5(text)""",
+
+        "bloom_hits": _bloom_hits_sql(),
 
         "counter_rate": """WITH ev AS (
   SELECT event_id, event_type, epoch_ms(ts) AS t_ms,
@@ -1529,6 +1579,7 @@ def extra_queries(tok_dir_for) -> dict:
     return {
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
+        "bloom_hits": q_bloom_hits,
         "dedup_jaccard": q_dedup_jaccard,
         "line_dedup": q_line_dedup,
         "asof_enrich": q_asof_enrich,
@@ -1578,4 +1629,4 @@ def extra_queries(tok_dir_for) -> dict:
         "pii_scrub": with_tok(q_pii_scrub),
     } | {name: with_tok(fn)
          for name, fn in (scrape_queries() | k8s_queries()
-                          | export_queries()).items()}
+                          | export_queries() | wire_queries()).items()}

@@ -1,0 +1,79 @@
+"""Bloom-filter incremental dedup (datapipe/bloom.py): no false
+negatives ever, plausible FP rate, join-free probe plan, and parity
+with an independent pure-Python bit-set twin."""
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.datapipe.bloom import (
+    BLOOM_K, BLOOM_M, bloom_filter_new, build_bloom, might_contain)
+from opentelemetry_collector_contrib_spark.datapipe.hashing import (
+    MERSENNE_P, _A, _B)
+
+from conftest import rows
+
+
+def _twin_positions(text: str, m: int = BLOOM_M, k: int = BLOOM_K):
+    h = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+    return [(h * _A[i] + _B[i]) % MERSENNE_P % m for i in range(k)]
+
+
+def _corpus(spark, n=300):
+    return spark.createDataFrame(
+        [(i, f"document number {i} with some body text") for i in range(n)],
+        "doc_id int, text string")
+
+
+def test_no_false_negatives(spark):
+    corpus = _corpus(spark)
+    bloom = build_bloom(corpus, "text")
+    got = rows(might_contain(spark, corpus, "text", bloom),
+               "doc_id", "hit")
+    assert all(hit for _, hit in got) and len(got) == 300
+
+
+def test_bitmap_matches_python_twin(spark):
+    corpus = _corpus(spark, 50)
+    bloom = np.frombuffer(build_bloom(corpus, "text"), dtype=np.uint8)
+    twin = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+    for i in range(50):
+        for p in _twin_positions(f"document number {i} with some body text"):
+            twin[p >> 3] |= 1 << (p & 7)
+    assert np.array_equal(bloom, twin)
+
+
+def test_novel_docs_mostly_miss_and_filter_new(spark):
+    corpus = _corpus(spark)
+    novel = spark.createDataFrame(
+        [(1000 + i, f"completely new text {i}") for i in range(200)],
+        "doc_id int, text string")
+    kept = bloom_filter_new(spark, corpus, novel, "text")
+    # m=2^20 bits, 300 keys, k=4 → FP rate ~ (1200/2^20)^4 ≈ 1e-12:
+    # every novel doc must survive at this scale
+    assert kept.count() == 200
+    # and a probe that mixes members in drops exactly the members
+    mixed = novel.unionByName(corpus.limit(20))
+    assert bloom_filter_new(spark, corpus, mixed, "text").count() == 200
+
+
+def test_probe_plan_is_join_free(spark):
+    """The whole point vs a join: the probe side must show no
+    Exchange and no Join — one Arrow hop over the scan."""
+    corpus = _corpus(spark, 30)
+    bloom = build_bloom(corpus, "text")
+    tagged = might_contain(spark, corpus, "text", bloom)
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_empty_corpus_and_empty_probe(spark):
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    bloom = build_bloom(empty, "text")
+    assert bloom == b"\x00" * (BLOOM_M // 8)
+    probe = _corpus(spark, 5)
+    got = rows(might_contain(spark, probe, "text", bloom), "doc_id", "hit")
+    assert all(not hit for _, hit in got)
+    assert might_contain(spark, empty, "text", bloom).count() == 0
