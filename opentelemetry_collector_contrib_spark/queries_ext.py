@@ -106,6 +106,55 @@ def q_bloom_hits(spark, sf_dir):
             .select("doc_id", "hit"))
 
 
+CMS_PROBE_WORDS = ["the", "and", "data", "model", "spark", "token",
+                   "quality", "language", "of", "zzz_absent"]
+
+
+def q_hll_cardinality(spark, sf_dir):
+    """Distinct-word cardinality per lang via the portable HLL sketch
+    (datapipe/sketches.py) next to the exact count — the oracle
+    replays every register, so the ESTIMATE itself is hash-checked."""
+    from .datapipe.sketches import hll_estimate
+    words = _docs(spark, sf_dir).select(
+        "lang", F.explode(norm_words(F.col("text"))).alias("w"))
+    est = hll_estimate(words, "w", "lang")
+    exact = words.groupBy("lang").agg(
+        F.countDistinct("w").alias("n_exact"))
+    return exact.join(est, "lang").select("lang", "n_exact", "hll_est")
+
+
+def q_cms_freq(spark, sf_dir):
+    """Count-min point-frequency estimates for a fixed probe list,
+    with the exact counts alongside (est >= exact always; equality
+    unless a counter collision inflates it — the oracle replays the
+    collisions too)."""
+    from .datapipe.sketches import cms_build, cms_query
+    words = _docs(spark, sf_dir).select(
+        F.explode(norm_words(F.col("text"))).alias("w"))
+    sketch = cms_build(words, "w")
+    probe = spark.createDataFrame([(w,) for w in CMS_PROBE_WORDS],
+                                  "w string")
+    est = cms_query(sketch, probe, "w")
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt_x"))
+    return (est.join(exact, "w", "left")
+            .select("w", "cms_est",
+                    F.coalesce(F.col("cnt_x"), F.lit(0).cast("long"))
+                    .alias("n_exact")))
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton-interleaved layout key over (time bucket, event_type
+    hash) — the OPTIMIZE ZORDER BY analog (functions/zorder.py);
+    events.ts is TIMESTAMP_NTZ, cast before unix_millis (session tz
+    is pinned UTC)."""
+    from .datapipe.hashing import portable_hash
+    from .functions.zorder import zorder2
+    ev = _events(spark, sf_dir)
+    x = F.shiftright(F.unix_millis(F.col("ts").cast("timestamp")), 16)
+    y = portable_hash(F.col("event_type"))
+    return ev.select("event_id", zorder2(x, y).alias("zkey"))
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style corpus-wide duplicated-line removal over the exact
     corpus (the byte-exact copies lose every line to their originals).
@@ -767,6 +816,62 @@ pr AS (
 SELECT doc_id, ({hit}) AS hit FROM pr"""
 
 
+def _hll_cardinality_sql() -> str:
+    """DuckDB twin of q_hll_cardinality: replays every HLL register
+    (integer-exact indicator sum) plus the estimator branches."""
+    from .datapipe.sketches import HLL_M, hll_estimate_sql
+    hll = hll_estimate_sql("words", "w", "lang")
+    m = f"CAST({HLL_M} AS DOUBLE)"
+    return f"""WITH words AS (
+  SELECT lang, unnest({WORDS_SQL}) AS w FROM documents),
+{hll},
+exact AS (
+  SELECT lang, count(DISTINCT w)::BIGINT AS n_exact
+  FROM words GROUP BY lang)
+SELECT e.lang, e.n_exact,
+       round(CASE WHEN f.raw <= CAST({2.5 * HLL_M} AS DOUBLE)
+                   AND f.v > 0
+                  THEN {m} * ln({m} / f.v) ELSE f.raw END, 6) AS hll_est
+FROM exact e JOIN final f ON f.grp = e.lang"""
+
+
+def _cms_freq_sql() -> str:
+    """DuckDB twin of q_cms_freq: rebuilds the d×w counter table and
+    the min-over-rows probe, so collision-inflated estimates match."""
+    from .datapipe.bloom import bloom_positions_sql
+    from .datapipe.sketches import CMS_D, CMS_W
+    corpus_pos = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS i, {bloom_positions_sql('w', i, CMS_W)} AS pos"
+        f" FROM words" for i in range(CMS_D))
+    probe_pos = "\n  UNION ALL\n".join(
+        f"  SELECT w, {i} AS i, {bloom_positions_sql('w', i, CMS_W)} AS pos"
+        f" FROM probe" for i in range(CMS_D))
+    vals = ", ".join(f"('{w}')" for w in CMS_PROBE_WORDS)
+    return f"""WITH words AS (
+  SELECT unnest({WORDS_SQL}) AS w FROM documents),
+sketch AS (
+  SELECT i, pos, count(*)::BIGINT AS cnt FROM (
+{corpus_pos}) GROUP BY i, pos),
+probe(w) AS (VALUES {vals}),
+ppos AS (
+{probe_pos}),
+joined AS (
+  SELECT p.w, coalesce(s.cnt, CAST(0 AS BIGINT)) AS cnt
+  FROM ppos p LEFT JOIN sketch s ON s.i = p.i AND s.pos = p.pos),
+est AS (
+  SELECT w, CAST(min(cnt) AS BIGINT) AS cms_est FROM joined GROUP BY w),
+exact AS (SELECT w, count(*)::BIGINT AS c FROM words GROUP BY w)
+SELECT e.w, e.cms_est,
+       coalesce(x.c, CAST(0 AS BIGINT)) AS n_exact
+FROM est e LEFT JOIN exact x USING (w)"""
+
+
+def _zorder_key_sql() -> str:
+    from .functions.zorder import zorder2_sql
+    z = zorder2_sql("(epoch_ms(ts) >> 16)", portable_hash_sql("event_type"))
+    return f"SELECT event_id, {z} AS zkey FROM events"
+
+
 def _shingle_cte(src: str = "corpus", k: int = 3) -> str:
     return f"""docs AS (
   SELECT id, {WORDS_SQL} AS words FROM {src}
@@ -1010,6 +1115,12 @@ SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
 FROM corpus GROUP BY md5(text)""",
 
         "bloom_hits": _bloom_hits_sql(),
+
+        "hll_cardinality": _hll_cardinality_sql(),
+
+        "cms_freq": _cms_freq_sql(),
+
+        "zorder_key": _zorder_key_sql(),
 
         "counter_rate": """WITH ev AS (
   SELECT event_id, event_type, epoch_ms(ts) AS t_ms,
@@ -1580,6 +1691,9 @@ def extra_queries(tok_dir_for) -> dict:
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
         "bloom_hits": q_bloom_hits,
+        "hll_cardinality": q_hll_cardinality,
+        "cms_freq": q_cms_freq,
+        "zorder_key": q_zorder_key,
         "dedup_jaccard": q_dedup_jaccard,
         "line_dedup": q_line_dedup,
         "asof_enrich": q_asof_enrich,

@@ -74,6 +74,23 @@ def streaming_pipeline_fresh_dim(spark: SparkSession, tokens_dir: str,
             .start())
 
 
+def streaming_wire_ingest(spark: SparkSession, frames_dir: str,
+                          parser: RegexParser | None = None) -> DataFrame:
+    """The truest receiver analog: a STREAM of raw wire frames
+    (protobuf + gzip bytes, sources/wire.py) is decoded and parsed as
+    it arrives — bytes -> pdata -> entries, exactly the signalfx/HEC
+    receiver shape (receiver.go:186-210) under Structured Streaming.
+
+    ``frames_dir`` holds parquet files with a single binary ``wire``
+    column (one frame per row).  decode_wire's mapInPandas runs
+    unchanged on the unbounded DataFrame — the decode hot path stays
+    one vectorized Arrow hop per micro-batch."""
+    from ..sources.wire import decode_wire
+    frames = (spark.readStream.schema("wire binary")
+              .parquet(frames_dir))
+    return (parser or RegexParser()).apply(decode_wire(frames))
+
+
 def streaming_counts(routed: DataFrame,
                      window: str = "1 hour",
                      watermark: str = "2 hours") -> DataFrame:

@@ -154,6 +154,38 @@ def test_payload_bytes_udf_matches_scalar(spark):
     assert out == sorted((k, v) for k, v in expect.items())
 
 
+def test_streaming_wire_ingest_matches_batch(spark, sf_dir, tmp_path):
+    """A stream of raw wire frames decodes + parses to exactly the
+    batch pipeline's output — bytes-in streaming receiver parity."""
+    from opentelemetry_collector_contrib_spark.operators.regex_parser import (
+        RegexParser)
+    from opentelemetry_collector_contrib_spark.sources.tokens_source import (
+        read_tokens)
+    from opentelemetry_collector_contrib_spark.streaming.stream_pipeline import (
+        streaming_wire_ingest)
+    enc = encode_wire_udf("gzip")
+    toks = read_tokens(spark, f"{sf_dir}/tokens.parquet")
+    frames_dir = str(tmp_path / "frames")
+    (toks.select(enc("doc_id", "tokens", "source").alias("wire"))
+         .write.parquet(frames_dir))
+    parsed = streaming_wire_ingest(spark, frames_dir)
+    q = (parsed.groupBy("source", "severity_text")
+         .count()
+         .writeStream.format("memory").queryName("t_wire_stream")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT source, severity_text, count AS n "
+                    "FROM t_wire_stream")
+    batch = (RegexParser().apply(toks)
+             .groupBy("source", "severity_text")
+             .agg(F.count(F.lit(1)).alias("n")))
+    assert rows(got) == rows(batch)
+
+
 def test_receive_plan_is_one_python_hop(spark):
     """The decode hot path must be a single ArrowEvalPython /
     mapInPandas stage over the frames scan — no extra exchanges."""
