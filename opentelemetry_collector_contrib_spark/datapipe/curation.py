@@ -71,6 +71,52 @@ def pack_chunks(df: DataFrame, budget: int = 2048,
 _URL_RX = r"https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)"
 
 
+def weighted_sample(df: DataFrame, weight_col, k: int,
+                    *group_cols: str, key_col: str = "doc_id",
+                    seed_col: str = "text") -> DataFrame:
+    """Weighted reservoir sample (Efraimidis-Spirakis A-ES): keep the
+    k rows per group with the largest priority u^(1/w) — equivalently
+    the largest ln(u)/w — where u is a DETERMINISTIC uniform derived
+    from the portable md5 hash of ``seed_col``.  Selection probability
+    is proportional to ``weight_col``; reruns and resumes pick the
+    exact same sample (no rand(), the salted-write rule).
+
+    Distributed shape: one window exchange keyed by the group — the
+    same cost as any per-group top-k; at 10^12 rows with small k,
+    partial top-k via groupBy(min_by/max_by array) would cut the
+    shuffle to O(groups·k), left as the documented scale lever.
+
+    Returns the sampled rows plus ``pri`` (rounded to 6 for the
+    oracle compare).
+    """
+    from pyspark.sql import Window
+    h = F.conv(F.substring(F.md5(F.col(seed_col)), 1, 15), 16, 10) \
+         .cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    win = (Window.partitionBy(*group_cols)
+           .orderBy(F.desc("pri"), key_col))
+    return (df.withColumn("pri", pri)
+            .withColumn("_rk", F.row_number().over(win))
+            .filter(F.col("_rk") <= k).drop("_rk")
+            .withColumn("pri", F.round("pri", 6)))
+
+
+def weighted_sample_sql(corpus: str, weight_sql: str, k: int,
+                        group_sql: str, key_sql: str = "doc_id",
+                        seed_sql: str = "text") -> str:
+    """DuckDB twin of weighted_sample (same hash, same ln/div order)."""
+    h = f"CAST(('0x' || substr(md5({seed_sql}), 1, 15)) AS BIGINT)"
+    pri = (f"ln((CAST({h} AS DOUBLE) + 1.0) / {float(1 << 60)!r})"
+           f" / CAST({weight_sql} AS DOUBLE)")
+    return f"""r AS (
+  SELECT {group_sql} AS grp, {key_sql} AS key, {pri} AS pri,
+         row_number() OVER (PARTITION BY {group_sql}
+                            ORDER BY {pri} DESC, {key_sql}) AS rk
+  FROM {corpus})
+SELECT grp, key, round(pri, 6) AS pri FROM r WHERE rk <= {k}"""
+
+
 def extract_domains(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Per doc: distinct lowercased URL hostnames plus a registrable

@@ -68,28 +68,12 @@ def hll_register_cols(key: Column) -> tuple[Column, Column]:
 
 def hll_estimate(df: DataFrame, key_col: str, *group_cols: str) -> DataFrame:
     """Distinct-count estimate per group: one partial-agg exchange
-    carrying ≤ groups×m register rows, then an O(m) rollup."""
-    j, rho = hll_register_cols(F.col(key_col))
-    regs = (df.select(*group_cols, j, rho)
-            .groupBy(*group_cols, "hll_j")
-            .agg(F.max("hll_rho").alias("mj")))
-    # integer-exact indicator sum: empty registers contribute 2^53
-    # (F.shiftleft only takes a literal bit count, so spell it in SQL)
-    z_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - mj)")
-    agg = (regs.groupBy(*group_cols)
-           .agg(F.sum(z_term).alias("z_used"),
-                F.count(F.lit(1)).alias("n_regs")))
-    two53 = F.lit(1 << HLL_RMAX).cast("long")
-    z = (F.col("z_used")
-         + (F.lit(HLL_M) - F.col("n_regs")) * two53).cast("double")
-    v = (F.lit(HLL_M) - F.col("n_regs")).cast("double")   # empty regs
-    alpha = F.expr(ALPHA_SQL)
-    raw = alpha * F.lit(float(HLL_M * HLL_M)) * two53.cast("double") / z
-    small = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v)
-    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), small) \
-           .otherwise(raw)
-    return agg.select(*group_cols,
-                      F.round(est, 6).alias("hll_est"))
+    carrying ≤ groups×m register rows, then an O(m) rollup.
+    (The indicator sum is integer-exact — see module docstring —
+    and F.shiftleft only takes a literal bit count, hence the SQL
+    spelling in the tail.)"""
+    return hll_estimate_from_registers(
+        hll_registers(df, key_col, *group_cols), *group_cols)
 
 
 def hll_estimate_sql(corpus: str, key_sql: str, group_sql: str) -> str:
@@ -120,6 +104,55 @@ final AS (
       * CAST({1 << HLL_RMAX} AS DOUBLE) / z AS raw, v
   FROM est)
 """
+
+
+def hll_registers(df: DataFrame, key_col: str,
+                  *group_cols: str) -> DataFrame:
+    """The mergeable state: (group, j, mj) register rows.  Persist
+    per run; union + re-max merges runs for free (the sketch
+    property that makes incremental corpus profiling O(m) per run)."""
+    j, rho = hll_register_cols(F.col(key_col))
+    return (df.select(*group_cols, j, rho)
+            .groupBy(*group_cols, "hll_j")
+            .agg(F.max("hll_rho").alias("mj")))
+
+
+def hll_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Union register tables from independent runs and re-max —
+    exactly equivalent to sketching the concatenated corpora."""
+    out = register_dfs[0]
+    for d in register_dfs[1:]:
+        out = out.unionByName(d)
+    keys = [c for c in out.columns if c not in ("mj",)]
+    return out.groupBy(*keys).agg(F.max("mj").alias("mj"))
+
+
+def hll_estimate_from_registers(regs: DataFrame,
+                                *group_cols: str) -> DataFrame:
+    """Finish an estimate from (merged) register rows — same math as
+    hll_estimate's tail."""
+    z_term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - mj)")
+    agg = (regs.groupBy(*group_cols)
+           .agg(F.sum(z_term).alias("z_used"),
+                F.count(F.lit(1)).alias("n_regs")))
+    two53 = F.lit(1 << HLL_RMAX).cast("long")
+    z = (F.col("z_used")
+         + (F.lit(HLL_M) - F.col("n_regs")) * two53).cast("double")
+    v = (F.lit(HLL_M) - F.col("n_regs")).cast("double")
+    alpha = F.expr(ALPHA_SQL)
+    raw = alpha * F.lit(float(HLL_M * HLL_M)) * two53.cast("double") / z
+    small = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v)
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), small) \
+           .otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 6).alias("hll_est"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """CMS merge = counter-wise sum (linearity of the counters)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("i", "pos").agg(F.sum("cnt").alias("cnt"))
 
 
 def cms_position_rows(key: Column) -> Column:

@@ -142,6 +142,17 @@ def q_cms_freq(spark, sf_dir):
                     .alias("n_exact")))
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted reservoir sample: 5 docs per lang with
+    probability ∝ n_chars (the quality-weighted subsampling move),
+    reproducible across reruns — datapipe/curation.py::weighted_sample."""
+    from .datapipe.curation import weighted_sample
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    out = weighted_sample(d, "n_chars", 5, "lang")
+    return out.select(F.col("lang").alias("grp"),
+                      F.col("doc_id").alias("key"), "pri")
+
+
 def q_zorder_key(spark, sf_dir):
     """Morton-interleaved layout key over (time bucket, event_type
     hash) — the OPTIMIZE ZORDER BY analog (functions/zorder.py);
@@ -866,6 +877,12 @@ SELECT e.w, e.cms_est,
 FROM est e LEFT JOIN exact x USING (w)"""
 
 
+def _weighted_sample_sql() -> str:
+    from .datapipe.curation import weighted_sample_sql
+    body = weighted_sample_sql("documents", "n_chars", 5, "lang")
+    return f"WITH {body}"
+
+
 def _zorder_key_sql() -> str:
     from .functions.zorder import zorder2_sql
     z = zorder2_sql("(epoch_ms(ts) >> 16)", portable_hash_sql("event_type"))
@@ -1121,6 +1138,8 @@ FROM corpus GROUP BY md5(text)""",
         "cms_freq": _cms_freq_sql(),
 
         "zorder_key": _zorder_key_sql(),
+
+        "weighted_sample": _weighted_sample_sql(),
 
         "counter_rate": """WITH ev AS (
   SELECT event_id, event_type, epoch_ms(ts) AS t_ms,
@@ -1694,6 +1713,7 @@ def extra_queries(tok_dir_for) -> dict:
         "hll_cardinality": q_hll_cardinality,
         "cms_freq": q_cms_freq,
         "zorder_key": q_zorder_key,
+        "weighted_sample": q_weighted_sample,
         "dedup_jaccard": q_dedup_jaccard,
         "line_dedup": q_line_dedup,
         "asof_enrich": q_asof_enrich,

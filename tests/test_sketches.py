@@ -104,6 +104,37 @@ def test_cms_counters_match_python_twin(spark):
     assert got == twin
 
 
+def test_hll_merge_equals_union_sketch(spark):
+    """The mergeability law: estimate(merge(regs(A), regs(B))) must
+    equal estimate(A ∪ B) EXACTLY (same registers -> same integer
+    indicator sum -> bit-identical estimate)."""
+    from opentelemetry_collector_contrib_spark.datapipe.sketches import (
+        hll_estimate_from_registers, hll_merge, hll_registers)
+    a = spark.createDataFrame([(k, "g") for k in _keys(800, "a")],
+                              "w string, lang string")
+    b = spark.createDataFrame(
+        [(k, "g") for k in _keys(500, "b") + _keys(100, "a")],
+        "w string, lang string")
+    merged = hll_merge(hll_registers(a, "w", "lang"),
+                       hll_registers(b, "w", "lang"))
+    got = rows(hll_estimate_from_registers(merged, "lang"))
+    want = rows(hll_estimate(a.unionByName(b), "w", "lang"))
+    assert got == want
+
+
+def test_cms_merge_is_counter_sum(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.sketches import (
+        cms_merge)
+    a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 5, "w string")
+    b = spark.createDataFrame([("x",)] * 12, "w string")
+    merged = cms_merge(cms_build(a, "w"), cms_build(b, "w"))
+    probe = spark.createDataFrame([("x",), ("y",)], "w string")
+    got = dict(rows(cms_query(merged, probe, "w")))
+    whole = dict(rows(cms_query(cms_build(a.unionByName(b), "w"),
+                                probe, "w")))
+    assert got == whole and got["x"] >= 42 and got["y"] >= 5
+
+
 def test_cms_probe_is_broadcast_join(spark):
     corpus = spark.createDataFrame([("a",)], "w string")
     sketch = cms_build(corpus, "w")
