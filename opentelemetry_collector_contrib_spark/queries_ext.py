@@ -142,6 +142,27 @@ def q_cms_freq(spark, sf_dir):
                     .alias("n_exact")))
 
 
+def q_bpe_roundtrip(spark, sf_dir):
+    """Byte-level BPE (functions/bpe.py): train 64 merges on a
+    deterministic 200-doc sample, tokenize EVERY doc, decode back,
+    and prove byte-exact reconstruction per lang — the
+    text -> tokens:array<int32> producer side of the input contract."""
+    from .functions.bpe import bpe_decode_udf, bpe_encode_udf, train_bpe
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    sample = [r.text for r in
+              d.filter(F.col("doc_id") < 200).orderBy("doc_id")
+               .select("text").collect()]
+    merges = train_bpe(sample, 64)
+    enc, dec = bpe_encode_udf(merges), bpe_decode_udf(merges)
+    out = (d.withColumn("toks", enc("text"))
+           .withColumn("back", dec("toks")))
+    return (out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("back") != F.col("text"), 1).otherwise(0))
+         .cast("long").alias("n_mismatch"),
+        F.sum(F.octet_length("back")).alias("sum_bytes")))
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted reservoir sample: 5 docs per lang with
     probability ∝ n_chars (the quality-weighted subsampling move),
@@ -1141,6 +1162,11 @@ FROM corpus GROUP BY md5(text)""",
 
         "weighted_sample": _weighted_sample_sql(),
 
+        "bpe_roundtrip": """SELECT lang, count(*)::BIGINT AS n_docs,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
+FROM documents GROUP BY lang""",
+
         "counter_rate": """WITH ev AS (
   SELECT event_id, event_type, epoch_ms(ts) AS t_ms,
          CAST(round(value * 100) AS BIGINT) AS vi
@@ -1714,6 +1740,7 @@ def extra_queries(tok_dir_for) -> dict:
         "cms_freq": q_cms_freq,
         "zorder_key": q_zorder_key,
         "weighted_sample": q_weighted_sample,
+        "bpe_roundtrip": q_bpe_roundtrip,
         "dedup_jaccard": q_dedup_jaccard,
         "line_dedup": q_line_dedup,
         "asof_enrich": q_asof_enrich,
