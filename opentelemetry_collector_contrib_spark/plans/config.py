@@ -208,9 +208,21 @@ def _rx_k8s_cluster(spark: SparkSession, conf: dict) -> DataFrame:
     return cluster_metrics(node_conditions=conds, **snaps)
 
 
+def _rx_wire(spark: SparkSession, conf: dict) -> DataFrame:
+    """Wire receiver: a table of raw protobuf+gzip frames (binary
+    ``wire`` column, sources/wire.py) decoded to the canonical tokens
+    schema — the application/x-protobuf body path as a config-level
+    receiver (signalfxreceiver/receiver.go:59,186-210)."""
+    from ..sources.wire import decode_wire
+    return decode_wire(_rx_table(spark, conf),
+                       wire_col=conf.get("wire_col", "wire"),
+                       codec=conf.get("codec", "auto"))
+
+
 RECEIVERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "tokens": _rx_tokens,
     "table": _rx_table,
+    "wire": _rx_wire,
     "scrape": _rx_scrape,
     "receiver_creator": _rx_receiver_creator,
     "k8s_cluster": _rx_k8s_cluster,

@@ -108,3 +108,33 @@ exporters: {{}}
     out = build_from_config(spark, cfg)
     assert out.filter(F.col("severity_number") < 17).count() == 0
     assert out.count() > 0
+
+
+def test_wire_receiver_config_matches_tokens_receiver(spark, sf_dir,
+                                                      tmp_path):
+    """Swapping the tokens scan for the wire receiver (raw protobuf+
+    gzip frames) in the YAML changes NOTHING downstream: same routed
+    counts through the identical processor lineage."""
+    from opentelemetry_collector_contrib_spark.sources.tokens_source import (
+        read_tokens)
+    from opentelemetry_collector_contrib_spark.sources.wire import (
+        encode_wire_udf)
+    frames_dir = str(tmp_path / "frames")
+    enc = encode_wire_udf("gzip")
+    (read_tokens(spark, f"{sf_dir}/tokens.parquet")
+     .select(enc("doc_id", "tokens", "source").alias("wire"))
+     .write.parquet(frames_dir))
+    base = _yaml(sf_dir, tmp_path / "out_t")
+    wire_yaml = base.replace(
+        f"""  tokens:
+    path: {sf_dir}/tokens.parquet""",
+        f"""  tokens:
+    type: wire
+    path: {frames_dir}""")
+    cfg_t = load_config(base)
+    cfg_w = load_config(wire_yaml)
+    a = (build_from_config(spark, cfg_t)
+         .select(F.explode("sinks").alias("s")).groupBy("s").count())
+    b = (build_from_config(spark, cfg_w)
+         .select(F.explode("sinks").alias("s")).groupBy("s").count())
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
