@@ -84,11 +84,32 @@ def q_wire_sizes(spark: SparkSession, sf_dir: str,
         F.sum(F.length("wire")).alias("msg_bytes")))
 
 
+def q_wire_batch(spark: SparkSession, sf_dir: str,
+                 tok_dir: str) -> DataFrame:
+    """The exporter's real request shape: rows buffered into batches,
+    ONE serialized+gzipped body per request (sender.go:233-239),
+    decoded back and aggregated.  Batch assignment is deterministic
+    (md5 of doc_id), so reruns build identical requests."""
+    from .datapipe.hashing import portable_hash
+    from .sources.wire import decode_requests, encode_requests
+    d = _tok(spark, tok_dir).withColumn(
+        "batch_id",
+        F.concat_ws("-", "source",
+                    (portable_hash(F.col("doc_id")) % 8).cast("string")))
+    reqs = encode_requests(d, "batch_id")
+    return (decode_requests(reqs).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_n_tok"),
+        F.sum(F.expr("aggregate(tokens, 0L, (a, t) -> a + t)"))
+         .alias("sum_tok")))
+
+
 def wire_queries() -> dict:
     return {
         "wire_roundtrip": q_wire_roundtrip,
         "wire_receive": q_wire_receive,
         "wire_sizes": q_wire_sizes,
+        "wire_batch": q_wire_batch,
     }
 
 
@@ -110,6 +131,11 @@ FROM t GROUP BY source""",
         "wire_receive": f"""SELECT source, count(*)::BIGINT AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM read_parquet('{d}/tokens.parquet') GROUP BY source""",
+
+        "wire_batch": f"""SELECT source, count(*)::BIGINT AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(sum(list_sum(tokens)) AS BIGINT) AS sum_tok
 FROM read_parquet('{d}/tokens.parquet') GROUP BY source""",
 
         "wire_sizes": f"""WITH t AS (

@@ -186,6 +186,41 @@ def test_streaming_wire_ingest_matches_batch(spark, sf_dir, tmp_path):
     assert rows(got) == rows(batch)
 
 
+def test_batched_request_round_trip():
+    from opentelemetry_collector_contrib_spark.sources.wire import (
+        decode_request, encode_request)
+    rng = np.random.default_rng(5)
+    toks = [rng.integers(0, 2**31, size=int(k)).astype(np.int64)
+            for k in rng.integers(0, 30, size=50)]
+    ids = [f"d{i}" for i in range(50)]
+    srcs = [f"s{i % 3}" for i in range(50)]
+    for codec in ("gzip", "none"):
+        blob = encode_request(ids, toks, srcs, codec=codec)
+        d, t, s = decode_request(blob)
+        assert d == ids and s == srcs
+        for a, b in zip(toks, t):
+            assert np.array_equal(a, b.astype(np.int64))
+    with pytest.raises(ValueError, match="bad batch element tag"):
+        decode_request(b"\x22" + encode_request(ids, toks, srcs,
+                                                codec="none")[1:],
+                       codec="none")
+
+
+def test_spark_batched_requests_match_rows(spark):
+    from opentelemetry_collector_contrib_spark.sources.wire import (
+        decode_requests, encode_requests)
+    df = spark.createDataFrame(
+        [(f"d{i}", list(range(i % 5)), f"s{i % 2}", f"b{i % 3}")
+         for i in range(40)],
+        "doc_id string, tokens array<int>, source string, batch_id string")
+    reqs = encode_requests(df, "batch_id")
+    assert reqs.count() == 3
+    back = decode_requests(reqs)
+    assert rows(back, "doc_id", "tokens", "n_tok", "source") == \
+        rows(df.withColumn("n_tok", F.size("tokens")),
+             "doc_id", "tokens", "n_tok", "source")
+
+
 def test_receive_plan_is_one_python_hop(spark):
     """The decode hot path must be a single ArrowEvalPython /
     mapInPandas stage over the frames scan — no extra exchanges."""
