@@ -44,8 +44,11 @@ HEADLINE = ["parse_agg", "enrich", "route_rows", "pipeline_e2e",
             # late-round-2 additions: CCNet line dedup, as-of temporal
             # enrich, 60M-row token-coverage prefix scan
             "line_dedup", "asof_enrich", "token_coverage",
-            # wire codec: protobuf frames + gzip, encode->decode->agg
-            "wire_roundtrip"]
+            # wire codec, production shape: buffered requests, ONE
+            # gzip per body (sender.go:233-239) -> decode -> agg.
+            # (wire_roundtrip, the per-record-frame verification
+            # harness, stays gate-checked but is ~2x the bytes work.)
+            "wire_batch"]
 # ann_ivf is gate-checked at sf0.01 but not a headline: its fixed
 # 16-list quantizer is sized for the oracle's inlined SQL — at bench
 # scale IVF needs n_lists ~ sqrt(N) (see docs/SCALE.md), and ann_lsh
