@@ -86,17 +86,13 @@ def q_wire_sizes(spark: SparkSession, sf_dir: str,
 
 def q_wire_batch(spark: SparkSession, sf_dir: str,
                  tok_dir: str) -> DataFrame:
-    """The exporter's real request shape: rows buffered into batches,
-    ONE serialized+gzipped body per request (sender.go:233-239),
-    decoded back and aggregated.  Batch assignment is deterministic
-    (md5 of doc_id), so reruns build identical requests."""
-    from .datapipe.hashing import portable_hash
-    from .sources.wire import decode_requests, encode_requests
-    d = _tok(spark, tok_dir).withColumn(
-        "batch_id",
-        F.concat_ws("-", "source",
-                    (portable_hash(F.col("doc_id")) % 8).cast("string")))
-    reqs = encode_requests(d, "batch_id")
+    """The exporter's real request shape: rows buffered IN ARRIVAL
+    ORDER into ~max_records bodies, ONE serialize+gzip per request
+    (sender.go:56,233-239) — partition-local, zero shuffle.  The
+    decoded aggregate is order-independent, so the oracle is exact
+    regardless of how rows landed in bodies."""
+    from .sources.wire import decode_requests, encode_requests_local
+    reqs = encode_requests_local(_tok(spark, tok_dir))
     return (decode_requests(reqs).groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("sum_n_tok"),

@@ -339,6 +339,43 @@ def encode_requests(df: DataFrame, batch_col: str = "batch_id",
                            schema="batch_id string, request binary"))
 
 
+def encode_requests_local(df: DataFrame, max_records: int = 10_000,
+                          codec: str = "gzip") -> DataFrame:
+    """Partition-local batching — the sender's ACTUAL shape: it
+    buffers records in arrival order per collector instance
+    (sender.go:56,233-239); it never groups globally.  Zero shuffle:
+    each input partition emits ceil(rows/max_records) request rows.
+    Use encode_requests (keyed) only when per-signature bodies are
+    required (the batchperresourceattr semantics)."""
+    def gen(it):
+        buf: list[pd.DataFrame] = []
+        held = 0
+
+        def flush():
+            nonlocal buf, held
+            pdf = pd.concat(buf, ignore_index=True)
+            buf, held = [], 0
+            out = []
+            for lo in range(0, len(pdf), max_records):
+                part = pdf.iloc[lo:lo + max_records]
+                out.append(encode_request(
+                    part["doc_id"].tolist(), part["tokens"].tolist(),
+                    part["source"].tolist(), codec=codec))
+            return pd.DataFrame({"request": out})
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            buf.append(pdf)
+            held += len(pdf)
+            if held >= max_records:
+                yield flush()
+        if held:
+            yield flush()
+    return (df.select("doc_id", "tokens", "source")
+            .mapInPandas(gen, schema="request binary"))
+
+
 def decode_requests(df: DataFrame, request_col: str = "request",
                     codec: str = "auto") -> DataFrame:
     """Requests table -> canonical tokens schema (rows re-exploded)."""

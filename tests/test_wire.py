@@ -206,6 +206,21 @@ def test_batched_request_round_trip():
                        codec="none")
 
 
+def test_local_batched_requests_round_trip_and_sizing(spark):
+    from opentelemetry_collector_contrib_spark.sources.wire import (
+        decode_requests, encode_requests_local)
+    df = spark.createDataFrame(
+        [(f"d{i}", [i % 7], f"s{i % 2}") for i in range(250)],
+        "doc_id string, tokens array<int>, source string").coalesce(1)
+    reqs = encode_requests_local(df, max_records=100)
+    assert reqs.count() == 3          # 100+100+50 in one partition
+    back = decode_requests(reqs)
+    assert rows(back, "doc_id", "tokens", "source") == \
+        rows(df, "doc_id", "tokens", "source")
+    plan = reqs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan     # the whole point vs keyed batching
+
+
 def test_spark_batched_requests_match_rows(spark):
     from opentelemetry_collector_contrib_spark.sources.wire import (
         decode_requests, encode_requests)
