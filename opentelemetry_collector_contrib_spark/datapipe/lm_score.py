@@ -66,6 +66,98 @@ def rarity_scores(docs: DataFrame, rare_max_count: int = 2,
                     "sum_count"))
 
 
+BOS = "<s>"
+
+
+def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   broadcast_model: bool = True) -> DataFrame:
+    """Smoothed bigram-LM scoring — the actual perplexity-filter math
+    (the module docstring's promised step-3 swap): every document is
+    scored by its average add-one-smoothed bigram log-probability
+    against the exact corpus bigram model,
+
+        p(w_i | w_{i-1}) = (c2(prev, w) + 1) / (c1(prev) + V)
+
+    with a BOS context for the first word, c1(prev) = Σ_w c2(prev,w)
+    and V = |distinct following words|.
+
+    Float discipline (cross-engine reproducible): per-term ln over
+    integer-exact rationals, then a LEFT-ASSOCIATIVE fold of the
+    per-doc terms in word order (F.aggregate over a position-sorted
+    array == DuckDB list_reduce over list(lp ORDER BY pos)); the only
+    engine-sensitive ops are ln and one division, absorbed by
+    round(,6).
+
+    Scale shape: model = one two-phase aggregation over exploded
+    bigrams; scoring = joins keyed by (prev, w) — broadcast when the
+    (min-count-prunable) model fits, else shuffle joins on uniform
+    hashed pairs.  The per-doc reduce carries O(words) lp values
+    through one exchange keyed by doc.
+
+    Output: (id, n_bigrams, avg_lp).
+    """
+    # prev = words[pos] (element_at is 1-indexed, pos is 0-indexed,
+    # so element_at(ws, pos) IS the previous word) — no lag window
+    bi = docs.select(
+        F.col(id_col).alias("id"),
+        words_udf(F.col(text_col)).alias("ws")).select(
+        "id", F.posexplode("ws").alias("pos", "w"),
+        F.col("ws"))
+    bi = bi.withColumn(
+        "prev",
+        F.when(F.col("pos") == 0, F.lit(BOS))
+         .otherwise(F.element_at("ws", F.col("pos")))).drop("ws")
+    c2 = bi.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    v = c2.agg(F.countDistinct("w").alias("V"))
+    if broadcast_model:
+        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+    scored = (bi.join(c2, ["prev", "w"]).join(c1, "prev")
+              .crossJoin(F.broadcast(v))
+              .withColumn(
+                  "lp",
+                  F.log((F.col("c2") + 1).cast("double")
+                        / (F.col("c1") + F.col("V")).cast("double"))))
+    per_doc = (scored.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sort_array(F.collect_list(F.struct("pos", "lp")))
+                    .alias("terms")))
+    total = F.expr(
+        "aggregate(transform(terms, t -> t.lp), CAST(0.0 AS DOUBLE),"
+        " (a, x) -> a + x)")
+    return per_doc.select(
+        "id", F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(total / F.col("n_bigrams"), 6).alias("avg_lp"))
+
+
+def bigram_logprob_sql(words_sql: str, src: str = "documents") -> str:
+    """DuckDB twin of bigram_logprob (same smoothing, same fold order)."""
+    return f"""docs AS (
+  SELECT doc_id AS id, {words_sql} AS ws FROM {src}),
+bi AS (
+  SELECT id, i - 1 AS pos,
+         CASE WHEN i = 1 THEN '{BOS}' ELSE ws[i - 1] END AS prev,
+         ws[i] AS w
+  FROM docs, UNNEST(generate_series(1, len(ws))) AS t(i)),
+c2 AS (SELECT prev, w, count(*)::BIGINT AS c2 FROM bi GROUP BY prev, w),
+c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev),
+vv AS (SELECT count(DISTINCT w)::BIGINT AS V FROM c2),
+scored AS (
+  SELECT bi.id, bi.pos,
+         ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vv.V AS DOUBLE)) AS lp
+  FROM bi JOIN c2 ON bi.prev = c2.prev AND bi.w = c2.w
+          JOIN c1 ON bi.prev = c1.prev
+          CROSS JOIN vv),
+per_doc AS (
+  SELECT id, count(*)::BIGINT AS n_bigrams,
+         list(lp ORDER BY pos) AS lps
+  FROM scored GROUP BY id)
+SELECT id, n_bigrams,
+       round(list_reduce(lps, (a, b) -> a + b) / n_bigrams, 6) AS avg_lp
+FROM per_doc"""
+
+
 def tfidf_keywords(docs: DataFrame, top_k: int = 5,
                    id_col: str = "doc_id", text_col: str = "text",
                    broadcast_vocab: bool = True) -> DataFrame:

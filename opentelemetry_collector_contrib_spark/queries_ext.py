@@ -142,6 +142,14 @@ def q_cms_freq(spark, sf_dir):
                     .alias("n_exact")))
 
 
+def q_lm_logprob(spark, sf_dir):
+    """Smoothed bigram-LM quality scoring (the perplexity filter's
+    math) — datapipe/lm_score.py::bigram_logprob; float fold order is
+    pinned left-assoc on both engines."""
+    from .datapipe.lm_score import bigram_logprob
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def q_bpe_roundtrip(spark, sf_dir):
     """Byte-level BPE (functions/bpe.py): train 64 merges on a
     deterministic 200-doc sample, tokenize EVERY doc, decode back,
@@ -904,6 +912,11 @@ def _weighted_sample_sql() -> str:
     return f"WITH {body}"
 
 
+def _lm_logprob_sql() -> str:
+    from .datapipe.lm_score import bigram_logprob_sql
+    return "WITH " + bigram_logprob_sql(WORDS_SQL)
+
+
 def _zorder_key_sql() -> str:
     from .functions.zorder import zorder2_sql
     z = zorder2_sql("(epoch_ms(ts) >> 16)", portable_hash_sql("event_type"))
@@ -1161,6 +1174,8 @@ FROM corpus GROUP BY md5(text)""",
         "zorder_key": _zorder_key_sql(),
 
         "weighted_sample": _weighted_sample_sql(),
+
+        "lm_logprob": _lm_logprob_sql(),
 
         "bpe_roundtrip": """SELECT lang, count(*)::BIGINT AS n_docs,
        CAST(0 AS BIGINT) AS n_mismatch,
@@ -1741,6 +1756,7 @@ def extra_queries(tok_dir_for) -> dict:
         "zorder_key": q_zorder_key,
         "weighted_sample": q_weighted_sample,
         "bpe_roundtrip": q_bpe_roundtrip,
+        "lm_logprob": q_lm_logprob,
         "dedup_jaccard": q_dedup_jaccard,
         "line_dedup": q_line_dedup,
         "asof_enrich": q_asof_enrich,
