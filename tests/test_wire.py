@@ -102,6 +102,31 @@ def test_corruption_detected():
         varint_sizes(np.array([-1]))
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=200))
+def test_fuzz_decode_never_hangs_or_misparses(blob):
+    """Arbitrary bytes must either raise ValueError (or a gzip/utf8
+    error) or decode losslessly — never crash with an internal error
+    or return silently-wrong shapes."""
+    from opentelemetry_collector_contrib_spark.sources.wire import (
+        decode_request)
+    import zlib
+    try:
+        d, t, s = decode_frames([blob], codec="none")
+        assert len(d) == len(t) == len(s) == 1
+    except (ValueError, UnicodeDecodeError, IndexError):
+        pass
+    try:
+        decode_request(blob, codec="none")
+    except (ValueError, UnicodeDecodeError, IndexError):
+        pass
+    try:
+        decode_frames([blob], codec="auto")
+    except (ValueError, UnicodeDecodeError, IndexError, zlib.error,
+            EOFError, OSError):
+        pass
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.lists(st.integers(0, 2**31 - 1), max_size=30),
                 max_size=20))
