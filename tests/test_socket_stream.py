@@ -32,13 +32,13 @@ def _serve(port_holder, stop_evt):
     srv.bind(("127.0.0.1", 0))
     srv.listen(1)
     port_holder.append(srv.getsockname()[1])
-    srv.settimeout(30)
+    srv.settimeout(60)
     try:
         conn, _ = srv.accept()
         conn.sendall(("\n".join(LINES) + "\n").encode())
         # keep the connection open until the reader is done, else the
         # socket source errors the stream on EOF mid-batch
-        stop_evt.wait(timeout=30)
+        stop_evt.wait(timeout=90)
         conn.close()
     finally:
         srv.close()
@@ -62,7 +62,7 @@ def test_socket_stream_matches_batch_parse(spark, tmp_path):
          .outputMode("complete")
          .option("checkpointLocation", str(tmp_path / "ck")).start())
     try:
-        deadline = time.time() + 60
+        deadline = time.time() + 120
         while time.time() < deadline:
             q.processAllAvailable()
             n = spark.sql(
