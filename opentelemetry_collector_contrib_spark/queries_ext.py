@@ -142,6 +142,15 @@ def q_cms_freq(spark, sf_dir):
                     .alias("n_exact")))
 
 
+def q_topk_docs(spark, sf_dir):
+    """Combiner-style per-group top-k (functions/topk.py): 3 longest
+    docs per lang with a partition-local pre-reduce, so the exchange
+    carries O(partitions·groups·k) rows instead of the corpus."""
+    from .functions.topk import topk_per_group
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return topk_per_group(d, ["lang"], "n_chars", "doc_id", 3)
+
+
 def q_lm_logprob(spark, sf_dir):
     """Smoothed bigram-LM quality scoring (the perplexity filter's
     math) — datapipe/lm_score.py::bigram_logprob; float fold order is
@@ -912,6 +921,13 @@ def _weighted_sample_sql() -> str:
     return f"WITH {body}"
 
 
+def _topk_docs_sql() -> str:
+    from .functions.topk import topk_per_group_sql
+    return topk_per_group_sql(
+        "(SELECT doc_id, lang, n_chars FROM documents)",
+        "lang", "n_chars", "doc_id", 3, "doc_id, lang, n_chars")
+
+
 def _lm_logprob_sql() -> str:
     from .datapipe.lm_score import bigram_logprob_sql
     return "WITH " + bigram_logprob_sql(WORDS_SQL)
@@ -1176,6 +1192,8 @@ FROM corpus GROUP BY md5(text)""",
         "weighted_sample": _weighted_sample_sql(),
 
         "lm_logprob": _lm_logprob_sql(),
+
+        "topk_docs": _topk_docs_sql(),
 
         "bpe_roundtrip": """SELECT lang, count(*)::BIGINT AS n_docs,
        CAST(0 AS BIGINT) AS n_mismatch,
@@ -1757,6 +1775,7 @@ def extra_queries(tok_dir_for) -> dict:
         "weighted_sample": q_weighted_sample,
         "bpe_roundtrip": q_bpe_roundtrip,
         "lm_logprob": q_lm_logprob,
+        "topk_docs": q_topk_docs,
         "dedup_jaccard": q_dedup_jaccard,
         "line_dedup": q_line_dedup,
         "asof_enrich": q_asof_enrich,
