@@ -592,6 +592,64 @@ def token_ngram_profile(df: DataFrame, n: int = 13,
                / F.col("n_tok").cast("double")).otherwise(F.lit(0.0)))
 
 
+def remove_dup_spans(df: DataFrame, n: int = 13,
+                     id_col: str = "doc_id",
+                     tokens_col: str = "tokens") -> DataFrame:
+    """APPLY exact-substring dedup: delete every token covered by a
+    cross-document duplicated n-gram (the removal step of Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better" —
+    token_ngram_profile measures the coverage; this op edits the
+    corpus).  A token at index i is removed iff some duplicated gram
+    starts at p with p <= i < p + n.
+
+    Output: (id, n_tok, n_removed, kept) with ``kept`` the surviving
+    token array in original order.
+
+    Scale shape: the gram hashing + dup aggregate are identical to
+    token_ngram_profile (8-byte uniform hashes through the shuffle);
+    the removal adds (a) ONE exchange collecting each doc's dup-gram
+    start positions (only duplicated grams travel), (b) one equi-join
+    back to the tokens table keyed by the uniform doc id, and (c) ONE
+    Arrow hop applying the interval mask in numpy — token arrays are
+    never exploded through a shuffle."""
+    import numpy as np
+
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(token_gram_hashes_udf(n)(F.col(tokens_col)))
+        .alias("pos", "gh"))
+    dup = (g.groupBy("gh")
+           .agg(F.count_distinct("id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("gh"))
+    starts = (g.join(dup, "gh")
+              .groupBy("id")
+              .agg(F.sort_array(F.collect_list("pos")).alias("starts")))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def keep_mask(tokens: pd.Series, st: pd.Series) -> pd.Series:
+        out = []
+        for toks, ss in zip(tokens, st):
+            t = np.asarray(toks, dtype=np.int64)
+            if ss is None or len(ss) == 0:
+                out.append(t.astype(np.int32).tolist())
+                continue
+            covered = np.zeros(len(t), dtype=bool)
+            for p in ss:
+                covered[p:p + n] = True
+            out.append(t[~covered].astype(np.int32).tolist())
+        return pd.Series(out)
+
+    base = df.select(F.col(id_col).alias("id"), F.col(tokens_col)
+                     .alias("_toks"))
+    joined = base.join(starts, "id", "left")
+    return (joined
+            .withColumn("kept", keep_mask(F.col("_toks"), F.col("starts")))
+            .select("id",
+                    F.size("_toks").alias("n_tok"),
+                    (F.size("_toks") - F.size("kept")).alias("n_removed"),
+                    "kept"))
+
+
 # ---------------------------------------------------------------------------
 # training-mix construction: per-stratum quota sampling with upsampling
 # ---------------------------------------------------------------------------
