@@ -732,6 +732,101 @@ def q_tfidf(spark, sf_dir):
                           top_k=5)
 
 
+def q_dsir(spark, sf_dir):
+    """DSIR importance weights (arXiv:2302.03169) over the documents
+    table: target corpus = the English slice, raw = everything; per-doc
+    hashed-n-gram log importance weight (datapipe/dsir.py — model fit
+    is two B-bounded count aggregations, scoring ONE Arrow hop)."""
+    from .datapipe.dsir import importance_weights
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    out = importance_weights(docs, docs.filter(F.col("lang") == "en"))
+    return out.select("id", "n_grams", F.round("logw", 6).alias("logw"))
+
+
+def q_gopher(spark, sf_dir):
+    """Gopher quality-rule battery (arXiv:2112.11446 table A1) over the
+    documents table: per-rule values, per-rule booleans, and the AND
+    (datapipe/quality_rules.py — one fused Arrow hop, zero shuffles).
+    Ratios rounded to 6 decimals for display; rule booleans are
+    computed on the unrounded values in BOTH engines."""
+    from .datapipe.quality_rules import gopher_rules
+    out = gopher_rules(_docs(spark, sf_dir).select("doc_id", "text"))
+    return out.select(
+        "doc_id", "n_words",
+        F.round("mean_wlen", 6).alias("mean_wlen"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("bullet_frac", 6).alias("bullet_frac"),
+        F.round("ellipsis_frac", 6).alias("ellipsis_frac"),
+        F.round("alpha_frac", 6).alias("alpha_frac"),
+        "stop_hits", "r_words", "r_wlen", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop", "gopher_pass")
+
+
+def q_otlp_roundtrip(spark, sf_dir):
+    """OTLP/JSON logs codec round trip (operators/otlp.py): events ->
+    pdata-shaped flat rows -> ONE ExportLogsServiceRequest JSON per
+    resource (exporter side, 1 shuffle keyed by the resource signature)
+    -> receiver-side explicit-schema parse -> flat rows.  The oracle
+    derives the expected output directly from the events table, so
+    serialize∘parse must be the identity on every field — including
+    the proto3 int64-as-string and AnyValue-oneof JSON rules."""
+    from .operators.otlp import parse_otlp_logs, serialize_otlp_logs
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id").cast("string")
+    flat = ev.select(
+        F.col("event_type").alias("service"),
+        # ts is TIMESTAMP_NTZ; session tz is UTC, so the LTZ cast gives
+        # the same epoch DuckDB's epoch_ns reads off the naive value
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .alias("ts_unix_nano"),
+        F.when(F.col("value") > 0.9, 17).otherwise(9)
+        .alias("severity_number"),
+        F.when(F.col("value") > 0.9, "ERROR").otherwise("INFO")
+        .alias("severity_text"),
+        F.concat(F.lit("event "), eid, F.lit(" props="), F.col("props"))
+        .alias("body"),
+        F.create_map(F.lit("event_id"), F.col("event_id"),
+                     F.lit("user_id"), F.col("user_id"))
+        .alias("int_attrs"),
+        F.create_map(F.lit("value"), F.col("value")).alias("dbl_attrs"),
+        F.md5(eid).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s"), eid)), 1, 16)
+        .alias("span_id"))
+    back = parse_otlp_logs(serialize_otlp_logs(flat))
+    a = F.col("attrs")
+    return back.select(
+        F.element_at("resource_attrs", "service.name").alias("service"),
+        "scope_name", "scope_version", "ts_unix_nano",
+        "severity_number", "severity_text", "body",
+        F.element_at(a, "event_id").cast("long").alias("event_id"),
+        F.element_at(a, "user_id").cast("long").alias("user_id"),
+        F.element_at(a, "value").cast("double").alias("val"),
+        "trace_id", "span_id")
+
+
+def q_span_removal(spark, sf_dir, tok_dir):
+    """Exact-substring dedup APPLIED (Lee et al. 2021 removal step,
+    datapipe/dedup.py::remove_dup_spans): tokens covered by any
+    cross-document duplicated 13-gram are deleted; the surviving
+    arrays are serialized for the driver canon."""
+    from .datapipe.dedup import remove_dup_spans
+    df = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    out = remove_dup_spans(df, n=13)
+    return out.select(
+        "id", "n_tok", "n_removed",
+        F.concat_ws(",", F.col("kept").cast("array<string>"))
+        .alias("kept_s"))
+
+
+def q_kmeans(spark, sf_dir):
+    """Distributed quantized-Lloyd k-means over the embeddings table
+    (datapipe/kmeans.py): 2 full Lloyd rounds, k=8, integer-exact
+    means so the unrolled DuckDB twin is bit-identical."""
+    from .datapipe.kmeans import kmeans_fit_assign
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return kmeans_fit_assign(emb, k=8, iters=2)
+
+
 def q_mix_sample(spark, sf_dir, tok_dir):
     """Training-mix construction: per-source quota sampling with
     deterministic upsampling (floor(f) copies + hash-gated remainder),
@@ -1080,6 +1175,16 @@ drops AS (
 SELECT x.id AS vec_id, x.list_id,
        (d.id IS NULL) AS kept
 FROM ivf_a x LEFT JOIN drops d ON d.id = x.id"""
+
+
+def _kmeans_sql() -> str:
+    from .datapipe.kmeans import kmeans_oracle_sql
+    return "WITH " + kmeans_oracle_sql(k=8, iters=2, dim=64)
+
+
+def _dsir_sql() -> str:
+    from .datapipe.dsir import dsir_oracle_sql
+    return "WITH " + dsir_oracle_sql(WORDS_SQL, "lang = 'en'")
 
 
 def _quality_clf_oracle() -> str:
@@ -1657,6 +1762,91 @@ FROM s""",
 
         "ring_route": _ring_oracle_sql(d),
 
+        "dsir_weights": _dsir_sql(),
+
+        # rule conventions pinned in datapipe/quality_rules.py: ASCII-ws
+        # word split, \n line split, strip-then-prefix bullet test,
+        # non-overlapping '...' count via the replace trick
+        "gopher_rules": """WITH f AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
+                w -> w <> '') AS words,
+    string_split(text, chr(10)) AS lines,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) // 3
+      AS n_symbols,
+    list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\v]+'),
+                w -> w <> '') AS lw
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+         AS BIGINT) AS word_chars,
+    CAST(n_symbols AS BIGINT) AS n_symbols,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l ->
+      starts_with(ltrim(l, ' ' || chr(9)), '- ')
+      OR starts_with(ltrim(l, ' ' || chr(9)), '* ')
+      OR starts_with(ltrim(l, ' ' || chr(9)), '•'))) AS BIGINT)
+      AS n_bullet,
+    CAST(len(list_filter(lines, l ->
+      ends_with(rtrim(l, ' ' || chr(9)), '...')
+      OR ends_with(rtrim(l, ' ' || chr(9)), '…'))) AS BIGINT)
+      AS n_ellipsis,
+    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+         AS BIGINT) AS n_alpha_words,
+    CAST(len(list_filter(['the','be','to','of','and','that','have',
+                          'with'], s -> list_contains(lw, s)))
+         AS BIGINT) AS stop_hits
+  FROM f
+), v AS (
+  SELECT doc_id, n_words, stop_hits,
+    CASE WHEN n_words > 0
+         THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mw,
+    CASE WHEN n_words > 0
+         THEN n_symbols / CAST(n_words AS DOUBLE) ELSE 0.0 END AS sr,
+    n_bullet / CAST(n_lines AS DOUBLE) AS bf,
+    n_ellipsis / CAST(n_lines AS DOUBLE) AS ef,
+    CASE WHEN n_words > 0
+         THEN n_alpha_words / CAST(n_words AS DOUBLE) ELSE 0.0 END AS af
+  FROM g
+)
+SELECT doc_id, n_words,
+  round(mw, 6) AS mean_wlen, round(sr, 6) AS symbol_ratio,
+  round(bf, 6) AS bullet_frac, round(ef, 6) AS ellipsis_frac,
+  round(af, 6) AS alpha_frac, stop_hits,
+  (n_words >= 50 AND n_words <= 100000) AS r_words,
+  (mw >= 3.0 AND mw <= 10.0) AS r_wlen,
+  (sr <= 0.1) AS r_symbol,
+  (bf <= 0.90) AS r_bullet,
+  (ef <= 0.30) AS r_ellipsis,
+  (af >= 0.80) AS r_alpha,
+  (stop_hits >= 2) AS r_stop,
+  ((n_words >= 50 AND n_words <= 100000) AND (mw >= 3.0 AND mw <= 10.0)
+   AND (sr <= 0.1) AND (bf <= 0.90) AND (ef <= 0.30) AND (af >= 0.80)
+   AND (stop_hits >= 2)) AS gopher_pass
+FROM v""",
+
+        # serialize∘parse must be the identity, so the oracle is the
+        # direct projection of the inputs (house rule: never re-run the
+        # translation in SQL)
+        "otlp_roundtrip": """
+SELECT event_type AS service,
+       'opentelemetry_collector_contrib_spark' AS scope_name,
+       '0.2' AS scope_version,
+       epoch_ns(ts) AS ts_unix_nano,
+       CAST(CASE WHEN value > 0.9 THEN 17 ELSE 9 END AS INT)
+           AS severity_number,
+       CASE WHEN value > 0.9 THEN 'ERROR' ELSE 'INFO' END
+           AS severity_text,
+       'event ' || CAST(event_id AS VARCHAR) || ' props=' || props
+           AS body,
+       event_id, user_id, value AS val,
+       md5(CAST(event_id AS VARCHAR)) AS trace_id,
+       substr(md5('s' || CAST(event_id AS VARCHAR)), 1, 16) AS span_id
+FROM events""",
+
         "tfidf": f"""WITH d AS (
   SELECT doc_id AS id, {WORDS_SQL} AS words FROM documents
 ), w AS (
@@ -1737,6 +1927,44 @@ SELECT t.doc_id AS id, t.n_tok::INT AS n_tok,
                  / CAST(t.n_tok AS DOUBLE)
             ELSE 0.0 END AS dup_token_fraction
 FROM t LEFT JOIN agg a USING (doc_id)""",
+
+        "kmeans_clusters": _kmeans_sql(),
+
+        "span_removal": f"""WITH t AS (
+  SELECT doc_id, tokens, len(tokens) AS n_tok
+  FROM read_parquet('{d}/tokens.parquet')
+), gi AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(1, len(tokens) - 12)) AS i
+  FROM t
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(('0x' || substr(md5(array_to_string(tokens[i:i+12], ',')),
+                      1, 15)) AS BIGINT) AS gh
+  FROM gi
+), dup AS (
+  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+), dg AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)
+), cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 12)) AS idx
+  FROM dg
+), ex AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) - 1 AS idx
+  FROM t
+), kept AS (
+  SELECT e.doc_id, list(e.tok ORDER BY e.idx) AS kept_list,
+         count(*)::INT AS n_kept
+  FROM ex e LEFT JOIN cov c ON c.doc_id = e.doc_id AND c.idx = e.idx
+  WHERE c.idx IS NULL
+  GROUP BY e.doc_id
+)
+SELECT t.doc_id AS id, t.n_tok::INT AS n_tok,
+       (t.n_tok - coalesce(k.n_kept, 0))::INT AS n_removed,
+       coalesce(array_to_string(list_transform(k.kept_list,
+                x -> CAST(x AS VARCHAR)), ','), '') AS kept_s
+FROM t LEFT JOIN kept k USING (doc_id)""",
 
         "token_freq": f"""SELECT tok, count(*)::BIGINT AS n
 FROM (SELECT unnest(tokens) AS tok FROM read_parquet('{d}/tokens.parquet'))
@@ -1822,6 +2050,11 @@ def extra_queries(tok_dir_for) -> dict:
         "ngram_dedup": with_tok(q_ngram_dedup),
         "mix_sample": with_tok(q_mix_sample),
         "tfidf": q_tfidf,
+        "otlp_roundtrip": q_otlp_roundtrip,
+        "gopher_rules": q_gopher,
+        "dsir_weights": q_dsir,
+        "kmeans_clusters": q_kmeans,
+        "span_removal": with_tok(q_span_removal),
         "pii_scrub": with_tok(q_pii_scrub),
     } | {name: with_tok(fn)
          for name, fn in (scrape_queries() | k8s_queries()
