@@ -79,3 +79,63 @@ def test_parse_is_pure_codegen(spark):
     after_agg = plan.split("HashAggregate")[0]   # above the serialize agg
     assert "EvalPython" not in after_agg
     assert "Exchange" not in after_agg
+
+
+def test_metrics_parse_histogram_arm(spark):
+    """Hand-built v0.5 request: doubleHistogram datapoints surface with
+    int64-as-string bucketCounts and double explicitBounds."""
+    import json as _json
+    from opentelemetry_collector_contrib_spark.operators.otlp import (
+        parse_otlp_metrics)
+    req = _json.dumps({"resourceMetrics": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "svc"}}],
+            "droppedAttributesCount": 0},
+        "instrumentationLibraryMetrics": [{
+            "instrumentationLibrary": {"name": "lib", "version": "1"},
+            "metrics": [{
+                "name": "lat", "description": "", "unit": "ms",
+                "doubleHistogram": {
+                    "aggregationTemporality":
+                        "AGGREGATION_TEMPORALITY_DELTA",
+                    "dataPoints": [{
+                        "labels": [{"key": "h", "value": "a"}],
+                        "timeUnixNano": "1700000000000000000",
+                        "count": "7", "sum": 12.5,
+                        "bucketCounts": ["1", "2", "4"],
+                        "explicitBounds": [5.0, 25.0]}]}}]}]}]})
+    df = spark.createDataFrame([(req,)], "request string")
+    (row,) = parse_otlp_metrics(df).collect()
+    assert row["mtype"] == "double_histogram"
+    assert row["hist_count"] == 7 and row["hist_sum"] == 12.5
+    assert row["bucket_counts_s"] == "1,2,4"
+    assert row["bounds_s"] == "5.0,25.0"
+    assert row["temporality"] == "AGGREGATION_TEMPORALITY_DELTA"
+    assert row["labels"]["h"] == "a"
+
+
+def test_metrics_roundtrip_identity(spark):
+    from pyspark.sql import functions as F
+    from opentelemetry_collector_contrib_spark.operators.otlp import (
+        parse_otlp_metrics, serialize_otlp_metrics)
+    flat = spark.createDataFrame(
+        [("s1", "m.g", "1", "double_gauge", {"l": "x"},
+          1_700_000_000_000_000_000, 0.5, None),
+         ("s1", "m.c", "{n}", "int_sum", {"l": "y"},
+          1_700_000_000_000_000_001, None, 2**61),
+         ("s2", "m.g", "1", "double_gauge", {"l": "z"},
+          1_700_000_000_000_000_002, -1.25, None)],
+        "service string, name string, unit string, mtype string, "
+        "labels map<string,string>, ts_unix_nano long, value_d double, "
+        "value_i long")
+    back = parse_otlp_metrics(serialize_otlp_metrics(flat))
+    got = sorted(
+        (r["ts_unix_nano"], r["mtype"], r["value_d"], r["value_i"],
+         r["labels"]["l"], r["temporality"])
+        for r in back.collect())
+    assert got == [
+        (1_700_000_000_000_000_000, "double_gauge", 0.5, None, "x", None),
+        (1_700_000_000_000_000_001, "int_sum", None, 2**61, "y",
+         "AGGREGATION_TEMPORALITY_CUMULATIVE"),
+        (1_700_000_000_000_000_002, "double_gauge", -1.25, None, "z",
+         None)]
