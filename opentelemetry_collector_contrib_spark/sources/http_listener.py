@@ -47,9 +47,12 @@ from pyspark.sql import functions as F
 # accepts json + explicit charset variants.
 WIRE_PATH = "/v1/tokens"
 HEC_PATH = "/services/collector"
+OTLP_LOGS_PATH = "/v1/logs"          # the otlphttp JSON endpoint shape
 ROUTES = {
     WIRE_PATH: ("wire", ("application/x-protobuf",)),
     HEC_PATH: ("hec", ("application/json", "application/json; charset=utf-8")),
+    OTLP_LOGS_PATH: ("otlp",
+                     ("application/json", "application/json; charset=utf-8")),
 }
 HEC_ACK = json.dumps({"text": "Success", "code": 0}).encode()
 
@@ -178,6 +181,31 @@ def spooled_wire_stream(spark: SparkSession, spool_dir: str,
     from .wire import decode_requests
     return decode_requests(
         _spool_bodies(spark, spool_dir, "wire", max_files))
+
+
+def spooled_otlp_logs_stream(spark: SparkSession, spool_dir: str,
+                             max_files: int | None = None) -> DataFrame:
+    """Spooled OTLP/JSON log bodies (one ExportLogsServiceRequest per
+    request, possibly gzip Content-Encoding) -> flat log rows via the
+    pure-codegen parse_otlp_logs — the otlphttp receiver analog."""
+    import gzip as _gzip
+    import pandas as pd
+    from .wire import _GZIP_MAGIC
+    from ..operators.otlp import parse_otlp_logs
+
+    def inflate(it):
+        for pdf in it:
+            texts = []
+            for blob in pdf["request"]:
+                raw = bytes(blob)
+                if raw[:2] == _GZIP_MAGIC:
+                    raw = _gzip.decompress(raw)
+                texts.append(raw.decode("utf-8"))
+            yield pd.DataFrame({"request": texts})
+
+    bodies = _spool_bodies(spark, spool_dir, "otlp", max_files)
+    return parse_otlp_logs(
+        bodies.mapInPandas(inflate, schema="request string"))
 
 
 def spooled_hec_stream(spark: SparkSession, spool_dir: str,

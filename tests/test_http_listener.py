@@ -105,6 +105,58 @@ def test_spooled_wire_stream_matches_batch_decode(spark, tmp_path):
     assert [list(x) for x in t] == [x[1] for x in DOCS]
 
 
+def test_spooled_otlp_stream_parses_posted_requests(spark, tmp_path):
+    """The otlphttp receiver analog end-to-end: serialize OTLP/JSON on
+    the exporter side, POST over live HTTP (plain + gzip bodies),
+    stream-parse from the spool, recover the flat rows."""
+    from opentelemetry_collector_contrib_spark.sources.http_listener import (
+        OTLP_LOGS_PATH, spooled_otlp_logs_stream)
+    from opentelemetry_collector_contrib_spark.operators.otlp import (
+        serialize_otlp_logs)
+
+    flat = spark.createDataFrame(
+        [(f"svc-{i % 2}", 1_700_000_000_000_000_000 + i, 9, "INFO",
+          f"body-{i}", {"uid": i}, {"score": i / 8.0},
+          "ab" * 16, "cd" * 8) for i in range(8)],
+        "service string, ts_unix_nano long, severity_number int, "
+        "severity_text string, body string, int_attrs map<string,long>, "
+        "dbl_attrs map<string,double>, trace_id string, span_id string")
+    reqs = [r["request"] for r in serialize_otlp_logs(flat).collect()]
+    assert len(reqs) == 2
+
+    lst = HttpSpoolListener(str(tmp_path / "spool"))
+    lst.start()
+    try:
+        code, ack = _post(lst.url + OTLP_LOGS_PATH, reqs[0].encode(),
+                          ctype="application/json")
+        assert code == 200 and ack == b"{}"
+        code, _ = _post(lst.url + OTLP_LOGS_PATH,
+                        gzip.compress(reqs[1].encode()),
+                        ctype="application/json",
+                        headers={"Content-Encoding": "gzip"})
+        assert code == 200
+    finally:
+        lst.stop()
+
+    out = spooled_otlp_logs_stream(spark, str(tmp_path / "spool"))
+    q = (out.writeStream.format("memory").queryName("http_otlp")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = rows(spark.table("http_otlp")
+                   .select("body", "ts_unix_nano",
+                           F.element_at("attrs", "uid").cast("long")
+                           .alias("uid"),
+                           F.element_at("resource_attrs", "service.name")
+                           .alias("svc")))
+    finally:
+        q.stop()
+    assert len(got) == 8
+    assert {g[0] for g in got} == {f"body-{i}" for i in range(8)}
+    assert {g[2] for g in got} == set(range(8))
+    assert {g[3] for g in got} == {"svc-0", "svc-1"}
+
+
 def test_spooled_hec_stream_parses_batched_gzip_bodies(spark, tmp_path):
     lst = HttpSpoolListener(str(tmp_path / "spool"))
     lst.start()
