@@ -117,6 +117,71 @@ def weighted_sample_sql(corpus: str, weight_sql: str, k: int,
 SELECT grp, key, round(pri, 6) AS pri FROM r WHERE rk <= {k}"""
 
 
+# URL canonicalization: the standard web-corpus URL-dedup normalizer
+# (lowercase scheme/host, strip default ports and fragments, drop
+# tracking params, sort the query) — two crawls of the same page under
+# cosmetically different URLs must collapse to one key before dedup.
+_URL_PARTS_RX = (r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(?::([0-9]+))?"
+                 r"([^?#]*)(?:\?([^#]*))?(?:#.*)?$")
+_TRACKING_RX = r"^(utm_[^=]*|fbclid|gclid)(=|$)"
+
+
+def canonical_url(url) -> "F.Column":
+    """Canonical form of one URL column — pure JVM (regexp + small
+    array HOFs over the query params; URL strings are short, this is
+    not the token hot path).  Rules: scheme/host lowercased; default
+    ports (http:80, https:443) dropped, others kept; empty path ->
+    '/'; fragment dropped; tracking params (utm_*, fbclid, gclid)
+    dropped; surviving query params sorted bytewise; '?' dropped when
+    nothing survives."""
+    g = lambda i: F.regexp_extract(url, _URL_PARTS_RX, i)  # noqa: E731
+    scheme = F.lower(g(1))
+    host = F.lower(g(2))
+    port = g(3)
+    default = ((scheme == "http") & (port == "80")) | \
+              ((scheme == "https") & (port == "443"))
+    port_part = F.when((port == "") | default, F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), port))
+    path = F.when(g(4) == "", F.lit("/")).otherwise(g(4))
+    params = F.array_sort(F.filter(
+        F.split(g(5), "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RX)))
+    q = F.concat_ws("&", params)
+    query_part = F.when(q == "", F.lit("")) \
+        .otherwise(F.concat(F.lit("?"), q))
+    return F.concat(scheme, F.lit("://"), host, port_part, path,
+                    query_part)
+
+
+def canonical_url_sql(url_sql: str) -> str:
+    """DuckDB twin of canonical_url (same regexp, same rules, bytewise
+    list_sort)."""
+    rx = _URL_PARTS_RX.replace("'", "''")
+    g = lambda i: f"regexp_extract({url_sql}, '{rx}', {i})"  # noqa: E731
+    scheme = f"lower({g(1)})"
+    host = f"lower({g(2)})"
+    port = g(3)
+    default = (f"(({scheme} = 'http' AND {port} = '80') OR "
+               f"({scheme} = 'https' AND {port} = '443'))")
+    port_part = (f"CASE WHEN {port} = '' OR {default} THEN '' "
+                 f"ELSE ':' || {port} END")
+    path = f"CASE WHEN {g(4)} = '' THEN '/' ELSE {g(4)} END"
+    params = (f"list_sort(list_filter(string_split({g(5)}, '&'), "
+              f"p -> p <> '' AND NOT regexp_matches(p, "
+              f"'{_TRACKING_RX}')))")
+    # DuckDB array_to_string returns NULL (not '') on an empty list
+    q = f"coalesce(array_to_string({params}, '&'), '')"
+    query_part = f"CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END"
+    return (f"{scheme} || '://' || {host} || {port_part} || {path} "
+            f"|| {query_part}")
+
+
+def url_dedup_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append ``canon`` — the URL-dedup key.  Dedup itself is then the
+    standard exact_dedup/groupBy on ``canon``."""
+    return df.withColumn("canon", canonical_url(F.col(url_col)))
+
+
 def extract_domains(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Per doc: distinct lowercased URL hostnames plus a registrable

@@ -121,3 +121,43 @@ def test_domain_extraction_and_blocklist(spark):
     assert set(d2.domains) == {"example.com", "a.com"}
     out2 = domain_blocklist_filter(docs2, bl).collect()[0]
     assert out2.blocked
+
+
+def test_canonical_url_rules(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.curation import (
+        url_dedup_keys)
+    cases = [
+        # case soup + default port + fragment collapse
+        ("HTTP://Example.COM:80/Path#frag", "http://example.com/Path"),
+        ("https://EXAMPLE.com:443/", "https://example.com/"),
+        # non-default port kept
+        ("http://a.com:8080/x", "http://a.com:8080/x"),
+        # empty path -> '/'
+        ("https://a.com", "https://a.com/"),
+        # tracking params dropped, rest sorted, '?' dropped when empty
+        ("http://a.com/p?utm_source=t&b=2&a=1&gclid=g",
+         "http://a.com/p?a=1&b=2"),
+        ("http://a.com/p?fbclid=x", "http://a.com/p"),
+        # utm-prefixed value names only (utmx is NOT tracking)
+        ("http://a.com/p?utmx=1", "http://a.com/p?utmx=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "doc_id long, url string")
+    got = {r["doc_id"]: r["canon"]
+           for r in url_dedup_keys(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_canonical_url_collapses_crawl_variants(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.curation import (
+        url_dedup_keys)
+    from pyspark.sql import functions as F
+    variants = ["http://WWW.a.com/p?b=2&a=1",
+                "HTTP://www.A.COM:80/p?a=1&b=2&utm_source=rss",
+                "http://www.a.com/p?a=1&b=2#section"]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(variants)],
+                               "doc_id long, url string")
+    n = (url_dedup_keys(df).select("canon").distinct().count())
+    assert n == 1
