@@ -183,7 +183,7 @@ def encode_frames(doc_ids, tokens_rows, sources, codec: str = "gzip"
     The per-token work (the heavy part) is numpy; per-row assembly is a
     constant number of C-level bytes concatenations.
     """
-    if codec not in ("gzip", "none"):
+    if codec not in ("gzip", "deflate", "none"):
         raise ValueError(f"unknown codec {codec!r}")
     arrs = [np.asarray(t, dtype=np.int64) for t in tokens_rows]
     lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
@@ -205,9 +205,31 @@ def encode_frames(doc_ids, tokens_rows, sources, codec: str = "gzip"
         msg = (bytes([TAG_DOC]) + _varint1(len(d)) + d
                + bytes([TAG_TOKENS]) + _varint1(len(p)) + p
                + bytes([TAG_SOURCE]) + _varint1(len(s)) + s)
-        out.append(_gzip.compress(msg, 6, mtime=0) if codec == "gzip"
-                   else msg)
+        out.append(_compress(msg, codec))
     return out
+
+
+def _compress(body: bytes, codec: str) -> bytes:
+    """gzip / raw-DEFLATE / identity — the exporter's three encodings
+    (compress.go:44-52: gzip.NewWriter / flate.NewWriter / nil)."""
+    if codec == "gzip":
+        return _gzip.compress(body, 6, mtime=0)
+    if codec == "deflate":
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)   # raw, no zlib hdr
+        return co.compress(body) + co.flush()
+    return body
+
+
+def _decompress(blob: bytes, codec: str) -> bytes:
+    """Inverse of _compress.  'auto' sniffs ONLY the gzip magic — raw
+    DEFLATE has none, so (as over HTTP) deflate must be named by the
+    caller, e.g. from a Content-Encoding header (receiver.go:192-201)."""
+    b = bytes(blob)
+    if codec == "deflate":
+        return zlib.decompress(b, -15)
+    if codec in ("gzip", "auto") and b[:2] == _GZIP_MAGIC:
+        return _gzip.decompress(b)
+    return b
 
 
 def _varint1(n: int) -> bytes:
@@ -231,11 +253,7 @@ def decode_frames(frames, codec: str = "auto"):
     """
     if len(frames) == 0:
         return [], [], []
-    if codec == "gzip" or codec == "auto":
-        raw = [_gzip.decompress(f) if f[:2] == _GZIP_MAGIC else bytes(f)
-               for f in frames]
-    else:
-        raw = [bytes(f) for f in frames]
+    raw = [_decompress(f, codec) for f in frames]
     nrows = len(raw)
     row_len = np.fromiter((len(r) for r in raw), dtype=np.int64,
                           count=nrows)
@@ -288,7 +306,7 @@ def encode_request(doc_ids, tokens_rows, sources,
     msgs = encode_frames(doc_ids, tokens_rows, sources, codec="none")
     body = b"".join(bytes([TAG_DOC]) + _varint1(len(m)) + m
                     for m in msgs)
-    return _gzip.compress(body, 6, mtime=0) if codec == "gzip" else body
+    return _compress(body, codec)
 
 
 def decode_request(blob, codec: str = "auto"):
@@ -298,10 +316,7 @@ def decode_request(blob, codec: str = "auto"):
     offset depends on element k) — O(messages) tiny Python steps; all
     heavy lifting (headers, varints, tokens) then runs through the
     vectorized decode_frames over the sliced-out messages."""
-    if (codec in ("gzip", "auto")) and bytes(blob[:2]) == _GZIP_MAGIC:
-        blob = _gzip.decompress(blob)
-    else:
-        blob = bytes(blob)
+    blob = _decompress(blob, codec)
     msgs, off, n = [], 0, len(blob)
     while off < n:
         if blob[off] != TAG_DOC:

@@ -272,3 +272,27 @@ def test_receive_plan_is_one_python_hop(spark):
     plan = decode_wire(frames)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
+
+
+def test_deflate_codec_round_trip():
+    """compress.go:44-52: the exporter's third encoding is raw DEFLATE
+    (flate.NewWriter — no gzip/zlib header).  Explicit-codec round trip
+    at both the frame and request level; 'auto' must NOT claim it."""
+    import pytest
+    from opentelemetry_collector_contrib_spark.sources.wire import (
+        decode_frames, decode_request, encode_frames, encode_request)
+    ids = ["a", "b"]
+    toks = [[1, 2, 3], [400000, 5]]
+    srcs = ["s1", "s2"]
+    frames = encode_frames(ids, toks, srcs, codec="deflate")
+    # raw deflate: no gzip magic
+    assert frames[0][:2] != b"\x1f\x8b"
+    d, t, s = decode_frames(frames, codec="deflate")
+    assert list(d) == ids and [list(x) for x in t] == toks
+    req = encode_request(ids, toks, srcs, codec="deflate")
+    d2, t2, s2 = decode_request(req, codec="deflate")
+    assert list(d2) == ids and [list(x) for x in t2] == toks
+    assert list(s2) == srcs
+    # header-less deflate cannot be sniffed — auto sees garbage tags
+    with pytest.raises(Exception):
+        decode_request(req, codec="auto")
