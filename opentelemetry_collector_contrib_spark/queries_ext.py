@@ -743,6 +743,111 @@ def q_dsir(spark, sf_dir):
     return out.select("id", "n_grams", F.round("logw", 6).alias("logw"))
 
 
+def q_otlp_spans(spark, sf_dir):
+    """OTLP/JSON traces codec round trip (operators/otlp.py): events ->
+    pdata-shaped spans -> one ExportTraceServiceRequest per resource ->
+    receiver parse -> flat rows.  Enum fields ride as proto3 canonical
+    names; the oracle derives the expected output directly."""
+    from .operators.otlp import (SPAN_KINDS, parse_otlp_spans,
+                                 serialize_otlp_spans)
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id").cast("string")
+    start = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    err = F.col("value") > 0.95
+    flat = ev.select(
+        F.col("event_type").alias("service"),
+        F.md5(F.col("user_id").cast("string")).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s"), eid)), 1, 16)
+        .alias("span_id"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(""))
+        .otherwise(F.substring(F.md5(F.concat(F.lit("p"), eid)), 1, 16))
+        .alias("parent_span_id"),
+        F.concat(F.lit("op-"), (F.col("event_id") % 13).cast("string"))
+        .alias("name"),
+        F.element_at(F.array(*[F.lit(k) for k in SPAN_KINDS]),
+                     (F.col("event_id") % 6 + 1).cast("int"))
+        .alias("kind"),
+        start.alias("start_unix_nano"),
+        (start + F.floor(F.col("value") * 1e6).cast("long"))
+        .alias("end_unix_nano"),
+        F.create_map(F.lit("event_id"), F.col("event_id"))
+        .alias("int_attrs"),
+        F.create_map(F.lit("value"), F.col("value")).alias("dbl_attrs"),
+        F.when(err, "STATUS_CODE_ERROR").otherwise("STATUS_CODE_OK")
+        .alias("status_code"),
+        F.when(err, "boom").otherwise(F.lit("")).alias("status_message"))
+    back = parse_otlp_spans(serialize_otlp_spans(flat))
+    return back.select(
+        F.element_at("resource_attrs", "service.name").alias("service"),
+        "scope_name", "scope_version", "trace_id", "span_id",
+        "parent_span_id", "name", "kind", "start_unix_nano",
+        "end_unix_nano",
+        F.element_at("attrs", "event_id").cast("long").alias("event_id"),
+        F.element_at("attrs", "value").cast("double").alias("val"),
+        "status_code", "status_message")
+
+
+def q_otlp_metrics(spark, sf_dir):
+    """OTLP/JSON metrics codec round trip (operators/otlp.py): every
+    event emits a doubleGauge and an intSum datapoint; datapoints of a
+    (resource, metric) collapse into one metric message, parse re-
+    flattens them.  Era v0.5 labels (StringKeyValue) and int64-as-
+    string rules; oracle = direct two-arm projection of events."""
+    from .operators.otlp import parse_otlp_metrics, serialize_otlp_metrics
+    ev = _events(spark, sf_dir)
+    ns = (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+    base = ev.select(
+        F.col("event_type").alias("service"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string"))
+        .alias("labels"),
+        ns.alias("ts_unix_nano"),
+        F.col("value"), F.col("user_id"))
+    gauge = base.select(
+        "service", F.lit("evt.value").alias("name"),
+        F.lit("1").alias("unit"), F.lit("double_gauge").alias("mtype"),
+        "labels", "ts_unix_nano",
+        F.col("value").alias("value_d"),
+        F.lit(None).cast("long").alias("value_i"))
+    isum = base.select(
+        "service", F.lit("evt.hits").alias("name"),
+        F.lit("{hits}").alias("unit"), F.lit("int_sum").alias("mtype"),
+        "labels", "ts_unix_nano",
+        F.lit(None).cast("double").alias("value_d"),
+        F.col("user_id").alias("value_i"))
+    back = parse_otlp_metrics(
+        serialize_otlp_metrics(gauge.unionByName(isum)))
+    return back.select(
+        F.element_at("resource_attrs", "service.name").alias("service"),
+        "scope_name", "name", "unit", "mtype",
+        F.element_at("labels", "user").alias("user"),
+        "ts_unix_nano", "value_d", "value_i", "temporality", "monotonic")
+
+
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization for web-corpus dedup
+    (datapipe/curation.py::canonical_url): messy URL variants are
+    synthesized deterministically from doc_id (case soup, default vs
+    real ports, empty paths, tracking params, fragments) and must
+    collapse to the canonical key in both engines."""
+    from .datapipe.curation import url_dedup_keys
+    did = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW.Site"), s(did % 4), F.lit(".Example.COM"),
+        F.when(did % 3 == 0,
+               F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+        .when(did % 3 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("/A/b"), s(did % 5))),
+        F.when(did % 4 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(did % 4 == 1, F.lit("?fbclid=zz"))
+        .when(did % 4 == 2, F.lit("?z=9&b=2#frag"))
+        .otherwise(F.lit("#only-frag")))
+    docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return url_dedup_keys(docs).select("doc_id", "url", "canon")
+
+
 def q_gopher(spark, sf_dir):
     """Gopher quality-rule battery (arXiv:2112.11446 table A1) over the
     documents table: per-rule values, per-rule booleans, and the AND
@@ -1175,6 +1280,25 @@ drops AS (
 SELECT x.id AS vec_id, x.list_id,
        (d.id IS NULL) AS kept
 FROM ivf_a x LEFT JOIN drops d ON d.id = x.id"""
+
+
+def _url_canon_sql() -> str:
+    from .datapipe.curation import canonical_url_sql
+    return f"""WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+    || '://WWW.Site' || CAST(doc_id % 4 AS VARCHAR) || '.Example.COM'
+    || (CASE WHEN doc_id % 3 = 0
+             THEN CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ''
+             ELSE '/A/b' || CAST(doc_id % 5 AS VARCHAR) END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+             WHEN doc_id % 4 = 1 THEN '?fbclid=zz'
+             WHEN doc_id % 4 = 2 THEN '?z=9&b=2#frag'
+             ELSE '#only-frag' END) AS url
+  FROM documents)
+SELECT doc_id, url, {canonical_url_sql('url')} AS canon FROM u"""
 
 
 def _kmeans_sql() -> str:
@@ -1828,6 +1952,46 @@ SELECT doc_id, n_words,
    AND (stop_hits >= 2)) AS gopher_pass
 FROM v""",
 
+        "otlp_metrics": """
+SELECT event_type AS service,
+       'opentelemetry_collector_contrib_spark' AS scope_name,
+       'evt.value' AS name, '1' AS unit, 'double_gauge' AS mtype,
+       CAST(user_id AS VARCHAR) AS "user",
+       epoch_ns(ts) AS ts_unix_nano,
+       value AS value_d, CAST(NULL AS BIGINT) AS value_i,
+       CAST(NULL AS VARCHAR) AS temporality,
+       CAST(NULL AS BOOLEAN) AS monotonic
+FROM events
+UNION ALL
+SELECT event_type, 'opentelemetry_collector_contrib_spark',
+       'evt.hits', '{hits}', 'int_sum',
+       CAST(user_id AS VARCHAR), epoch_ns(ts),
+       CAST(NULL AS DOUBLE), user_id,
+       'AGGREGATION_TEMPORALITY_CUMULATIVE', TRUE
+FROM events""",
+
+        "otlp_spans": """
+SELECT event_type AS service,
+       'opentelemetry_collector_contrib_spark' AS scope_name,
+       '0.2' AS scope_version,
+       md5(CAST(user_id AS VARCHAR)) AS trace_id,
+       substr(md5('s' || CAST(event_id AS VARCHAR)), 1, 16) AS span_id,
+       CASE WHEN event_id % 7 = 0 THEN ''
+            ELSE substr(md5('p' || CAST(event_id AS VARCHAR)), 1, 16)
+       END AS parent_span_id,
+       'op-' || CAST(event_id % 13 AS VARCHAR) AS name,
+       ['SPAN_KIND_UNSPECIFIED','SPAN_KIND_INTERNAL','SPAN_KIND_SERVER',
+        'SPAN_KIND_CLIENT','SPAN_KIND_PRODUCER','SPAN_KIND_CONSUMER']
+         [CAST(event_id % 6 AS INT) + 1] AS kind,
+       epoch_ns(ts) AS start_unix_nano,
+       epoch_ns(ts) + CAST(floor(value * 1e6) AS BIGINT)
+           AS end_unix_nano,
+       event_id, value AS val,
+       CASE WHEN value > 0.95 THEN 'STATUS_CODE_ERROR'
+            ELSE 'STATUS_CODE_OK' END AS status_code,
+       CASE WHEN value > 0.95 THEN 'boom' ELSE '' END AS status_message
+FROM events""",
+
         # serialize∘parse must be the identity, so the oracle is the
         # direct projection of the inputs (house rule: never re-run the
         # translation in SQL)
@@ -1929,6 +2093,8 @@ SELECT t.doc_id AS id, t.n_tok::INT AS n_tok,
 FROM t LEFT JOIN agg a USING (doc_id)""",
 
         "kmeans_clusters": _kmeans_sql(),
+
+        "url_canon": _url_canon_sql(),
 
         "span_removal": f"""WITH t AS (
   SELECT doc_id, tokens, len(tokens) AS n_tok
@@ -2051,6 +2217,9 @@ def extra_queries(tok_dir_for) -> dict:
         "mix_sample": with_tok(q_mix_sample),
         "tfidf": q_tfidf,
         "otlp_roundtrip": q_otlp_roundtrip,
+        "otlp_spans": q_otlp_spans,
+        "url_canon": q_url_canon,
+        "otlp_metrics": q_otlp_metrics,
         "gopher_rules": q_gopher,
         "dsir_weights": q_dsir,
         "kmeans_clusters": q_kmeans,
