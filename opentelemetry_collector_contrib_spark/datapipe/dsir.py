@@ -112,16 +112,22 @@ def dsir_resample(scored: DataFrame, k: int, id_col: str = "id",
     """Gumbel-top-k over the importance weights: keep the k rows with
     the largest logw + Gumbel(u), u the deterministic md5 uniform of
     the id (rerun/resume-reproducible, the salted-write rule).  This
-    samples without replacement proportional to softmax(logw)."""
+    samples without replacement proportional to softmax(logw).
+
+    Scale shape: the global top-k runs through the partition-local
+    pre-reduce of functions/topk.py (one Arrow hop holding at most k
+    rows per partition), so the final exchange carries O(partitions·k)
+    rows — never a whole-table sort onto one partition."""
+    from ..functions.topk import topk_per_group
+
     h = F.conv(F.substring(F.md5(F.concat(F.lit("dsirg:"),
                                           F.col(id_col).cast("string"))),
                            1, 15), 16, 10).cast("long")
     u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
     key = F.col(logw_col) - F.log(-F.log(u))
-    win = Window.orderBy(F.desc("gumbel_key"), F.col(id_col))
-    return (scored.withColumn("gumbel_key", key)
-            .withColumn("_rk", F.row_number().over(win))
-            .filter(F.col("_rk") <= k).drop("_rk"))
+    keyed = (scored.withColumn("gumbel_key", key)
+             .withColumn("_g", F.lit(0)))
+    return topk_per_group(keyed, ["_g"], "gumbel_key", id_col, k).drop("_g")
 
 
 def dsir_oracle_sql(words_sql: str, target_pred: str,

@@ -41,6 +41,35 @@ def json_parser(df: DataFrame, schema: str, parse_from: str = "body",
     return df.drop("_j")
 
 
+def csv_parser(df: DataFrame, schema: str, parse_from: str = "body",
+               prefix: str = "", sep: str = ",") -> DataFrame:
+    """stanza-style csv_parser (the stanza ecosystem's csv operator,
+    next to the registered json/regex trio — register.go:19-22): parse
+    a delimited line into typed named columns.
+
+    Spark-first: ``from_csv`` with an explicit DDL schema — the JVM
+    uniVocity parser, so RFC-4180 quoting/escaping come for free and
+    the hot path stays codegen-adjacent (no Python).  Adds a
+    ``parsed`` flag; malformed lines are kept with NULL fields
+    (PERMISSIVE + corrupt-record column, the json_parser discipline).
+    """
+    parsed = F.from_csv(
+        F.col(parse_from), schema + ", _corrupt_record string",
+        {"sep": sep, "mode": "PERMISSIVE",
+         # RFC-4180 quote doubling ("" inside a quoted field), not the
+         # uniVocity backslash default
+         "escape": '"',
+         "columnNameOfCorruptRecord": "_corrupt_record"})
+    df = df.withColumn("_c", parsed)
+    df = df.withColumn(
+        "parsed",
+        F.col(parse_from).isNotNull() & F.col("_c._corrupt_record").isNull())
+    for field in df.select("_c.*").columns:
+        if field != "_corrupt_record":
+            df = df.withColumn(prefix + field, F.col(f"_c.{field}"))
+    return df.drop("_c")
+
+
 def splunk_hec_events(df: DataFrame, json_col: str = "body") -> DataFrame:
     """Splunk HEC event JSON -> flat log rows (splunk_to_logdata.go:33-90):
     ``time`` (epoch seconds, possibly fractional) -> ``ts_ns`` int64 nanos

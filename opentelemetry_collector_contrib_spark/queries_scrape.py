@@ -2294,8 +2294,135 @@ SELECT scrape_id,
 FROM base"""
 
 
+def q_syslog(spark, sf_dir, tok_dir) -> DataFrame:
+    """Syslog parse battery (operators/syslog.py): RFC 5424 and RFC
+    3164 lines synthesized per distinct carbon epoch ``t`` — pri edge
+    values, nil procid/SD, tag-without-pid — and parsed with the real
+    sniffing parser.  The oracle derives every expected field from
+    ``t`` arithmetic; it never re-parses the line."""
+    from .operators.syslog import parse_syslog
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    pri = _s(t % 192)
+    ts5424 = F.concat(F.date_format(F.timestamp_seconds(t),
+                                    "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z"))
+    ts3164 = F.concat_ws(
+        " ", F.date_format(F.timestamp_seconds(t), "MMM"),
+        F.date_format(F.timestamp_seconds(t), "d"),
+        F.date_format(F.timestamp_seconds(t), "HH:mm:ss"))
+    sd = F.when(t % 3 == 0, F.lit("-")).otherwise(
+        F.concat(F.lit('[ex@1 k="v'), _s(t % 9), F.lit('" n="'),
+                 _s(t % 11), F.lit('"]')))
+    line5424 = F.concat(
+        F.lit("<"), pri, F.lit(">1 "), ts5424,
+        F.lit(" h"), _s(t % 5), F.lit(" app"), _s(t % 3), F.lit(" "),
+        F.when(t % 4 == 0, F.lit("-")).otherwise(_s(t % 1000)),
+        F.lit(" ID"), _s(t % 7), F.lit(" "), sd,
+        F.lit(" took "), F.col("vs"), F.lit(" ms"))
+    line3164 = F.concat(
+        F.lit("<"), pri, F.lit(">"), ts3164,
+        F.lit(" h"), _s(t % 5), F.lit(" proc"), _s(t % 6),
+        F.when(t % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("["), _s(t % 100), F.lit("]"))),
+        F.lit(": took "), F.col("vs"), F.lit(" ms"))
+    lines = (b.select("scrape_id", "t",
+                      F.when(t % 2 == 0, line5424).otherwise(line3164)
+                      .alias("line")))
+    out = parse_syslog(lines)
+    return out.select(
+        "scrape_id", "format", "facility", "severity", "severity_name",
+        "ts_s", "hostname", "app", "procid", "msgid",
+        F.element_at("sd", "k").alias("sd_k"),
+        F.element_at("sd", "n").alias("sd_n"), "msg")
+
+
+def q_csv(spark, sf_dir, tok_dir) -> DataFrame:
+    """stanza csv_parser battery (operators/json_parser.py::csv_parser):
+    quoted fields containing the delimiter, empty fields, typed
+    coercions, and a malformed-line keep — parsed by the JVM CSV
+    reader; the oracle derives the expected columns from ``t``."""
+    from .operators.json_parser import csv_parser
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    # name,"quoted, text",count,ratio  — every third row malformed
+    good = F.concat(
+        F.lit("m"), _s(t % 10), F.lit(',"x, y'), _s(t % 4),
+        F.lit('",'), _s(t % 1000), F.lit(","), F.col("vs"))
+    line = F.when(t % 3 == 0, F.concat(F.lit('"unterminated,'), _s(t))) \
+        .otherwise(good)
+    out = csv_parser(
+        b.select("scrape_id", "t", line.alias("body")),
+        "name string, label string, cnt int, ratio double")
+    return out.select("scrape_id", "parsed", "name", "label", "cnt",
+                      "ratio")
+
+
+def q_recombine(spark, sf_dir, tok_dir) -> DataFrame:
+    """Multiline recombine battery (operators/recombine.py): a
+    deterministic interleaved line stream per synthetic file —
+    ``ERROR``-start markers every 4th offset, indented continuation
+    frames otherwise — reassembled into stack-trace entries.  The
+    oracle runs the identical running-sum + ordered string_agg in
+    DuckDB."""
+    from .operators.recombine import recombine
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    line = (F.when(t % 4 == 0,
+                   F.concat(F.lit("ERROR boom code="), _s(t % 17)))
+            .otherwise(F.concat(F.lit("  at fn"), _s(t % 13),
+                                F.lit("(mod.py:"), _s(t % 97),
+                                F.lit(")"))))
+    lines = b.select(
+        F.concat(F.lit("f"), _s(t % 7)).alias("src"),
+        t.alias("off"), F.col("scrape_id").alias("tb"),
+        line.alias("line"))
+    out = recombine(lines, F.col("line").startswith("ERROR"),
+                    ["src"], "off", "tb")
+    return out.select("src", "entry_id",
+                      F.col("first_off").alias("first_o"),
+                      "n_lines", "body")
+
+
+def q_http_forward(spark, sf_dir, tok_dir) -> DataFrame:
+    """httpforwarder rewrite battery (operators/http_forwarder.py):
+    synthetic requests — varying scheme/authority/path/query, existing
+    Via chains, an existing value under the configured extra header —
+    pushed through the real rewrite; the oracle re-derives every output
+    from t arithmetic."""
+    from .operators.http_forwarder import forward_requests
+    b = _base(spark, tok_dir)
+    t = F.col("t")
+    host = F.concat(F.lit("in"), _s(t % 5), F.lit(".example:500"),
+                    _s(t % 3))
+    url = F.concat(F.lit("http://"), host, F.lit("/v1/p"), _s(t % 7),
+                   F.lit("?q="), _s(t % 11))
+    proto = F.when(t % 2 == 0, F.lit("HTTP/1.1")).otherwise(
+        F.lit("HTTP/2.0"))
+    headers = F.map_filter(
+        F.map_from_arrays(
+            F.array(F.lit("Via"), F.lit("X-Tenant")),
+            F.array(
+                F.when(t % 3 == 0,
+                       F.concat(F.lit("HTTP/1.0 up"), _s(t % 4))),
+                F.when(t % 4 == 0, F.concat(F.lit("ten"), _s(t % 6))))),
+        lambda _, v: v.isNotNull())
+    reqs = b.select("scrape_id", "t", url.alias("url"),
+                    proto.alias("proto"), host.alias("host"),
+                    headers.alias("headers"))
+    out = forward_requests(reqs, "https://gw.example:4318",
+                           {"X-Tenant": "edge"})
+    return out.select(
+        "scrape_id", "fwd_url", "fwd_host",
+        F.element_at("headers", "Via").alias("via"),
+        F.element_at("headers", "X-Tenant").alias("x_tenant"))
+
+
 def scrape_queries() -> dict:
     return {
+        "syslog_parse": q_syslog,
+        "csv_parse": q_csv,
+        "recombine_stack": q_recombine,
+        "http_forward": q_http_forward,
         "redis_info": q_redis_info,
         "zk_mntr": q_zk_mntr,
         "nginx_status": q_nginx_status,
@@ -2328,8 +2455,90 @@ def scrape_queries() -> dict:
     }
 
 
+def _syslog_oracle(d: str) -> str:
+    """Every field re-derived from t arithmetic (never re-parsed)."""
+    sev_names = ("['emerg','alert','crit','err','warning','notice',"
+                 "'info','debug']")
+    return f"""WITH {_base_sql(d)}
+SELECT scrape_id,
+  CASE WHEN t % 2 = 0 THEN 'rfc5424' ELSE 'rfc3164' END AS format,
+  CAST((t % 192) // 8 AS INT) AS facility,
+  CAST((t % 192) % 8 AS INT) AS severity,
+  {sev_names}[CAST((t % 192) % 8 AS INT) + 1] AS severity_name,
+  CASE WHEN t % 2 = 0
+       THEN strftime(to_timestamp(t) AT TIME ZONE 'UTC',
+                     '%Y-%m-%dT%H:%M:%S') || 'Z'
+       ELSE strftime(to_timestamp(t) AT TIME ZONE 'UTC', '%b') || ' '
+            || CAST(CAST(strftime(to_timestamp(t) AT TIME ZONE 'UTC',
+                                  '%d') AS INT) AS VARCHAR) || ' '
+            || strftime(to_timestamp(t) AT TIME ZONE 'UTC', '%H:%M:%S')
+  END AS ts_s,
+  'h' || CAST(t % 5 AS VARCHAR) AS hostname,
+  CASE WHEN t % 2 = 0 THEN 'app' || CAST(t % 3 AS VARCHAR)
+       ELSE 'proc' || CAST(t % 6 AS VARCHAR) END AS app,
+  CASE WHEN t % 4 = 0 THEN NULL
+       WHEN t % 2 = 0 THEN CAST(t % 1000 AS VARCHAR)
+       ELSE CAST(t % 100 AS VARCHAR) END AS procid,
+  CASE WHEN t % 2 = 0 THEN 'ID' || CAST(t % 7 AS VARCHAR) END AS msgid,
+  CASE WHEN t % 2 = 0 AND t % 3 <> 0
+       THEN 'v' || CAST(t % 9 AS VARCHAR) END AS sd_k,
+  CASE WHEN t % 2 = 0 AND t % 3 <> 0
+       THEN CAST(t % 11 AS VARCHAR) END AS sd_n,
+  'took ' || vs || ' ms' AS msg
+FROM base"""
+
+
+def _csv_oracle(d: str) -> str:
+    return f"""WITH {_base_sql(d)}
+SELECT scrape_id,
+  (t % 3 <> 0) AS parsed,
+  CASE WHEN t % 3 = 0 THEN 'unterminated,' || CAST(t AS VARCHAR)
+       ELSE 'm' || CAST(t % 10 AS VARCHAR) END AS name,
+  CASE WHEN t % 3 = 0 THEN NULL
+       ELSE 'x, y' || CAST(t % 4 AS VARCHAR) END AS label,
+  CASE WHEN t % 3 = 0 THEN NULL
+       ELSE CAST(t % 1000 AS INT) END AS cnt,
+  CASE WHEN t % 3 = 0 THEN NULL ELSE CAST(vs AS DOUBLE) END AS ratio
+FROM base"""
+
+
+def _recombine_oracle(d: str) -> str:
+    from .operators.recombine import recombine_oracle_sql
+    line = ("CASE WHEN t % 4 = 0 THEN 'ERROR boom code=' "
+            "|| CAST(t % 17 AS VARCHAR) "
+            "ELSE '  at fn' || CAST(t % 13 AS VARCHAR) || '(mod.py:' "
+            "|| CAST(t % 97 AS VARCHAR) || ')' END")
+    rc = recombine_oracle_sql(
+        "base", f"({line}) LIKE 'ERROR%'",
+        "'f' || CAST(t % 7 AS VARCHAR)", "t", "scrape_id", line)
+    return (f"WITH {_base_sql(d)}, {rc}\n"
+            "SELECT rc_key AS src, entry_id, first_o, n_lines, body "
+            "FROM rc")
+
+
+def _http_forward_oracle(d: str) -> str:
+    return f"""WITH {_base_sql(d)}
+SELECT scrape_id,
+  'https://gw.example:4318/v1/p' || CAST(t % 7 AS VARCHAR)
+    || '?q=' || CAST(t % 11 AS VARCHAR) AS fwd_url,
+  'gw.example:4318' AS fwd_host,
+  CASE WHEN t % 3 = 0
+       THEN 'HTTP/1.0 up' || CAST(t % 4 AS VARCHAR) || ', ' ELSE ''
+  END || CASE WHEN t % 2 = 0 THEN 'HTTP/1.1' ELSE 'HTTP/2.0' END
+    || ' in' || CAST(t % 5 AS VARCHAR) || '.example:500'
+    || CAST(t % 3 AS VARCHAR) AS via,
+  CASE WHEN t % 4 = 0
+       THEN 'ten' || CAST(t % 6 AS VARCHAR) || ', edge'
+       ELSE 'edge' END AS x_tenant
+FROM base"""
+
+
 def scrape_oracles(d: str) -> dict[str, str]:
     return {
+        "syslog_parse": _syslog_oracle(d),
+        "csv_parse": _csv_oracle(d),
+        "recombine_stack": _recombine_oracle(d),
+        "http_forward": _http_forward_oracle(d),
         "redis_info": _redis_oracle(d),
         "zk_mntr": _zk_oracle(d),
         "nginx_status": _nginx_oracle(d),

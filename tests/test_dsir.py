@@ -98,3 +98,14 @@ def test_scoring_plan_is_one_arrow_hop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_resample_is_combiner_shaped(spark):
+    """The global top-k must be the partition-local combiner (shuffle
+    O(partitions·k)), never a single-partition window over all rows."""
+    docs = _docs(spark)
+    scored = importance_weights(docs, docs.filter(F.col("lang") == "en"))
+    plan = (dsir_resample(scored, 2)._jdf.queryExecution()
+            .executedPlan().toString())
+    # the pre-reduce Arrow hop runs before any exchange-to-one
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
