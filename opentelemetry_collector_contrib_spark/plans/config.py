@@ -121,9 +121,40 @@ def _sfx_translation(spark: SparkSession, conf: dict) -> Stage:
     return lambda df: translate_datapoints(df, rules)
 
 
+def _csv_parser(spark: SparkSession, conf: dict) -> Stage:
+    from ..operators.json_parser import csv_parser
+    return lambda df: csv_parser(df, conf["schema"],
+                                 parse_from=conf.get("parse_from", "body"),
+                                 prefix=conf.get("prefix", ""),
+                                 sep=conf.get("sep", ","))
+
+
+def _syslog_parser(spark: SparkSession, conf: dict) -> Stage:
+    from ..operators.syslog import parse_syslog
+    return lambda df: parse_syslog(df, line_col=conf.get("parse_from",
+                                                         "body"))
+
+
+def _recombine(spark: SparkSession, conf: dict) -> Stage:
+    from ..operators.recombine import recombine
+    return lambda df: recombine(
+        df, F.expr(conf["is_first_entry"])
+        if "is_first_entry" in conf else F.expr(conf["is_last_entry"]),
+        key_cols=list(conf.get("keys", ["source"])),
+        order_col=conf.get("order", "offset"),
+        tiebreak=conf.get("tiebreak", "doc_id"),
+        line_col=conf.get("combine_field", "body"),
+        mode="first" if "is_first_entry" in conf else "last",
+        sep=conf.get("combine_with", "\n"),
+        max_lines=conf.get("max_batch_size"))
+
+
 PROCESSORS: dict[str, Callable[[SparkSession, dict], Stage]] = {
     "regex_parser": _regex_parser,
     "json_parser": _json_parser,
+    "csv_parser": _csv_parser,
+    "syslog_parser": _syslog_parser,
+    "recombine": _recombine,
     "kv_extract": _kv_extract,
     "k8s_enrich": _k8s_enrich,
     "resource_detection": _resource_detection,

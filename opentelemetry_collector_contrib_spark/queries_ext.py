@@ -867,6 +867,34 @@ def q_gopher(spark, sf_dir):
         "r_ellipsis", "r_alpha", "r_stop", "gopher_pass")
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition-rule battery (arXiv:2112.11446 table A1 second
+    half) over the documents table: 13 duplicate-line/paragraph/n-gram
+    fractions + booleans + the AND (datapipe/repetition.py — one fused
+    Arrow hop, zero shuffles; the oracle recomputes all 13 in DuckDB
+    with the identical position-set-union coverage)."""
+    from .datapipe.repetition import repetition_rules, _FIELDS
+    out = repetition_rules(_docs(spark, sf_dir).select("doc_id", "text"))
+    return out.select("doc_id", *_FIELDS,
+                      *[f"r_{f}" for f in _FIELDS], "repetition_pass")
+
+
+def _repetition_sql() -> str:
+    from .datapipe.repetition import (repetition_oracle_sql, _FIELDS,
+                                      TOP_THRESH, DUP_THRESH)
+    thresh = {"dup_line_frac": 0.30, "dup_para_frac": 0.30,
+              "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+              **{f"top{n}_char_frac": t for n, t in TOP_THRESH.items()},
+              **{f"dup{n}_char_frac": t for n, t in DUP_THRESH.items()}}
+    bools = ",\n  ".join(f"({f} <= {thresh[f]}) AS r_{f}"
+                         for f in _FIELDS)
+    allpass = " AND ".join(f"({f} <= {thresh[f]})" for f in _FIELDS)
+    cols = ", ".join(_FIELDS)
+    return (f"WITH {repetition_oracle_sql()}\n"
+            f"SELECT doc_id, {cols},\n  {bools},\n"
+            f"  ({allpass}) AS repetition_pass\nFROM rvals")
+
+
 def q_otlp_roundtrip(spark, sf_dir):
     """OTLP/JSON logs codec round trip (operators/otlp.py): events ->
     pdata-shaped flat rows -> ONE ExportLogsServiceRequest JSON per
@@ -1891,6 +1919,7 @@ FROM s""",
         # rule conventions pinned in datapipe/quality_rules.py: ASCII-ws
         # word split, \n line split, strip-then-prefix bullet test,
         # non-overlapping '...' count via the replace trick
+        "gopher_repetition": _repetition_sql(),
         "gopher_rules": """WITH f AS (
   SELECT doc_id,
     list_filter(regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
@@ -2221,6 +2250,7 @@ def extra_queries(tok_dir_for) -> dict:
         "url_canon": q_url_canon,
         "otlp_metrics": q_otlp_metrics,
         "gopher_rules": q_gopher,
+        "gopher_repetition": q_gopher_repetition,
         "dsir_weights": q_dsir,
         "kmeans_clusters": q_kmeans,
         "span_removal": with_tok(q_span_removal),

@@ -91,6 +91,34 @@ def streaming_wire_ingest(spark: SparkSession, frames_dir: str,
     return (parser or RegexParser()).apply(decode_wire(frames))
 
 
+def streaming_statsd_flush(lines: DataFrame,
+                           flush_interval: str = "10 seconds",
+                           watermark: str = "30 seconds",
+                           ts_col: str = "ts") -> DataFrame:
+    """The statsd receiver's ticker flush (statsd_parser.go:92-129 under
+    reporter.go's flush loop) re-expressed as event-time windows: each
+    flush interval is one window, counters sum within it, and the
+    watermark is the late-line cutoff — a UDP datagram arriving after
+    the watermark passed its flush window is DROPPED, the streaming
+    analog of a flush that already shipped.
+
+    Counters only on this path: their sum is reduction-order-free, so
+    the aggregation is streaming-safe with partial aggregation per
+    micro-batch.  Gauge last-write-wins needs a total arrival order —
+    that is the batch path (flush_aggregate with ``order_col``) or a
+    foreachBatch with an explicit sequence column, documented in
+    operators/statsd.py.
+    """
+    from ..operators.statsd import parse_statsd
+    p = (parse_statsd(lines)
+         .filter(F.col("valid") & (F.col("metric_type") == "c")))
+    return (p.withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, flush_interval).alias("flush"),
+                     "name", "tags")
+            .agg(F.sum("value").alias("value"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
 def streaming_counts(routed: DataFrame,
                      window: str = "1 hour",
                      watermark: str = "2 hours") -> DataFrame:

@@ -138,3 +138,54 @@ def test_wire_receiver_config_matches_tokens_receiver(spark, sf_dir,
     b = (build_from_config(spark, cfg_w)
          .select(F.explode("sinks").alias("s")).groupBy("s").count())
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_config_syslog_csv_recombine_stages(spark, sf_dir):
+    """The stanza-style parser additions are YAML-wireable: a syslog
+    parse stage, a csv parse stage, and a recombine stage each resolve
+    from the registry and transform the stream."""
+    cfg = load_config(f"""
+receivers:
+  tokens: {{path: {sf_dir}/tokens.parquet}}
+processors:
+  parse: {{kind: regex_parser}}
+  sys: {{kind: syslog_parser, parse_from: body}}
+service:
+  pipelines:
+    logs:
+      receivers: [tokens]
+      processors: [parse, sys]
+      exporters: []
+exporters: {{}}
+""")
+    out = build_from_config(spark, cfg)
+    # log bodies are not syslog -> kept with NULL format (the stanza
+    # on-error discipline), schema carries the syslog columns
+    assert {"format", "facility", "severity_name"} <= set(out.columns)
+    assert out.count() > 0
+
+    cfg2 = load_config(f"""
+receivers:
+  tokens: {{path: {sf_dir}/tokens.parquet}}
+processors:
+  parse: {{kind: regex_parser}}
+  stack:
+    kind: recombine
+    is_first_entry: "body NOT LIKE '  %'"
+    keys: [source]
+    order: doc_id
+    tiebreak: doc_id
+    combine_field: body
+    combine_with: "\\n"
+service:
+  pipelines:
+    logs:
+      receivers: [tokens]
+      processors: [parse, stack]
+      exporters: []
+exporters: {{}}
+""")
+    out2 = build_from_config(spark, cfg2)
+    assert {"entry_id", "n_lines", "body"} <= set(out2.columns)
+    n_sources = out2.select("source").distinct().count()
+    assert out2.count() >= n_sources
