@@ -895,6 +895,32 @@ def _repetition_sql() -> str:
             f"  ({allpass}) AS repetition_pass\nFROM rvals")
 
 
+def q_c4(spark, sf_dir):
+    """C4 cleaning battery (arXiv:1910.10683 §2.2) over the documents
+    table (datapipe/c4_rules.py — one fused Arrow hop, zero shuffles).
+    The cleaned text is hash-compared via md5 so any line-keep
+    divergence between engines breaks the value hash."""
+    from .datapipe.c4_rules import c4_rules
+    out = c4_rules(_docs(spark, sf_dir).select("doc_id", "text"))
+    return out.select(
+        "doc_id", F.md5("kept_text").alias("kept_md5"),
+        "n_lines", "n_kept", "n_sentences",
+        "has_lorem", "has_brace", "has_badword", "c4_keep")
+
+
+def _c4_sql() -> str:
+    from .datapipe.c4_rules import c4_oracle_sql
+    return ("WITH " + c4_oracle_sql() + """
+SELECT doc_id, md5(kept_text) AS kept_md5,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_kept AS BIGINT) AS n_kept,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  has_lorem, has_brace, has_badword,
+  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+   AND NOT has_badword) AS c4_keep
+FROM c4v""")
+
+
 def q_otlp_roundtrip(spark, sf_dir):
     """OTLP/JSON logs codec round trip (operators/otlp.py): events ->
     pdata-shaped flat rows -> ONE ExportLogsServiceRequest JSON per
@@ -1920,6 +1946,7 @@ FROM s""",
         # word split, \n line split, strip-then-prefix bullet test,
         # non-overlapping '...' count via the replace trick
         "gopher_repetition": _repetition_sql(),
+        "c4_rules": _c4_sql(),
         "gopher_rules": """WITH f AS (
   SELECT doc_id,
     list_filter(regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
@@ -2251,6 +2278,7 @@ def extra_queries(tok_dir_for) -> dict:
         "otlp_metrics": q_otlp_metrics,
         "gopher_rules": q_gopher,
         "gopher_repetition": q_gopher_repetition,
+        "c4_rules": q_c4,
         "dsir_weights": q_dsir,
         "kmeans_clusters": q_kmeans,
         "span_removal": with_tok(q_span_removal),
