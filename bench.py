@@ -48,7 +48,9 @@ HEADLINE = ["parse_agg", "enrich", "route_rows", "pipeline_e2e",
             # gzip per body (sender.go:233-239) -> decode -> agg.
             # (wire_roundtrip, the per-record-frame verification
             # harness, stays gate-checked but is ~2x the bytes work.)
-            "wire_batch"]
+            "wire_batch",
+            # curation batteries (fused single-hop doc filters) + DSIR
+            "gopher_repetition", "c4_rules", "dsir_weights"]
 # ann_ivf is gate-checked at sf0.01 but not a headline: its fixed
 # 16-list quantizer is sized for the oracle's inlined SQL — at bench
 # scale IVF needs n_lists ~ sqrt(N) (see docs/SCALE.md), and ann_lsh
