@@ -98,3 +98,27 @@ def tail_sample(df: DataFrame, policies: list[SamplingPolicy],
                .filter(F.col("_rn") <= rate.spans_per_second)
                .drop("_rn"))
     return out
+
+
+def rate_limit(df: DataFrame, rate: int, interval_ms: int,
+               key_cols: list[str], time_col: str,
+               tiebreak: str) -> DataFrame:
+    """stanza-style rate_limit: at most ``rate`` entries per key per
+    ``interval_ms`` window, earliest-first (the stanza ecosystem's
+    throttling operator next to the registered trio —
+    register.go:19-22; the tailsampling rate_limiting policy above is
+    the trace-group variant, sampling/rate_limiting.go:33-44).
+
+    Batch semantics are deterministic: entries rank by (time, tiebreak)
+    inside each (key, interval) bucket and ranks above ``rate`` drop.
+    Scale: one exchange keyed by (keys, bucket) — buckets multiply the
+    key space, so hot keys spread across time and the window state is
+    one counter per partition slice.
+    """
+    bucket = F.floor(F.col(time_col).cast("long") / F.lit(interval_ms))
+    w = (Window.partitionBy(*key_cols, "_bucket")
+         .orderBy(F.col(time_col).asc(), F.col(tiebreak).asc()))
+    return (df.withColumn("_bucket", bucket)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= rate)
+            .drop("_bucket", "_rn"))

@@ -895,6 +895,36 @@ def _repetition_sql() -> str:
             f"  ({allpass}) AS repetition_pass\nFROM rvals")
 
 
+def q_rate_limit(spark, sf_dir):
+    """stanza rate_limit battery (operators/filters.py::rate_limit):
+    cap events at 4 per event_type per hour, earliest-(t_ms,
+    event_id)-first (the hourly bucket makes the cap bind: sf0.01
+    buckets hold up to 10 events); the oracle is the identical SQL
+    window."""
+    from .operators.filters import rate_limit
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"))
+    out = rate_limit(ev, rate=4, interval_ms=3_600_000,
+                     key_cols=["event_type"], time_col="t_ms",
+                     tiebreak="event_id")
+    return out.select("event_id", "event_type", "t_ms")
+
+
+_RATE_LIMIT_SQL = """WITH ev AS (
+  SELECT event_id, event_type,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms
+  FROM events
+), rk AS (
+  SELECT event_id, event_type, t_ms,
+         row_number() OVER (
+           PARTITION BY event_type, CAST(floor(t_ms / 3600000) AS BIGINT)
+           ORDER BY t_ms, event_id) AS rn
+  FROM ev
+)
+SELECT event_id, event_type, t_ms FROM rk WHERE rn <= 4"""
+
+
 def q_c4(spark, sf_dir):
     """C4 cleaning battery (arXiv:1910.10683 §2.2) over the documents
     table (datapipe/c4_rules.py — one fused Arrow hop, zero shuffles).
@@ -1947,6 +1977,7 @@ FROM s""",
         # non-overlapping '...' count via the replace trick
         "gopher_repetition": _repetition_sql(),
         "c4_rules": _c4_sql(),
+        "rate_limit": _RATE_LIMIT_SQL,
         "gopher_rules": """WITH f AS (
   SELECT doc_id,
     list_filter(regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
@@ -2279,6 +2310,7 @@ def extra_queries(tok_dir_for) -> dict:
         "gopher_rules": q_gopher,
         "gopher_repetition": q_gopher_repetition,
         "c4_rules": q_c4,
+        "rate_limit": q_rate_limit,
         "dsir_weights": q_dsir,
         "kmeans_clusters": q_kmeans,
         "span_removal": with_tok(q_span_removal),

@@ -155,3 +155,19 @@ def test_groupbyattrs_map_variant(spark):
         "id string, attrs map<string,string>")
     got = rows(group_by_attrs_map(df, "attrs", ["ns"]))
     assert got == [("n1", 2), (None, 1)]
+
+
+def test_rate_limit_caps_per_key_per_interval(spark):
+    from opentelemetry_collector_contrib_spark.operators.filters import (
+        rate_limit)
+    rows = ([("a", t, f"e{t}") for t in range(6)]          # 6 in bucket 0
+            + [("a", 1000 + t, f"l{t}") for t in range(2)]  # 2 in bucket 1
+            + [("b", 3, "x")])
+    df = spark.createDataFrame(rows, "k string, t long, id string")
+    out = rate_limit(df, rate=3, interval_ms=1000, key_cols=["k"],
+                     time_col="t", tiebreak="id")
+    got = sorted((r["k"], r["t"]) for r in out.collect())
+    # earliest 3 of a's first second, both of its second second, all b
+    assert got == [("a", 0), ("a", 1), ("a", 2),
+                   ("a", 1000), ("a", 1001), ("b", 3)]
+    assert set(out.columns) == {"k", "t", "id"}
