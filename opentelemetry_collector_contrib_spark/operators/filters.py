@@ -114,8 +114,17 @@ def rate_limit(df: DataFrame, rate: int, interval_ms: int,
     Scale: one exchange keyed by (keys, bucket) — buckets multiply the
     key space, so hot keys spread across time and the window state is
     one counter per partition slice.
+
+    ``time_col`` may be a timestamp (converted to epoch millis — a
+    bare long cast would yield SECONDS and silently mis-size the
+    bucket) or an integer millisecond column.
     """
-    bucket = F.floor(F.col(time_col).cast("long") / F.lit(interval_ms))
+    from pyspark.sql import types as T
+    if isinstance(df.schema[time_col].dataType, T.TimestampType):
+        t = F.unix_millis(F.col(time_col))
+    else:
+        t = F.col(time_col).cast("long")
+    bucket = F.floor(t / F.lit(interval_ms))
     w = (Window.partitionBy(*key_cols, "_bucket")
          .orderBy(F.col(time_col).asc(), F.col(tiebreak).asc()))
     return (df.withColumn("_bucket", bucket)

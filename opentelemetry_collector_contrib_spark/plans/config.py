@@ -149,12 +149,23 @@ def _recombine(spark: SparkSession, conf: dict) -> Stage:
         max_lines=conf.get("max_batch_size"))
 
 
+def _rate_limit(spark: SparkSession, conf: dict) -> Stage:
+    from ..operators.filters import rate_limit
+    return lambda df: rate_limit(
+        df, rate=int(conf["rate"]),
+        interval_ms=int(conf.get("interval_ms", 1000)),
+        key_cols=list(conf.get("keys", ["source"])),
+        time_col=conf.get("time", "event_ts"),
+        tiebreak=conf.get("tiebreak", "doc_id"))
+
+
 PROCESSORS: dict[str, Callable[[SparkSession, dict], Stage]] = {
     "regex_parser": _regex_parser,
     "json_parser": _json_parser,
     "csv_parser": _csv_parser,
     "syslog_parser": _syslog_parser,
     "recombine": _recombine,
+    "rate_limit": _rate_limit,
     "kv_extract": _kv_extract,
     "k8s_enrich": _k8s_enrich,
     "resource_detection": _resource_detection,

@@ -189,3 +189,31 @@ exporters: {{}}
     assert {"entry_id", "n_lines", "body"} <= set(out2.columns)
     n_sources = out2.select("source").distinct().count()
     assert out2.count() >= n_sources
+
+
+def test_config_rate_limit_stage(spark, sf_dir):
+    cfg = load_config(f"""
+receivers:
+  tokens: {{path: {sf_dir}/tokens.parquet}}
+processors:
+  parse: {{kind: regex_parser}}
+  throttle:
+    kind: rate_limit
+    rate: 1
+    interval_ms: 86400000
+    keys: [source]
+    time: event_ts
+    tiebreak: doc_id
+service:
+  pipelines:
+    logs:
+      receivers: [tokens]
+      processors: [parse, throttle]
+      exporters: []
+exporters: {{}}
+""")
+    out = build_from_config(spark, cfg)
+    per_day = (out.groupBy("source",
+                           F.window("event_ts", "1 day")).count())
+    assert per_day.filter(F.col("count") > 1).count() == 0
+    assert out.count() > 0
