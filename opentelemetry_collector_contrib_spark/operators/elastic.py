@@ -250,6 +250,15 @@ def elastic_spans(df: DataFrame) -> DataFrame:
       is appended to the resource; db spans overwrite the destination
       service with db.system (:340-347).
     """
+    # The mapping is staged into sequential ``select``s with NAMED
+    # intermediate columns.  A single flat projection duplicated the
+    # hostport/port regexp extractions into every CASE arm and blew the
+    # JVM's 64 KB generated-method limit ("ERROR CodeGenerator: … Code
+    # grows beyond 64 KB"), silently falling back to interpreted
+    # evaluation.  Catalyst's CollapseProject keeps a non-cheap alias
+    # that is referenced more than once as its own projection, so each
+    # stage's codegen unit stays small and every shared subexpression
+    # is computed exactly once.
     root = F.coalesce(F.col("parent_span_id"), F.lit("")) == ""
     is_tx = root | (F.lower(F.coalesce(F.col("kind"), F.lit(""))) == "server")
     code = F.col("status_code")
@@ -264,8 +273,6 @@ def elastic_spans(df: DataFrame) -> DataFrame:
                    | F.col("http_target").isNotNull()
                    | F.col("http_scheme").isNotNull()
                    | F.col("http_host").isNotNull())
-
-    # ---- transaction side --------------------------------------------------
     req_present = (F.col("http_method").isNotNull()
                    | F.col("http_url").isNotNull()
                    | F.col("http_target").isNotNull()
@@ -273,108 +280,147 @@ def elastic_spans(df: DataFrame) -> DataFrame:
                    | F.col("http_scheme").isNotNull()
                    | F.col("http_flavor").isNotNull()
                    | F.col("http_server_name").isNotNull())
-    tx_type = F.when(req_present, F.lit("request")).otherwise(F.lit("unknown"))
-    tx_proto = F.coalesce(u_scheme, F.col("http_scheme"))
-    tx_proto = F.when(req_present,
-                      F.when(F.coalesce(tx_proto, F.lit("")) == "",
-                             F.lit("http")).otherwise(tx_proto))
+    db_present = (F.col("db_system").isNotNull()
+                  | F.col("db_name").isNotNull()
+                  | F.col("db_statement").isNotNull()
+                  | F.col("db_user").isNotNull())
+    peer_addr = F.coalesce(
+        F.when(F.coalesce(F.col("net_peer_name"), F.lit("")) != "",
+               F.col("net_peer_name")), F.col("net_peer_ip"))
+    peer_port = F.coalesce(F.col("net_peer_port"), F.lit(0))
+    s1 = df.select(
+        "*",
+        u_scheme.alias("_u_scheme"), u_hostport.alias("_u_hostport"),
+        u_path.alias("_u_path"), u_query.alias("_u_query"),
+        url.isNotNull().alias("_has_url"),
+        has_url_ctx.alias("_has_url_ctx"), req_present.alias("_req_present"),
+        db_present.alias("_db_present"),
+        peer_addr.alias("_peer_addr"), peer_port.alias("_peer_port"),
+        _port_str(F.col("http_host")).alias("_hh_port"))
+
+    s2 = s1.select(
+        "*",
+        _hostname(F.col("_u_hostport")).alias("_u_host"),
+        _port_str(F.col("_u_hostport")).alias("_u_port"),
+        F.coalesce(
+            F.when(F.coalesce(F.col("_u_hostport"), F.lit("")) != "",
+                   F.col("_u_hostport")),
+            F.col("http_host")).alias("_url_host0"),
+        F.when(
+            F.col("_peer_port") > 0,
+            F.concat(F.col("_peer_addr"), F.lit(":"),
+                     F.col("_peer_port").cast("string"))
+        ).otherwise(F.col("_peer_addr")).alias("_composed_host"))
+
+    sp_scheme0 = F.coalesce(F.col("_u_scheme"), F.col("http_scheme"))
+    s3 = s2.select(
+        "*",
+        F.when(F.coalesce(sp_scheme0, F.lit("")) == "",
+               F.lit("http")).otherwise(sp_scheme0).alias("_sp_scheme"),
+        F.coalesce(
+            F.col("_url_host0"),
+            F.when(F.coalesce(F.col("_peer_addr"), F.lit("")) != "",
+                   F.col("_composed_host"))).alias("_url_host"),
+        _port_str(F.col("_url_host0")).alias("_uh0_port"),
+        (F.coalesce(F.col("_url_host0"), F.lit("")) != "").alias("_has_uh0"))
+
+    s4 = s3.select(
+        "*",
+        (F.coalesce(_port_str(F.col("_url_host")), F.lit("")) != "")
+        .alias("_url_has_port"),
+        _default_port(F.col("_sp_scheme")).alias("_def_port"))
+
+    dest_port = (
+        F.when(F.col("_has_uh0"),
+               F.when(F.col("_url_has_port"),
+                      F.col("_uh0_port").cast("int"))
+               .otherwise(F.col("_def_port")))
+        .when(F.coalesce(F.col("_peer_addr"), F.lit("")) != "",
+              F.when(F.col("_peer_port") > 0, F.col("_peer_port"))
+              .otherwise(F.col("_def_port")))
+        .otherwise(F.col("_peer_port")))
+    s5 = s4.select(
+        "*",
+        dest_port.alias("_dest_port"),
+        F.when(F.col("_has_uh0"), _hostname(F.col("_url_host0")))
+        .otherwise(F.col("_peer_addr")).alias("_dest_addr"))
+
+    # destination.service rules (traces.go:328-338)
+    is_default_port = ((F.col("_dest_port") != 0)
+                       & (F.col("_dest_port") == F.col("_def_port")))
+    s6 = s5.select(
+        "*",
+        F.when(
+            is_default_port & F.col("_url_has_port"),
+            F.concat(F.col("_sp_scheme"), F.lit("://"),
+                     _hostname(F.col("_url_host")))
+        ).otherwise(F.concat(F.col("_sp_scheme"), F.lit("://"),
+                             F.col("_url_host"))).alias("_svc_url"),
+        F.when(
+            is_default_port & ~F.col("_url_has_port"),
+            F.concat(F.col("_url_host"), F.lit(":"),
+                     F.col("_dest_port").cast("string"))
+        ).otherwise(F.col("_url_host")).alias("_svc_resource"))
+
+    # ---- transaction side --------------------------------------------------
+    req = F.col("_req_present")
+    tx_type = F.when(req, F.lit("request")).otherwise(F.lit("unknown"))
+    tx_proto = F.when(req,
+                      F.when(F.coalesce(sp_scheme0, F.lit("")) == "",
+                             F.lit("http")).otherwise(sp_scheme0))
     tx_hostname0 = F.coalesce(
-        F.when(F.coalesce(_hostname(u_hostport), F.lit("")) != "",
-               _hostname(u_hostport)),
+        F.when(F.coalesce(F.col("_u_host"), F.lit("")) != "",
+               F.col("_u_host")),
         F.when(F.col("http_host").isNotNull(),
                _hostname(F.col("http_host"))),
         F.col("http_server_name"))
-    tx_hostname = F.when(req_present,
+    tx_hostname = F.when(req,
                          F.when(F.coalesce(tx_hostname0, F.lit("")) == "",
                                 F.col("net_host_name"))
                          .otherwise(tx_hostname0))
     tx_port0 = F.coalesce(
-        F.when(F.coalesce(_port_str(u_hostport), F.lit("")) != "",
-               _port_str(u_hostport)),
+        F.when(F.coalesce(F.col("_u_port"), F.lit("")) != "",
+               F.col("_u_port")),
         F.when(F.col("http_host").isNotNull(),
-               F.when(_port_str(F.col("http_host")) != "",
-                      _port_str(F.col("http_host")))))
-    tx_port = F.when(req_present,
+               F.when(F.col("_hh_port") != "", F.col("_hh_port"))))
+    tx_port = F.when(req,
                      F.when(F.coalesce(tx_port0, F.lit("")) == "",
                             F.when(F.col("net_host_port") > 0,
                                    F.col("net_host_port").cast("string")))
                      .otherwise(tx_port0))
-    remote = F.when(req_present & F.col("net_peer_ip").isNotNull(),
+    remote = F.when(req & F.col("net_peer_ip").isNotNull(),
                     F.when(F.col("net_peer_port") > 0,
                            F.concat(F.col("net_peer_ip"), F.lit(":"),
                                     F.col("net_peer_port").cast("string")))
                     .otherwise(F.col("net_peer_ip")))
 
     # ---- span side ---------------------------------------------------------
-    http_present = (has_url_ctx | F.col("http_status_code").isNotNull())
-    sp_scheme0 = F.coalesce(u_scheme, F.col("http_scheme"))
-    sp_scheme = F.when(F.coalesce(sp_scheme0, F.lit("")) == "",
-                       F.lit("http")).otherwise(sp_scheme0)
-    url_host0 = F.coalesce(
-        F.when(F.coalesce(u_hostport, F.lit("")) != "", u_hostport),
-        F.col("http_host"))
-    peer_addr = F.coalesce(
-        F.when(F.coalesce(F.col("net_peer_name"), F.lit("")) != "",
-               F.col("net_peer_name")), F.col("net_peer_ip"))
-    peer_port = F.coalesce(F.col("net_peer_port"), F.lit(0))
-    composed_host = F.when(
-        peer_port > 0,
-        F.concat(peer_addr, F.lit(":"), peer_port.cast("string"))
-    ).otherwise(peer_addr)
-    url_host = F.coalesce(
-        url_host0,
-        F.when(F.coalesce(peer_addr, F.lit("")) != "", composed_host))
-    url_has_explicit_port = F.coalesce(_port_str(url_host), F.lit("")) != ""
-    dest_port = (
-        F.when(F.coalesce(url_host0, F.lit("")) != "",
-               F.when(url_has_explicit_port,
-                      _port_str(url_host0).cast("int"))
-               .otherwise(_default_port(sp_scheme)))
-        .when(F.coalesce(peer_addr, F.lit("")) != "",
-              F.when(peer_port > 0, peer_port)
-              .otherwise(_default_port(sp_scheme)))
-        .otherwise(peer_port))
-    dest_addr = F.when(F.coalesce(url_host0, F.lit("")) != "",
-                       _hostname(url_host0)).otherwise(peer_addr)
-    # destination.service rules (traces.go:328-338)
-    is_default_port = (dest_port != 0) & (dest_port == _default_port(sp_scheme))
-    svc_url = F.when(
-        is_default_port & url_has_explicit_port,
-        F.concat(sp_scheme, F.lit("://"), _hostname(url_host))
-    ).otherwise(F.concat(sp_scheme, F.lit("://"), url_host))
-    svc_resource = F.when(
-        is_default_port & ~url_has_explicit_port,
-        F.concat(url_host, F.lit(":"), dest_port.cast("string"))
-    ).otherwise(url_host)
-
-    db_present = (F.col("db_system").isNotNull()
-                  | F.col("db_name").isNotNull()
-                  | F.col("db_statement").isNotNull()
-                  | F.col("db_user").isNotNull())
-    span_type = (F.when(db_present, F.lit("db"))
+    http_present = (F.col("_has_url_ctx")
+                    | F.col("http_status_code").isNotNull())
+    dbp = F.col("_db_present")
+    span_type = (F.when(dbp, F.lit("db"))
                  .when(http_present, F.lit("external"))
                  .otherwise(F.lit("app")))
-    span_subtype = (F.when(db_present, F.col("db_system"))
+    span_subtype = (F.when(dbp, F.col("db_system"))
                     .when(http_present, F.lit("http")))
-    has_svc = has_url_ctx | (db_present
-                             & (F.coalesce(F.col("db_system"),
-                                           F.lit("")) != ""))
+    url_ctx_host = F.col("_has_url_ctx") & F.col("_url_host").isNotNull()
     dest_service_name = F.when(
-        db_present, F.when(F.coalesce(F.col("db_system"), F.lit("")) != "",
-                           F.col("db_system"))
-    ).otherwise(F.when(has_url_ctx & url_host.isNotNull(), svc_url))
+        dbp, F.when(F.coalesce(F.col("db_system"), F.lit("")) != "",
+                    F.col("db_system"))
+    ).otherwise(F.when(url_ctx_host, F.col("_svc_url")))
     dest_service_resource = F.when(
-        db_present, F.when(F.coalesce(F.col("db_system"), F.lit("")) != "",
-                           F.col("db_system"))
-    ).otherwise(F.when(has_url_ctx & url_host.isNotNull(), svc_resource))
-    final_dest_addr = F.when(has_url_ctx & url_host.isNotNull(), dest_addr) \
-        .otherwise(F.when(F.coalesce(peer_addr, F.lit("")) != "", peer_addr))
-    final_dest_port = F.when(has_url_ctx & url_host.isNotNull(), dest_port) \
-        .otherwise(F.when(F.coalesce(peer_addr, F.lit("")) != "", peer_port))
+        dbp, F.when(F.coalesce(F.col("db_system"), F.lit("")) != "",
+                    F.col("db_system"))
+    ).otherwise(F.when(url_ctx_host, F.col("_svc_resource")))
+    has_peer = F.coalesce(F.col("_peer_addr"), F.lit("")) != ""
+    final_dest_addr = F.when(url_ctx_host, F.col("_dest_addr")) \
+        .otherwise(F.when(has_peer, F.col("_peer_addr")))
+    final_dest_port = F.when(url_ctx_host, F.col("_dest_port")) \
+        .otherwise(F.when(has_peer, F.col("_peer_port")))
 
     NS = F.lit(None).cast("string")
     NI = F.lit(None).cast("int")
-    tx = df.filter(is_tx).select(
+    tx = s6.filter(is_tx).select(
         F.lit("transaction").alias("kind_row"),
         "trace_id", "span_id",
         F.coalesce(F.col("parent_span_id"), F.lit("")).alias("parent_id"),
@@ -385,15 +431,16 @@ def elastic_spans(df: DataFrame) -> DataFrame:
         tx_type.alias("tx_type"),
         tx_proto.alias("url_protocol"), tx_hostname.alias("url_hostname"),
         tx_port.alias("url_port"),
-        F.when(req_present & url.isNotNull(), u_path).alias("url_path"),
-        F.when(req_present & url.isNotNull(), u_query).alias("url_search"),
+        F.when(req & F.col("_has_url"), F.col("_u_path")).alias("url_path"),
+        F.when(req & F.col("_has_url"), F.col("_u_query"))
+        .alias("url_search"),
         F.col("http_status_code").cast("int").alias("status_code"),
         F.col("http_flavor").alias("http_version"),
         remote.alias("remote_addr"),
         NS.alias("span_type"), NS.alias("span_subtype"),
         NS.alias("dest_addr"), NI.alias("dest_port"),
         NS.alias("dest_service_name"), NS.alias("dest_service_resource"))
-    sp = df.filter(~is_tx).select(
+    sp = s6.filter(~is_tx).select(
         F.lit("span").alias("kind_row"),
         "trace_id", "span_id",
         F.coalesce(F.col("parent_span_id"), F.lit("")).alias("parent_id"),

@@ -187,53 +187,102 @@ def azure_envelopes(spans: DataFrame) -> DataFrame:
         .when(F.map_contains_key(F.col("attrs"), "faas.trigger"), "faas")
         .otherwise("unknown"))
 
+    # Staged ``select``s with NAMED intermediates: a single flat
+    # projection duplicated every map lookup into each CASE arm and —
+    # worse — the 4-deep merge_maps chain re-expanded its ``existing``
+    # side twice per level (2^3 copies of the base props expression),
+    # blowing the JVM 64 KB generated-method limit ("ERROR
+    # CodeGenerator: … Code grows beyond 64 KB") into interpreted
+    # fallback.  CollapseProject keeps multi-referenced non-cheap
+    # aliases as separate projections, so each stage codegens small.
     df = (spans
           .withColumn("_kind", kind)
           .withColumn("_type", span_type)
           .filter(F.col("_type") != "faas")
           .withColumn("_is_req", is_request))
 
+    a1 = df.select(
+        "*",
+        F.coalesce(_a("http.method"), F.lit("")).alias("_method"),
+        F.coalesce(_a("http.route"), F.lit("")).alias("_route"),
+        F.coalesce(_a("http.target"), F.lit("")).alias("_target"),
+        F.coalesce(_a("http.scheme"), F.lit("")).alias("_scheme"),
+        F.coalesce(_a("http.host"), F.lit("")).alias("_http_host"),
+        F.coalesce(_a("http.server_name"), F.lit("")).alias("_server_name"),
+        F.coalesce(_a("net.host.name"), F.lit("")).alias("_host_name"),
+        F.coalesce(_ai("net.host.port"), F.lit(0)).alias("_host_port"),
+        F.coalesce(_a("net.peer.name"), F.lit("")).alias("_peer_name"),
+        F.coalesce(_a("net.peer.ip"), F.lit("")).alias("_peer_ip"),
+        F.coalesce(_ai("net.peer.port"), F.lit(0)).alias("_peer_port"),
+        F.coalesce(_a("http.url"), F.lit("")).alias("_http_url"),
+        F.coalesce(_a("rpc.system"), F.lit("")).alias("_rpc_system"),
+        F.coalesce(_a("messaging.url"), F.lit("")).alias("_msg_url"),
+        _ai("http.status_code").alias("_hsc"),
+        F.coalesce(_ai("rpc.grpc.status_code"), F.lit(0)).alias("_grpc"),
+        _a("http.client_ip").alias("_client_ip"),
+        _a("db.statement").alias("_db_statement"),
+        _a("db.operation").alias("_db_operation"),
+        _a("db.system").alias("_db_system"),
+        _a("messaging.system").alias("_msg_system"))
+
     # -- status defaults (:625-653)
     code = F.col("status_code")
     eff = F.when((code == 0) & (F.col("deprecated_code") != 0), F.lit(2)) \
         .otherwise(code)
-    default_response = eff.cast("string")
-    default_success = (eff != 2).cast("int")
 
-    hsc = _ai("http.status_code")
+    route = F.col("_route")
+    target = F.col("_target")
+    host_port = F.col("_host_port")
+    peer_port = F.col("_peer_port")
+    a2 = a1.select(
+        "*",
+        F.when(F.substring(route, 1, 1) == "/", route)
+        .otherwise(F.concat(F.lit("/"), route)).alias("_route_pref"),
+        F.when(F.substring(target, 1, 1) == "/", target)
+        .otherwise(F.concat(F.lit("/"), target)).alias("_target_pref"),
+        F.when(host_port != 0, host_port.cast("string"))
+        .otherwise(F.lit("")).alias("_host_port_s"),
+        F.when(peer_port != 0, peer_port.cast("string"))
+        .otherwise(F.lit("")).alias("_peer_port_s"),
+        # writeFormattedPeerAddressFromNetworkAttributes (:655-667)
+        F.when(peer_port != 0,
+               F.concat(F.when(F.col("_peer_name") != "",
+                               F.col("_peer_name"))
+                        .otherwise(F.col("_peer_ip")),
+                        F.lit(":"), peer_port.cast("string")))
+        .otherwise(F.when(F.col("_peer_name") != "", F.col("_peer_name"))
+                   .otherwise(F.col("_peer_ip"))).alias("_peer"),
+        eff.alias("_eff"))
+
+    default_response = F.col("_eff").cast("string")
+    default_success = (F.col("_eff") != 2).cast("int")
+
+    hsc = F.col("_hsc")
     has_hsc = F.coalesce(hsc, F.lit(0)) != 0
     http_response = hsc.cast("string")
     http_success = ((hsc >= 100) & (hsc <= 399)).cast("int")
 
-    grpc = F.coalesce(_ai("rpc.grpc.status_code"), F.lit(0))
+    grpc = F.col("_grpc")
     rpc_response = F.when(grpc != 0, grpc.cast("string")) \
         .otherwise(F.col("deprecated_code").cast("string"))
 
     t = F.col("_type")
     req = F.col("_is_req")
-    method = F.coalesce(_a("http.method"), F.lit(""))
-    route = F.coalesce(_a("http.route"), F.lit(""))
-    route_pref = F.when(F.substring(route, 1, 1) == "/", route) \
-        .otherwise(F.concat(F.lit("/"), route))
-    target = F.coalesce(_a("http.target"), F.lit(""))
-    target_pref = F.when(F.substring(target, 1, 1) == "/", target) \
-        .otherwise(F.concat(F.lit("/"), target))
-    scheme = F.coalesce(_a("http.scheme"), F.lit(""))
-    http_host = F.coalesce(_a("http.host"), F.lit(""))
-    server_name = F.coalesce(_a("http.server_name"), F.lit(""))
-    host_name = F.coalesce(_a("net.host.name"), F.lit(""))
-    host_port = F.coalesce(_ai("net.host.port"), F.lit(0))
-    host_port_s = F.when(host_port != 0, host_port.cast("string")) \
-        .otherwise(F.lit(""))
-    peer_name = F.coalesce(_a("net.peer.name"), F.lit(""))
-    peer_ip = F.coalesce(_a("net.peer.ip"), F.lit(""))
-    peer_port = F.coalesce(_ai("net.peer.port"), F.lit(0))
-    peer_port_s = F.when(peer_port != 0, peer_port.cast("string")) \
-        .otherwise(F.lit(""))
-    http_url = F.coalesce(_a("http.url"), F.lit(""))
-    rpc_system = F.coalesce(_a("rpc.system"), F.lit(""))
-    msg_url = F.coalesce(_a("messaging.url"), F.lit(""))
-    peer = _peer_address()
+    method = F.col("_method")
+    route_pref = F.col("_route_pref")
+    target_pref = F.col("_target_pref")
+    scheme = F.col("_scheme")
+    http_host = F.col("_http_host")
+    server_name = F.col("_server_name")
+    host_name = F.col("_host_name")
+    host_port_s = F.col("_host_port_s")
+    peer_name = F.col("_peer_name")
+    peer_ip = F.col("_peer_ip")
+    peer_port_s = F.col("_peer_port_s")
+    http_url = F.col("_http_url")
+    rpc_system = F.col("_rpc_system")
+    msg_url = F.col("_msg_url")
+    peer = F.col("_peer")
 
     # -- name (:226-239 request, :313-323 dependency)
     item_name = (
@@ -248,6 +297,8 @@ def azure_envelopes(spans: DataFrame) -> DataFrame:
         .when((t == "rpc") & req,
               F.concat(rpc_system, F.lit(" "), F.col("name")))
         .otherwise(F.col("name")))
+    a3 = a2.select("*", item_name.alias("_item_name"))
+    item_name = F.col("_item_name")
 
     # -- request Url chain (:242-286) / dependency Data+Target (:326-384)
     req_url = F.when(t == "http", F.when(
@@ -285,31 +336,38 @@ def azure_envelopes(spans: DataFrame) -> DataFrame:
         (scheme != "") & (peer_ip != "") & (peer_port_s != "")
         & (target != ""),
         F.concat(peer_ip, F.lit(":"), peer_port_s))
+    a4 = a3.select(
+        "*",
+        F.when(req, req_url).alias("_req_url"),
+        F.when(~req, dep_http_data).alias("_dep_http_data"),
+        F.when(~req, dep_http_target).alias("_dep_http_target"))
 
     dep_data = (
-        F.when(t == "http", dep_http_data)
+        F.when(t == "http", F.col("_dep_http_data"))
         .when(t == "rpc", F.col("name"))
         .when(t == "db",
-              F.when(_nonempty(_a("db.statement")), _a("db.statement"))
-              .when(_nonempty(_a("db.operation")), _a("db.operation")))
+              F.when(_nonempty(F.col("_db_statement")),
+                     F.col("_db_statement"))
+              .when(_nonempty(F.col("_db_operation")),
+                    F.col("_db_operation")))
         .when(t == "messaging", msg_url))
     dep_target = (
-        F.when(t == "http", dep_http_target)
+        F.when(t == "http", F.col("_dep_http_target"))
         .when(t.isin("rpc", "db"), peer)
         .when(t == "messaging",
               F.when(msg_url != "", msg_url).otherwise(peer)))
     dep_type_base = (
         F.when(t == "http", F.lit("HTTP"))
         .when(t == "rpc", rpc_system)
-        .when(t == "db", _a("db.system"))
-        .when(t == "messaging", _a("messaging.system")))
+        .when(t == "db", F.col("_db_system"))
+        .when(t == "messaging", F.col("_msg_system")))
     dep_type = F.when(F.col("_kind") == "internal", F.lit("InProc")) \
         .otherwise(dep_type_base)
 
     req_source = (
         F.when(t == "http",
-               F.when(_nonempty(_a("http.client_ip")), _a("http.client_ip"))
-               .when(_nonempty(_a("net.peer.ip")), _a("net.peer.ip")))
+               F.when(_nonempty(F.col("_client_ip")), F.col("_client_ip"))
+               .when(F.col("_peer_ip") != "", F.col("_peer_ip")))
         .when(t == "rpc", peer)
         .when(t == "messaging",
               F.when(msg_url != "", msg_url).otherwise(peer)))
@@ -325,12 +383,7 @@ def azure_envelopes(spans: DataFrame) -> DataFrame:
     # request hits no switch case, so nothing is copied (:167-176)
     copied = ~(req & (t == "db"))
     empty_s = F.expr("cast(map() as map<string,string>)")
-    props = F.when(
-        copied,
-        merge_maps(F.transform_values(F.col("attrs_bool"),
-                                      lambda k, v: F.when(v, "true")
-                                      .otherwise("false")),
-                   F.col("attrs"), mode="upsert")).otherwise(empty_s)
+    empty_d = F.expr("cast(map() as map<string,double>)")
     status_props = F.map_concat(
         F.create_map(F.lit("otel.status_code"),
                      _enum_name(code, STATUS_NAMES),
@@ -339,8 +392,6 @@ def azure_envelopes(spans: DataFrame) -> DataFrame:
         F.when(_nonempty(F.col("status_message")),
                F.create_map(F.lit("otel.status_description"),
                             F.col("status_message"))).otherwise(empty_s))
-    props = merge_maps(props, status_props, mode="upsert")
-    props = merge_maps(props, F.col("resource"), mode="upsert")
     lib_props = F.map_concat(
         F.when(_nonempty(F.col("lib_name")),
                F.create_map(F.lit("instrumentationlibrary.name"),
@@ -348,14 +399,31 @@ def azure_envelopes(spans: DataFrame) -> DataFrame:
         F.when(_nonempty(F.col("lib_version")),
                F.create_map(F.lit("instrumentationlibrary.version"),
                             F.col("lib_version"))).otherwise(empty_s))
-    props = merge_maps(props, lib_props, mode="upsert")
-
-    empty_d = F.expr("cast(map() as map<string,double>)")
-    meas = F.when(
-        copied,
-        merge_maps(F.transform_values(F.col("attrs_int"),
-                                      lambda k, v: v.cast("double")),
-                   F.col("attrs_double"), mode="upsert")).otherwise(empty_d)
+    # each merge_maps references its ``existing`` side TWICE — staging
+    # one level per select keeps the re-reference a cheap attribute
+    a5 = a4.select(
+        "*",
+        F.when(
+            copied,
+            merge_maps(F.transform_values(F.col("attrs_bool"),
+                                          lambda k, v: F.when(v, "true")
+                                          .otherwise("false")),
+                       F.col("attrs"), mode="upsert")).otherwise(empty_s)
+        .alias("_props0"),
+        F.when(
+            copied,
+            merge_maps(F.transform_values(F.col("attrs_int"),
+                                          lambda k, v: v.cast("double")),
+                       F.col("attrs_double"), mode="upsert"))
+        .otherwise(empty_d).alias("_meas"))
+    a6 = a5.select("*", merge_maps(F.col("_props0"), status_props,
+                                   mode="upsert").alias("_props1"))
+    a7 = a6.select("*", merge_maps(F.col("_props1"), F.col("resource"),
+                                   mode="upsert").alias("_props2"))
+    a8 = a7.select("*", merge_maps(F.col("_props2"), lib_props,
+                                   mode="upsert").alias("_props3"))
+    props = F.col("_props3")
+    meas = F.col("_meas")
 
     # -- cloud role tags (:131-145)
     svc = F.try_element_at(F.col("resource"), F.lit("service.name"))
@@ -364,7 +432,7 @@ def azure_envelopes(spans: DataFrame) -> DataFrame:
                         F.when(ns.isNotNull(),
                                F.concat(ns, F.lit("."), svc)).otherwise(svc))
 
-    return df.select(
+    return a8.select(
         F.when(req, F.lit("Microsoft.ApplicationInsights.Request"))
         .otherwise(F.lit("Microsoft.ApplicationInsights.RemoteDependency"))
         .alias("envelope_name"),
@@ -385,8 +453,8 @@ def azure_envelopes(spans: DataFrame) -> DataFrame:
         success.alias("success"),
         # contracts fields default to "" (NewRequestData /
         # NewRemoteDependencyData), not null — unfilled stays empty
-        F.when(req, F.substring(F.coalesce(req_url, F.lit("")), 1, 2048))
-        .alias("url"),
+        F.when(req, F.substring(F.coalesce(F.col("_req_url"), F.lit("")),
+                                1, 2048)).alias("url"),
         F.when(req, F.substring(F.coalesce(req_source, F.lit("")), 1, 1024))
         .alias("source"),
         F.when(~req, F.substring(F.coalesce(dep_type, F.lit("")), 1, 1024))

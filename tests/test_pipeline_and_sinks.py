@@ -538,3 +538,56 @@ def test_pipeline_zero_route_sink_completes(spark, sf_dir, tmp_path):
               if e["status"] == "done"]
     assert sum(c.get("ghost-sink", 0) for c in counts) == 0
     assert sum(c.get("sumologic", 0) for c in counts) > 0
+
+
+# -- single-pass fan-out ------------------------------------------------------
+
+class _CountingParser:
+    """RegexParser wrapper that counts parsed input rows via an
+    accumulator — the instrument for proving the single-pass fan-out
+    claim (reference consumes each batch once for ALL exporters,
+    processor/routingprocessor/routing.go:152-161)."""
+
+    def __init__(self, acc):
+        from opentelemetry_collector_contrib_spark.operators.regex_parser import (
+            RegexParser)
+        self._inner = RegexParser()
+        self._acc = acc
+        self.backend = self._inner.backend
+
+    def apply(self, df):
+        acc = self._acc
+
+        def count_rows(batches):
+            for b in batches:
+                acc.add(b.num_rows)
+                yield b
+
+        return self._inner.apply(df.mapInArrow(count_rows, df.schema))
+
+
+def test_single_pass_fanout_scans_input_once(spark, sf_dir, tmp_path):
+    """With single_pass (default) the routed lineage is persisted, so
+    the scan + Arrow parse run ONCE for all 3 sinks; with it off, each
+    sink's write action recomputes the full lineage (3x the parse
+    work).  Outputs must be identical either way."""
+    n_rows = spark.read.parquet(f"{sf_dir}/tokens.parquet").count()
+
+    acc1 = spark.sparkContext.accumulator(0)
+    cfg1 = _cfg(sf_dir, str(tmp_path / "once"), n_units=2)
+    cfg1.parser = _CountingParser(acc1)
+    res = run_pipeline(spark, cfg1)
+    assert res["status"] == "complete" and res["rows_in"] == n_rows
+    assert acc1.value == n_rows          # ONE parse pass, 3 sinks
+
+    acc2 = spark.sparkContext.accumulator(0)
+    cfg2 = _cfg(sf_dir, str(tmp_path / "multi"), n_units=2)
+    cfg2.parser = _CountingParser(acc2)
+    cfg2.single_pass = False
+    run_pipeline(spark, cfg2)
+    assert acc2.value == 3 * n_rows      # the round-2 behavior: 1 pass/sink
+
+    for sink in ("sumologic", "loki", "default-sink"):
+        a = spark.read.parquet(f"{tmp_path}/once/sinks/{sink}/unit=*")
+        b = spark.read.parquet(f"{tmp_path}/multi/sinks/{sink}/unit=*")
+        assert rows(a, "doc_id", "tokens") == rows(b, "doc_id", "tokens")
