@@ -383,6 +383,51 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                     F.col("b.id").alias("id_b"), "cosine"))
 
 
+def embedding_neardup_blocked(df: DataFrame, dim: int,
+                              threshold: float = 0.95,
+                              n_planes: int = 8, n_tables: int = 2,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """LSH-blocked cosine near-dup pairs — the 100 TB path.
+
+    ``embedding_neardup_pairs`` above is an all-pairs ``a.id < b.id``
+    self-join: O(N²) candidate rows, a scale-killer on a real embedding
+    table.  This variant reuses the random-hyperplane buckets from
+    similarity.py (``lsh_buckets``): only vectors sharing a
+    (table, bucket) cell are scored, so candidate count is
+    ~N²/2^n_planes per table and the shuffle is keyed by bucket.  The
+    bucket join runs PAYLOAD-FREE (ids only); vectors join back after
+    the pair-dedup so the wide distinct never carries embeddings.
+
+    Recall contract: a pair is found iff it shares ≥1 bucket.  For the
+    near-DUPLICATE regime this targets (cosine ≥ ~0.95, i.e. angle ≤
+    18°) per-plane agreement is ≥0.9 and multi-table union makes misses
+    rare; exact-direction duplicates (the common corpus case: rescaled
+    or re-encoded copies) agree on EVERY plane and are found with
+    probability 1.  The all-pairs form stays as the small-N verifier
+    (tests assert blocked == brute on planted duplicates).
+    """
+    from .similarity import cosine_batch_udf, lsh_buckets
+    b = lsh_buckets(df, dim, n_planes, n_tables, id_col, vec_col).drop("v")
+    l, r = b.alias("l"), b.alias("r")
+    cand = (l.join(r, (F.col("l.table") == F.col("r.table"))
+                   & (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = (cand
+            .join(v.select(F.col("id").alias("id_a"),
+                           F.col("v").alias("va")), "id_a")
+            .join(v.select(F.col("id").alias("id_b"),
+                           F.col("v").alias("vb")), "id_b"))
+    cos = cosine_batch_udf(F.col("va"), F.col("vb"))
+    return (cand.withColumn("cosine", F.round(cos, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id",
                 salt: str = "sample") -> DataFrame:
     """Deterministic Bernoulli sample: keep rows whose portable hash of

@@ -136,7 +136,13 @@ def pq_adc_topk(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
             total = acc if total is None else total + acc
         return pd.Series(total)
 
-    pairs = queries.crossJoin(codes).where(F.col("query_id") != F.col("id"))
+    # Explicit broadcast: without stats the planner may pick a
+    # CartesianProduct (both sides shuffled) for the crossJoin; the
+    # query side is n_queries rows by contract, so pin
+    # BroadcastNestedLoopJoin — codes never move (plan-pinned in
+    # tests/test_plans.py).
+    pairs = (F.broadcast(queries).crossJoin(codes)
+             .where(F.col("query_id") != F.col("id")))
     scored = pairs.select("query_id", F.col("id").alias("neighbor_id"),
                           F.round(adc(F.col("qv"), F.col("codes")), 6)
                           .alias("adc_dist"))

@@ -323,22 +323,34 @@ def q_lang_source_pivot(spark, sf_dir):
 
 
 def q_inverted_index(spark, sf_dir):
-    """Inverted index (word -> posting list): document frequency,
-    id bounds, and an md5 of the ordered posting list per word.  The
-    classic search/dedup-support reduce: explode distinct words per
-    doc, ONE shuffle keyed by word; the posting list is aggregated
-    sorted so any engine emits identical bytes."""
-    d = _docs(spark, sf_dir)
+    """Inverted index (word -> posting summary): document frequency,
+    id bounds, and a deterministic COMMUTATIVE checksum of the posting
+    set.  Round-2 verdict item 5: the previous collect_list + sorted
+    md5 materialized the whole posting list in ONE aggregation-buffer
+    row — a stopword at corpus scale is a multi-GB row.  The checksum
+    is now sum(H(word:doc_id)) mod nothing (H < 2^32, so 2^31 postings
+    fit a bigint without overflow): constant per-group state, map-side
+    partial aggregation, no giant rows anywhere — the same reason HLL
+    replaces count-distinct-collect.  Order-independence makes it
+    combine across shards/partitions for free; md5 of the sum keeps
+    the fingerprint column a string for downstream parity checks."""
+    return inverted_index_summary(_docs(spark, sf_dir))
+
+
+def inverted_index_summary(d):
+    """(word, df, min_doc, max_doc, posting_md5) with constant
+    aggregation state per word — see q_inverted_index docstring."""
+    from .datapipe.hashing import portable_hash
     w = d.select("doc_id",
                  F.explode(F.array_distinct(norm_words(F.col("text"))))
                   .alias("word"))
+    h = portable_hash(F.concat(F.col("word"), F.lit(":"),
+                               F.col("doc_id").cast("string")))
     return (w.groupBy("word")
             .agg(F.count(F.lit(1)).alias("df"),
                  F.min("doc_id").alias("min_doc"),
                  F.max("doc_id").alias("max_doc"),
-                 F.md5(F.concat_ws(",", F.array_sort(
-                     F.collect_list(F.col("doc_id").cast("string")))))
-                  .alias("posting_md5")))
+                 F.md5(F.sum(h).cast("string")).alias("posting_md5")))
 
 
 def q_counter_rate(spark, sf_dir):
@@ -454,6 +466,17 @@ def q_ann_topk(spark, sf_dir):
 
 def q_embed_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
+def q_embed_neardup_blocked(spark, sf_dir):
+    """Scale-path near-dup: LSH-bucketed pairwise cosine (the all-pairs
+    q_embed_neardup stays as the small-N verifier).  The oracle replays
+    the identical hyperplane buckets, so the result — including which
+    wide-angle pairs the blocking (by design) prunes — is value-hash
+    checked end to end."""
+    from .datapipe.dedup import embedding_neardup_blocked
+    return embedding_neardup_blocked(_emb(spark, sf_dir), dim=64,
+                                     threshold=0.3)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -1556,8 +1579,9 @@ FROM documents GROUP BY source""",
   FROM documents)
 SELECT word, count(*)::BIGINT AS df,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc,
-       md5(string_agg(CAST(doc_id AS VARCHAR), ','
-                      ORDER BY CAST(doc_id AS VARCHAR))) AS posting_md5
+       md5(CAST(CAST(sum({portable_hash_sql(
+           "word || ':' || CAST(doc_id AS VARCHAR)")}) AS BIGINT)
+           AS VARCHAR)) AS posting_md5
 FROM w GROUP BY word""",
 
         "sessionize": """WITH ev AS (
@@ -1701,6 +1725,22 @@ p AS (
          round({_DOT_SQL} / (a.nrm * b.nrm), 6) AS cosine
   FROM nv a JOIN nv b ON a.id < b.id)
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""",
+
+        "embed_neardup_blocked": f"""WITH {_VEC_CTE},
+buckets AS (
+  SELECT id, v, nrm, 0 AS tbl, {_lsh_bucket_sql(0)} AS bucket FROM nv
+  UNION ALL
+  SELECT id, v, nrm, 1 AS tbl, {_lsh_bucket_sql(1)} AS bucket FROM nv
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         round({_DOT_SQL} / (a.nrm * b.nrm), 6) AS cosine
+  FROM cand c JOIN nv a ON a.id = c.id_a JOIN nv b ON b.id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3""",
 
         "textstats": f"""WITH {_textstats_base()}
 SELECT doc_id, {_pred_lang_sql()} AS pred_lang,
@@ -2274,6 +2314,7 @@ def extra_queries(tok_dir_for) -> dict:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "embed_neardup": q_embed_neardup,
+        "embed_neardup_blocked": q_embed_neardup_blocked,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "semdedup": q_semdedup,

@@ -92,6 +92,19 @@ def test_pq_adc_topk_shape_and_consistency(spark):
         assert all(r.neighbor_id != q for r in rows)
 
 
+def test_pq_adc_plan_broadcasts_queries(spark):
+    """Round-2 verdict item 7: the ADC crossJoin must plan as a
+    BroadcastNestedLoopJoin with the (tiny, n_queries-row) query side
+    broadcast — never a CartesianProduct, which would shuffle the full
+    codes table against it."""
+    from opentelemetry_collector_contrib_spark.datapipe.pq import pq_adc_topk
+    df, _ = _ivecs(spark, n=50)
+    plan = (pq_adc_topk(df, dim=64, n_queries=2, topk=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pq_rejects_bad_dims(spark):
     import pytest
     from opentelemetry_collector_contrib_spark.datapipe.pq import pq_encode
