@@ -56,10 +56,44 @@ def _fake_decode(checksum: str) -> tuple[int, int]:
     return 16 + d0 % 240, 16 + d1 % 240
 
 
+def _pil():
+    """Import Pillow if available, else None — the real decode path is
+    gated on this (the codec libs are an OPTIONAL dependency; without
+    them the stub raises exactly as before)."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
     if not fake:
-        # real path needs PIL/ffmpeg etc. — not in this container
-        raise NotImplementedError("image/audio decode requires codec libs")
+        Image = _pil()
+        if Image is None:
+            # real path needs PIL — not in every container
+            raise NotImplementedError(
+                "image decode requires Pillow (pip install pillow); "
+                "use fake=True for the deterministic test path")
+        import io
+
+        def dims(payload):
+            try:
+                with Image.open(io.BytesIO(bytes(payload))) as im:
+                    return im.width, im.height, True
+            except Exception:
+                return 0, 0, False       # undecodable blob: flagged, kept
+
+        decoded = pdf["payload"].map(dims)
+        return pd.DataFrame({
+            "media_id": pdf["media_id"],
+            "kind": pdf["kind"],
+            "n_bytes": pdf["payload"].map(len).astype("int32"),
+            "checksum": pdf["payload"].map(_checksum),
+            "width": decoded.map(lambda t: t[0]).astype("int32"),
+            "height": decoded.map(lambda t: t[1]).astype("int32"),
+            "ok": decoded.map(lambda t: t[2]).astype(bool),
+        })
     checksums = pdf["payload"].map(_checksum)
     dims = checksums.map(_fake_decode)
     return pd.DataFrame({
@@ -99,11 +133,46 @@ def resize_images(df: DataFrame, target_w: int = 224,
     ``arrow.maxRecordsPerBatch`` for multi-MB blobs and never groupBy
     the resized frame directly — extract features first.
     """
+    def _real_resize(pdf: pd.DataFrame) -> pd.DataFrame:
+        Image = _pil()
+        if Image is None:
+            raise NotImplementedError(
+                "image resize requires Pillow (pip install pillow); "
+                "use fake=True for the deterministic test path")
+        import io
+        out = {"media_id": [], "kind": [], "payload": [], "width": [],
+               "height": [], "target_w": [], "target_h": [], "scale": [],
+               "ok": []}
+        for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                      pdf["payload"]):
+            try:
+                with Image.open(io.BytesIO(bytes(payload))) as im:
+                    w, h = im.width, im.height
+                    s = min(target_w / w, target_h / h, 1.0)
+                    tw, th = max(1, int(w * s)), max(1, int(h * s))
+                    buf = io.BytesIO()
+                    im.resize((tw, th)).save(buf, format="PNG")
+                    out["payload"].append(buf.getvalue())
+                    out["width"].append(w); out["height"].append(h)
+                    out["target_w"].append(tw); out["target_h"].append(th)
+                    out["scale"].append(s); out["ok"].append(True)
+            except Exception:
+                out["payload"].append(bytes(payload))
+                out["width"].append(0); out["height"].append(0)
+                out["target_w"].append(0); out["target_h"].append(0)
+                out["scale"].append(0.0); out["ok"].append(False)
+            out["media_id"].append(mid); out["kind"].append(kind)
+        pdf2 = pd.DataFrame(out)
+        for c, t in (("width", "int32"), ("height", "int32"),
+                     ("target_w", "int32"), ("target_h", "int32")):
+            pdf2[c] = pdf2[c].astype(t)
+        return pdf2
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "image resize requires codec libs")
+                yield _real_resize(pdf)
+                continue
             checksums = pdf["payload"].map(_checksum)
             dims = checksums.map(_fake_decode)
             w = dims.map(lambda t: t[0]).astype("int32")

@@ -79,8 +79,11 @@ def _dup_fracs(elems: list[str]) -> tuple[float, float]:
 
 
 def _features_py(text: str) -> tuple:
-    lines = [ln for ln in text.split("\n") if ln.strip()]
-    paras = [p for p in text.split("\n\n") if p.strip()]
+    # ASCII whitespace only — str.strip() trims the full Unicode set,
+    # but the DuckDB oracle's trim() covers only these six chars; a
+    # U+00A0-only line must count as non-empty in BOTH engines
+    lines = [ln for ln in text.split("\n") if ln.strip(" \t\n\r\f\v")]
+    paras = [p for p in text.split("\n\n") if p.strip(" \t\n\r\f\v")]
     lf, lcf = _dup_fracs(lines)
     pf, pcf = _dup_fracs(paras)
     words = [w for w in _WS.split(text) if w]

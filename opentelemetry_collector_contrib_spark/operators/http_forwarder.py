@@ -28,12 +28,18 @@ _URL_RX = re.compile(r"^[a-z][a-z0-9+.-]*://[^/?#]+", re.IGNORECASE)
 
 def _header_add(headers, key: str, value):
     """Go http.Header.Add as a map<string,string> transform: append to
-    the existing comma-joined value list, else insert."""
-    existing = F.element_at(headers, F.lit(key))
-    merged = F.when(existing.isNotNull(),
-                    F.concat(existing, F.lit(", "), value)) \
+    the existing comma-joined value list, else insert.  Matching is
+    CASE-INSENSITIVE (Go canonicalizes header field names — an incoming
+    'via' or 'x-tenant' merges into the canonical-cased key instead of
+    surviving as a duplicate entry); any existing case-variants fold
+    into one canonical entry, values joined in map order."""
+    kl = key.lower()
+    matches = F.map_filter(headers, lambda k, _: F.lower(k) == F.lit(kl))
+    joined = F.array_join(F.map_values(matches), ", ")
+    merged = F.when(F.size(F.map_keys(matches)) > 0,
+                    F.concat(joined, F.lit(", "), value)) \
               .otherwise(value)
-    kept = F.map_filter(headers, lambda k, _: k != key)
+    kept = F.map_filter(headers, lambda k, _: F.lower(k) != F.lit(kl))
     return F.map_concat(
         kept, F.map_from_arrays(F.array(F.lit(key)), F.array(merged)))
 
@@ -60,8 +66,12 @@ def forward_requests(df: DataFrame, egress_endpoint: str,
     egress_base = m.group(0)
     fwd_host = egress_base.split("://", 1)[1]
 
+    # (?i): _URL_RX validates egress config with re.IGNORECASE; the JVM
+    # regexp must match the same case-insensitively or an uppercase
+    # scheme (HTTP://...) would silently keep its original host
     fwd_url = F.regexp_replace(
-        F.col(url_col), _URL_RX.pattern, egress_base.replace("$", r"\$"))
+        F.col(url_col), "(?i)" + _URL_RX.pattern,
+        egress_base.replace("$", r"\$"))
     headers = F.col(headers_col)
     for k, v in (extra_headers or {}).items():
         headers = _header_add(headers, k, F.lit(v))

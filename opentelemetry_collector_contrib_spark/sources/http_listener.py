@@ -73,31 +73,31 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(body)
 
     def do_GET(self):                 # POST-only (receiver.go:96)
-        self.server.listener.rejected += 1
+        self.server.listener._bump("rejected")
         self._reply(405)
 
     def do_POST(self):
         srv = self.server.listener
         route = ROUTES.get(self.path)
         if route is None:
-            srv.rejected += 1
+            srv._bump("rejected")
             return self._reply(404)
         subdir, ctypes = route
         ctype = (self.headers.get("Content-Type") or "").lower()
         if ctype not in ctypes:       # receiver.go:186 content-type gate
-            srv.rejected += 1
+            srv._bump("rejected")
             return self._reply(415)
         try:
             length = int(self.headers.get("Content-Length", ""))
         except ValueError:
-            srv.rejected += 1
+            srv._bump("rejected")
             return self._reply(411)
         body = self.rfile.read(length)
         if len(body) != length or length == 0:
-            srv.rejected += 1
+            srv._bump("rejected")
             return self._reply(400)
         srv._spool(subdir, body)
-        srv.accepted += 1
+        srv._bump("accepted")
         self._reply(200, HEC_ACK if subdir == "hec" else b"{}")
 
 
@@ -115,8 +115,15 @@ class HttpSpoolListener:
         self._thread: threading.Thread | None = None
         self.accepted = 0
         self.rejected = 0
+        # handler threads (ThreadingHTTPServer) bump concurrently —
+        # unsynchronized += loses counts under parallel POSTs
+        self._count_lock = threading.Lock()
         for sub, _ in ROUTES.values():
             os.makedirs(os.path.join(spool_dir, sub), exist_ok=True)
+
+    def _bump(self, counter: str) -> None:
+        with self._count_lock:
+            setattr(self, counter, getattr(self, counter) + 1)
 
     # -- spool ---------------------------------------------------------
     def _spool(self, subdir: str, body: bytes) -> str:

@@ -277,11 +277,50 @@ def test_multimodal_features(spark):
         assert len(r["checksum"]) == 32
 
 
-def test_multimodal_real_decode_is_stubbed():
+def _has_pil():
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL installed: real path active")
+def test_multimodal_real_decode_raises_without_pil():
     import pandas as pd
     with pytest.raises(NotImplementedError):
         decode_image_batch(pd.DataFrame({"media_id": ["m"], "kind": ["image"],
                                          "payload": [b"x"]}), fake=False)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="needs Pillow")
+def test_multimodal_real_decode_with_pil(spark):
+    """Real decode path (optional dependency): a PIL-generated PNG
+    decodes to its true dimensions; a garbage blob is flagged ok=False
+    rather than killing the batch."""
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 30)).save(buf, format="PNG")
+    rows = [("ok-1", "image", bytearray(buf.getvalue()), "image/png",
+             buf.getbuffer().nbytes),
+            ("bad-1", "image", bytearray(b"not an image"), "image/png", 12)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           extract_features(df, fake=False).collect()}
+    assert (got["ok-1"]["width"], got["ok-1"]["height"]) == (40, 30)
+    assert got["ok-1"]["ok"] and not got["bad-1"]["ok"]
+
+    from opentelemetry_collector_contrib_spark.datapipe.multimodal import (
+        resize_images)
+    out = {r["media_id"]: r for r in
+           resize_images(df, target_w=20, target_h=20,
+                         fake=False).collect()}
+    assert (out["ok-1"]["target_w"], out["ok-1"]["target_h"]) == (20, 15)
+    with Image.open(io.BytesIO(bytes(out["ok-1"]["payload"]))) as im:
+        assert (im.width, im.height) == (20, 15)
+    assert not out["bad-1"]["ok"]
 
 
 def test_multimodal_resize_plumbing(spark):

@@ -36,6 +36,32 @@ def test_extra_headers_added_and_merged(spark):
     assert out[1]["X-Tenant"] == "edge"
 
 
+def test_uppercase_scheme_still_rewritten(spark):
+    # the egress validator is IGNORECASE; the JVM rewrite must match
+    # the same way or HTTP://... keeps targeting the original host
+    df = _df(spark, [(0, "HTTP://In.Example:5000/v1/logs?x=1",
+                      "HTTP/1.1", "In.Example:5000", {})])
+    r = forward_requests(df, "https://gw.example:4318").collect()[0]
+    assert r["fwd_url"] == "https://gw.example:4318/v1/logs?x=1"
+
+
+def test_header_add_is_case_insensitive(spark):
+    # Go http.Header canonicalizes field names: an incoming 'x-tenant'
+    # or 'VIA' merges into the canonical key, never a duplicate entry
+    df = _df(spark, [
+        (0, "http://a/p", "HTTP/1.1", "a", {"x-tenant": "old"}),
+        (1, "http://a/p", "HTTP/1.1", "in.example",
+         {"VIA": "HTTP/1.0 upstream"}),
+    ])
+    out = {r["id"]: r["headers"]
+           for r in forward_requests(
+               df, "http://gw", {"X-Tenant": "edge"}).collect()}
+    assert out[0]["X-Tenant"] == "old, edge"
+    assert "x-tenant" not in out[0]
+    assert out[1]["Via"] == "HTTP/1.0 upstream, HTTP/1.1 in.example"
+    assert "VIA" not in out[1]
+
+
 def test_via_header_chains(spark):
     df = _df(spark, [
         (0, "http://a/p", "HTTP/1.1", "in.example",

@@ -12,6 +12,7 @@ import json
 import urllib.error
 import urllib.request
 
+import pytest
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.sources.http_listener import (
@@ -39,6 +40,9 @@ def _post(url, body, ctype="application/x-protobuf", headers=None):
 
 
 def test_listener_gates_and_spools(tmp_path):
+    # ONE try/finally around the whole body: an assertion failure
+    # anywhere must still stop the server thread (a leaked listener
+    # holds its port for the rest of the session)
     lst = HttpSpoolListener(str(tmp_path / "spool"))
     lst.start()
     try:
@@ -50,11 +54,9 @@ def test_listener_gates_and_spools(tmp_path):
         code, _ = _post(lst.url + WIRE_PATH, body, ctype="text/plain")
         assert code == 415
         # POST-only gate (receiver.go:96)
-        with urllib.request.urlopen(lst.url + WIRE_PATH, timeout=30) as r:
-            pass
-    except urllib.error.HTTPError as e:
-        assert e.code == 405
-    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(lst.url + WIRE_PATH, timeout=30)
+        assert exc.value.code == 405
         # unknown path
         code, _ = _post(lst.url + "/nope", b"x")
         assert code == 404
