@@ -709,6 +709,22 @@ def q_trace_sessions(spark, sf_dir):
                      lambda s: s.event_type), "|").alias("event_seq_s")))
 
 
+def q_batch_split(spark, sf_dir):
+    """batchpertrace Split analog (pkg/batchpertrace/batchpertrace.go:
+    20-65) over events: resource = event_type, trace = user_id,
+    order = event_id.  batch_seq is the first-appearance position of
+    the trace's batch within its resource group — exactly the slice
+    index the reference's Split returns; cast to long to match
+    DuckDB's BIGINT dense_rank."""
+    from .operators.batchpertrace import split_per_trace
+    out = split_per_trace(_events(spark, sf_dir),
+                          resource_cols=["event_type"],
+                          trace_col="user_id", order_col="event_id")
+    return out.select("event_id", "event_type", "user_id",
+                      F.col("batch_seq").cast("long").alias("batch_seq"),
+                      "batch_id")
+
+
 def q_hec_parse(spark, sf_dir, tok_dir):
     df = spark.read.parquet(os.path.join(tok_dir, "hec.parquet"))
     out = splunk_hec_events(df)
@@ -1970,6 +1986,16 @@ FROM events GROUP BY 1, 2""",
            AS event_seq_s
 FROM events GROUP BY user_id""",
 
+        "batch_split": """WITH fs AS (
+  SELECT event_id, event_type, user_id,
+         min(event_id) OVER (PARTITION BY event_type, user_id) AS first_seen
+  FROM events)
+SELECT event_id, event_type, user_id,
+       dense_rank() OVER (PARTITION BY event_type ORDER BY first_seen)
+           AS batch_seq,
+       event_type || '/' || CAST(user_id AS VARCHAR) AS batch_id
+FROM fs""",
+
         "hec_parse": f"""SELECT
   CAST(trunc(CAST(json_extract_string(body, '$.time') AS DOUBLE) * 1e9)
        AS BIGINT) AS ts_ns,
@@ -2336,6 +2362,7 @@ def extra_queries(tok_dir_for) -> dict:
         "span_metrics": q_span_metrics,
         "window_rollup": q_window_rollup,
         "trace_sessions": q_trace_sessions,
+        "batch_split": q_batch_split,
         "hec_parse": with_tok(q_hec_parse),
         "media_features": with_tok(q_media_features),
         "media_resize": with_tok(q_media_resize),
