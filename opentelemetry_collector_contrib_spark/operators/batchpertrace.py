@@ -12,10 +12,18 @@ id column — ``batch_seq`` numbers batches in first-appearance order
 within each (resource, library) group, and ``batch_id`` is the full
 (resource, library, trace) key a downstream ``write.partitionBy`` or
 ``groupBy`` consumes to materialize one physical batch per trace.
-Plan: ONE shuffle keyed by (resource, lib, trace) computing the
-first-appearance rank via min(order) + dense_rank — no per-trace
-driver loop, no collect; at 100 TB the batch count is unbounded and
-never materializes driver-side.
+Plan: ONE shuffle total — the frame is pre-partitioned on the
+(resource, lib) group key, which satisfies BOTH window requirements
+(the per-batch min(order) needs clustering by (resource, lib, trace),
+and hashpartitioning on the coarser group prefix already co-locates
+those rows — Spark's subset rule; the dense_rank needs exactly the
+group clustering).  The naive chain costs two exchanges: a fine
+hash(resource, lib, trace) for the min, then a coarse hash(resource,
+lib) for the rank.  The rank's coarse clustering is unavoidable
+(first-appearance numbering is a per-group total order), so the fine
+exchange is the one to delete.  No per-trace driver loop, no collect;
+at 100 TB the batch count is unbounded and never materializes
+driver-side.
 """
 
 from __future__ import annotations
@@ -47,6 +55,10 @@ def split_per_trace(df: DataFrame,
     lib_cols = lib_cols or []
     group = [F.col(c) for c in resource_cols + lib_cols]
     batch_key = group + [F.col(trace_col)]
+    if group:
+        # one exchange for both windows: hash(group) co-locates every
+        # (group, trace) batch AND gives the rank its group clustering
+        df = df.repartition(*group)
     # first-appearance position of this trace's batch = min(order) over
     # the batch, ranked within the (resource, lib) group
     w_batch = Window.partitionBy(*batch_key)

@@ -74,3 +74,18 @@ def test_batch_seq_first_appearance_order(spark):
     seq = {r["trace_id"]: r["batch_seq"] for r in got}
     assert seq == {"zz-first-seen": 1, "aa-second-seen": 2,
                    "mm-third-seen": 3}
+
+
+def test_split_plan_has_one_exchange(spark):
+    # both windows (per-batch min + per-group dense_rank) must ride
+    # ONE hash(group) exchange — the subset rule makes the coarse
+    # partitioning satisfy the finer (group, trace) clustering
+    import re
+    rows = [("svc", "l", f"t{i % 3}", f"s{i}", i) for i in range(20)]
+    out = split_per_trace(
+        spark.createDataFrame(rows, _SCHEMA),
+        resource_cols=["service"], lib_cols=["lib_name"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(
+        r"Exchange hashpartitioning|Exchange SinglePartition", plan))
+    assert n_ex == 1, plan
