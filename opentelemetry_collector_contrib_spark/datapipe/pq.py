@@ -102,18 +102,12 @@ def pq_encode(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
                      F.col("e.recon_err").alias("recon_err"))
 
 
-def pq_adc_topk(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
-                n_queries: int = 3, topk: int = 3,
-                id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
-    """ADC search: the first ``n_queries`` ids (raw vectors) against the
-    PQ codes of the whole table.  Query LUTs broadcast; scoring is a
-    narrow lookup-sum per (query, code-row) pair."""
+def _adc_udf(dim: int, m: int, k: int):
+    """ADC scorer (qv raw vector, code row) -> distance; left-assoc
+    per-dim and per-subspace accumulation, shared by the flat ADC
+    search and the IVF-PQ composite so both are bit-identical to the
+    oracle's inlined CASE chains."""
     import numpy as np
-    codes = pq_encode(df, dim, m, k, id_col, vec_col)
-    queries = (df.where(F.col(id_col) < n_queries)
-               .select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qv")))
     C = codebooks(dim, m, k)
     sub = dim // m
 
@@ -135,7 +129,21 @@ def pq_adc_topk(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
                 acc = acc + diff * diff
             total = acc if total is None else total + acc
         return pd.Series(total)
+    return adc
 
+
+def pq_adc_topk(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
+                n_queries: int = 3, topk: int = 3,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """ADC search: the first ``n_queries`` ids (raw vectors) against the
+    PQ codes of the whole table.  Query LUTs broadcast; scoring is a
+    narrow lookup-sum per (query, code-row) pair."""
+    codes = pq_encode(df, dim, m, k, id_col, vec_col)
+    queries = (df.where(F.col(id_col) < n_queries)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv")))
+    adc = _adc_udf(dim, m, k)
     # Explicit broadcast: without stats the planner may pick a
     # CartesianProduct (both sides shuffled) for the crossJoin; the
     # query side is n_queries rows by contract, so pin
@@ -187,3 +195,87 @@ def pq_encode_sql(dim: int, m: int = M_SUB, k: int = K_CODES) -> str:
 ), pq_e AS (
   SELECT id, v, {', '.join(ccols)}, {err} AS recon_err FROM pq_d
 )"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite (IVFADC, Jegou et al. §IV): coarse lists prune the
+# candidate set, ADC over codes scores it — the full billion-vector
+# recipe (FAISS IndexIVFPQ shape).
+# ---------------------------------------------------------------------------
+
+def ivfpq_index(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
+                n_lists: int | None = None, nprobe: int | None = None,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """The coded inverted file: (id, v, list_id, probes, codes).
+
+    One narrow stage, ZERO shuffles: both pandas UDFs (coarse assign,
+    PQ encode) evaluate in the same projection over the scan — the
+    index build at 10^12 vectors is a single map pass whose output is
+    written partitioned by list_id.  Reuses the exact `_assign_udf` /
+    `_encode_udf` kernels so assignments and codes stay bit-identical
+    to their oracles."""
+    from .ivf import _assign_udf, N_LISTS, NPROBE
+    n_lists = N_LISTS if n_lists is None else n_lists
+    nprobe = NPROBE if nprobe is None else nprobe
+    a = _assign_udf(n_lists, dim, nprobe)
+    e = _encode_udf(dim, m, k)
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+            .withColumn("_a", a(F.col("v")))
+            .withColumn("_e", e(F.col("v")))
+            .select("id", "v",
+                    F.col("_a.list_id").alias("list_id"),
+                    F.col("_a.probes").alias("probes"),
+                    F.col("_e.codes").alias("codes")))
+
+
+def ivfpq_topk(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
+               n_lists: int | None = None, nprobe: int | None = None,
+               n_queries: int = 3, topk: int = 3,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               persist: bool = True) -> DataFrame:
+    """IVF-PQ search: each query probes its ``nprobe`` nearest lists
+    and ADC-scores ONLY the codes in those lists.
+
+    vs the flat ADC search (`pq_adc_topk`, scans every code) the scan
+    shrinks by ~nprobe/n_lists; vs raw IVF (`ivf_topk`, joins float
+    vectors) the candidates carry 1-byte-scale codes, never vectors.
+    The query side (a handful of rows) is broadcast onto the coded
+    lists — BroadcastHashJoin on probe == list_id; the index table
+    never moves."""
+    index = ivfpq_index(df, dim, m, k, n_lists, nprobe, id_col, vec_col)
+    if persist:
+        index = index.persist()     # consumed by query + candidate side
+    queries = (index.where(F.col("id") < n_queries)
+               .select(F.col("id").alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.explode("probes").alias("probe")))
+    cand = (F.broadcast(queries)
+            .join(index.select(F.col("id").alias("neighbor_id"),
+                               "list_id", "codes"),
+                  F.col("probe") == F.col("list_id"))
+            .where(F.col("query_id") != F.col("neighbor_id")))
+    adc = _adc_udf(dim, m, k)
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(adc(F.col("qv"), F.col("codes")), 6).alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= topk))
+
+
+def ivfpq_adc_dist_sql(dim: int, m: int = M_SUB, k: int = K_CODES) -> str:
+    """ADC distance expression between query relation alias ``q``
+    (raw v) and coded relation alias ``t`` (c0..c{m-1}) — the same
+    CASE-per-subspace chain as the flat ADC oracle."""
+    terms = []
+    for mi in range(m):
+        cases = " ".join(
+            f"WHEN t.c{mi} = {c} THEN ({_sub_dist_sql(mi, c, dim, m)})"
+            for c in range(k))
+        terms.append(f"(CASE {cases} END)")
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = f"({dist} + {t})"
+    return dist.replace("v[", "q.v[")

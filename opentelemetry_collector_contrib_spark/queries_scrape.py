@@ -1145,6 +1145,43 @@ SELECT query_id, neighbor_id, adc_dist,
 FROM scored QUALIFY rank <= 3"""
 
 
+def q_ivfpq(spark, sf_dir, tok_dir) -> DataFrame:
+    """IVF-PQ composite search (IVFADC): coarse lists prune the
+    candidate set, ADC over PQ codes scores it — the full
+    billion-vector recipe, oracle-checked end-to-end (inlined centroid
+    assignment + probe-2 candidates + CASE-chain ADC distances)."""
+    from .datapipe.pq import ivfpq_topk
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivfpq_topk(emb, dim=64, n_queries=3, topk=3)
+
+
+def _ivfpq_oracle(d: str) -> str:
+    from .datapipe.ivf import ivf_assign_sql, ivf_probe2_sql
+    from .datapipe.pq import ivfpq_adc_dist_sql, pq_encode_sql
+    from .queries_ext import _VEC_CTE
+    dist = ivfpq_adc_dist_sql(64)
+    return f"""WITH {_VEC_CTE}, {ivf_assign_sql(64)}, {pq_encode_sql(64)},
+probed AS (
+  SELECT id, list_id, {ivf_probe2_sql()} AS probe2 FROM ivf_a
+), qprobes AS (
+  SELECT id, list_id AS probe FROM probed
+  UNION ALL
+  SELECT id, probe2 FROM probed
+), cand AS (
+  SELECT qp.id AS query_id, t2.id AS neighbor_id
+  FROM qprobes qp JOIN ivf_a t2 ON qp.probe = t2.list_id AND qp.id <> t2.id
+  WHERE qp.id < 3
+), scored AS (
+  SELECT c.query_id, c.neighbor_id, round({dist}, 6) AS adc_dist
+  FROM cand c JOIN nv q ON q.id = c.query_id
+              JOIN pq_e t ON t.id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist, neighbor_id) AS rank
+FROM scored QUALIFY rank <= 3"""
+
+
 def q_domain_filter(spark, sf_dir, tok_dir) -> DataFrame:
     """Domain-blocklist curation: URLs appended deterministically to the
     documents (none contain URLs natively), every third doc citing a
@@ -2439,6 +2476,7 @@ def scrape_queries() -> dict:
         "domain_filter": q_domain_filter,
         "pq_codes": q_pq_codes,
         "pq_adc": q_pq_adc,
+        "ivfpq_adc": q_ivfpq,
         "emf_events": q_emf_events,
         "dynatrace_lines": q_dynatrace,
         "sentry_transactions": q_sentry,
@@ -2555,6 +2593,7 @@ def scrape_oracles(d: str) -> dict[str, str]:
         "domain_filter": _domain_oracle(d),
         "pq_codes": _pq_oracle(d),
         "pq_adc": _pq_adc_oracle(d),
+        "ivfpq_adc": _ivfpq_oracle(d),
         "emf_events": _emf_oracle(d),
         "dynatrace_lines": _dynatrace_oracle(d),
         "sentry_transactions": _sentry_oracle_wrap(d),

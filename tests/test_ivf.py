@@ -111,3 +111,42 @@ def test_pq_rejects_bad_dims(spark):
     df, _ = _ivecs(spark, n=5)
     with pytest.raises(ValueError):
         pq_encode(df, dim=63)
+
+
+def test_ivfpq_candidates_subset_and_dists_match_flat_adc(spark):
+    """IVF-PQ = flat ADC restricted to probed lists: every returned
+    pair's adc_dist equals the flat search's distance for that pair,
+    and every neighbor's list is among the query's probes."""
+    from opentelemetry_collector_contrib_spark.datapipe.ivf import ivf_assign
+    from opentelemetry_collector_contrib_spark.datapipe.pq import (
+        ivfpq_topk, pq_adc_topk)
+    df, _ = _ivecs(spark, n=80)
+    out = ivfpq_topk(df, dim=64, n_queries=2, topk=3).collect()
+    assert {r.query_id for r in out} == {0, 1}
+    assigned = {r["id"]: (r["list_id"], r["probes"]) for r in
+                ivf_assign(df, dim=64).collect()}
+    for r in out:
+        probes = assigned[r.query_id][1]
+        assert assigned[r.neighbor_id][0] in probes
+        assert r.neighbor_id != r.query_id
+    # flat ADC distances for the same pairs (rank-free comparison)
+    flat = {(r.query_id, r.neighbor_id): r.adc_dist for r in
+            pq_adc_topk(df, dim=64, n_queries=2, topk=80).collect()}
+    for r in out:
+        assert flat[(r.query_id, r.neighbor_id)] == r.adc_dist
+
+
+def test_ivfpq_plan_broadcasts_queries_no_index_shuffle(spark):
+    """The probe join must be a BroadcastHashJoin with the exploded
+    query side broadcast — the coded index never exchanges."""
+    from opentelemetry_collector_contrib_spark.datapipe.pq import ivfpq_topk
+    df, _ = _ivecs(spark, n=50)
+    plan = (ivfpq_topk(df, dim=64, n_queries=2, topk=3, persist=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # only exchanges allowed: the broadcast itself + the final top-k
+    # window's hash(query_id); the index side must not hash-exchange
+    import re
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert all("query_id" in ln for ln in ex), plan
