@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""spark-submit entry point: end-to-end training-corpus curation.
+
+    spark-submit --py-files otelcol_spark.zip jobs/run_curation.py \
+        --docs /path/documents.parquet --out /path/curated \
+        [--jaccard 0.5] [--val-permille 100]
+
+Runs the composed cascade (datapipe/curation.py::curation_pipeline):
+Gopher quality gate -> exact-dup survivors -> MinHash-LSH fuzzy dedup
+with transitive (connected-component) survivors -> PII scrub ->
+deterministic train/val split, writing parquet partitioned by split.
+The stage funnel is printed as one JSON line; every count is an
+Observation aggregate riding the single write action — no extra scans.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--out", required=True, help="output dir")
+    ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument("--val-permille", type=int, default=100)
+    ap.add_argument("--quality", default="gopher",
+                    choices=["gopher", "score", "none"])
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from opentelemetry_collector_contrib_spark.session import get_spark
+        spark = get_spark(app_name="otelcol-curation")
+
+    from opentelemetry_collector_contrib_spark.datapipe.curation import (
+        curation_pipeline)
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    out, obs = curation_pipeline(docs, jaccard_threshold=args.jaccard,
+                                 val_permille=args.val_permille,
+                                 quality=args.quality,
+                                 min_quality=args.min_quality)
+    (out.write.mode("overwrite").partitionBy("split").parquet(args.out))
+    funnel = {stage: int(o.get["n"]) for stage, o in obs.items()}
+    print(json.dumps({"status": "complete", "out": args.out,
+                      "funnel": funnel}))
+
+
+if __name__ == "__main__":
+    main()

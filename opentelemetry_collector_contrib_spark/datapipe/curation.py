@@ -247,3 +247,84 @@ def contamination(train: DataFrame, bench: DataFrame, k: int = 3,
                  F.count_distinct(F.when(F.col("_hit") == 1, F.col("g")))
                  .cast("bigint").alias("n_overlap"))
             .withColumn("contaminated", F.col("n_overlap") > 0))
+
+
+# ---------------------------------------------------------------------------
+# the composed curation cascade (the datapipe counterpart of
+# plans/pipeline.py's parse->enrich->route->aggregate DAG)
+# ---------------------------------------------------------------------------
+
+def curation_pipeline(docs: DataFrame, jaccard_threshold: float = 0.5,
+                      val_permille: int = 100, quality: str = "gopher",
+                      min_quality: float = 0.0,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet/Gopher-shaped corpus curation as ONE Spark DAG:
+
+        quality gate (Gopher rules) -> exact-dup survivors (longest)
+        -> fuzzy dedup (MinHash-LSH pairs -> connected components ->
+           transitive min-id survivors) -> PII scrub
+        -> deterministic train/val split
+
+    ``quality`` picks the gate: 'gopher' (the paper's rule battery —
+    its published thresholds, e.g. >=50 words, are meant for web
+    documents and reject very short corpora wholesale), 'score' (the
+    fused textstats quality_score >= ``min_quality`` — tunable), or
+    'none'.
+
+    Returns ``(curated DataFrame, observations dict)``.  Every stage
+    count comes from an ``Observation`` aggregate attached IN the
+    lineage, so the funnel report (input -> quality_pass ->
+    exact_unique -> fuzzy_unique rows) costs ZERO extra scans — the
+    numbers materialize with whatever single action consumes the
+    result (`jobs/run_curation.py` reads them after its write).
+
+    Scale notes: the exact-survivor frame is persisted because the
+    fuzzy stage consumes it three ways (shingle/signature side, both
+    verify sides, and the final survivor join); connected components
+    localCheckpoints per iteration (plan truncation);
+    everything else is linear.  At 100 TB the only wide ops are the
+    md5-keyed survivor window, the LSH band shuffle, and the CC joins
+    — all keyed by uniform hashes.
+    """
+    from pyspark.sql import Observation
+
+    from .cluster import cluster_survivors, connected_components
+    from .dedup import dedup_survivors, minhash_lsh_dedup, train_split_column
+    from .quality_rules import gopher_filter
+    from .textstats import scrub_pii
+
+    obs: dict[str, Observation] = {}
+
+    def observed(df: DataFrame, stage: str) -> DataFrame:
+        obs[stage] = Observation()
+        return df.observe(obs[stage], F.count(F.lit(1)).alias("n"))
+
+    docs = observed(docs, "input")
+    if quality == "gopher":
+        gated = gopher_filter(docs, text_col)
+    elif quality == "score":
+        from .textstats import text_features
+        scores = text_features(docs.select(F.col(id_col), F.col(text_col)),
+                               text_col)
+        gated = (docs.join(
+            scores.where(F.col("quality_score") >= min_quality)
+            .select(id_col), id_col))
+    elif quality == "none":
+        gated = docs
+    else:
+        raise ValueError(f"unknown quality gate {quality!r}")
+    gated = observed(gated, "quality_pass")
+    exact = (dedup_survivors(gated, text_col, id_col, policy="longest")
+             .drop("dup_count"))
+    exact = observed(exact, "exact_unique").persist()
+    pairs = minhash_lsh_dedup(exact, threshold=jaccard_threshold,
+                              text_col=text_col, id_col=id_col)
+    clusters = connected_components(
+        exact.select(F.col(id_col).alias("id")),
+        pairs.select("id_a", "id_b"))
+    fuzzy = observed(cluster_survivors(exact, clusters, id_col),
+                     "fuzzy_unique")
+    scrubbed = scrub_pii(fuzzy, text_col, out_col="clean_text")
+    out = scrubbed.withColumn(
+        "split", train_split_column(id_col, val_permille))
+    return out, obs

@@ -440,3 +440,52 @@ def test_tfidf_keywords_ranking(spark):
     assert got[("c", 1)]["word"] == "durian"
     assert got[("c", 1)]["df"] == 1
     assert len([k for k in got if k[0] == "b"]) == 2
+
+
+def test_curation_pipeline_funnel(spark, tmp_path):
+    """Composed cascade (quality gate -> exact dedup -> fuzzy dedup ->
+    PII scrub -> split): funnel counts are monotone, observations fire
+    with the single write action, survivors match running the stages
+    individually."""
+    from opentelemetry_collector_contrib_spark.datapipe.cluster import (
+        cluster_survivors, connected_components)
+    from opentelemetry_collector_contrib_spark.datapipe.curation import (
+        curation_pipeline)
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+        dedup_survivors, minhash_lsh_dedup)
+    from opentelemetry_collector_contrib_spark.datapipe.textstats import (
+        text_features)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    # 'score' gate: the synthetic docs are far below Gopher's published
+    # >=50-word web threshold (that path is exercised below)
+    out, obs = curation_pipeline(docs, jaccard_threshold=0.5,
+                                 quality="score", min_quality=0.8)
+    out.write.mode("overwrite").parquet(str(tmp_path / "curated"))
+    funnel = {k: int(o.get["n"]) for k, o in obs.items()}
+    assert (funnel["input"] >= funnel["quality_pass"]
+            >= funnel["exact_unique"] >= funnel["fuzzy_unique"] > 0)
+    assert funnel["input"] > funnel["quality_pass"]   # the gate gates
+    written = spark.read.parquet(str(tmp_path / "curated"))
+    assert written.count() == funnel["fuzzy_unique"]
+    assert set(r["split"] for r in
+               written.select("split").distinct().collect()) <= {
+                   "train", "val"}
+    assert "clean_text" in written.columns
+    # survivors equal the manually-chained stages
+    feats = text_features(docs)
+    gated = docs.join(
+        feats.where(feats.quality_score >= 0.8).select("doc_id"), "doc_id")
+    exact = dedup_survivors(gated, policy="longest").drop("dup_count")
+    pairs = minhash_lsh_dedup(exact, threshold=0.5)
+    want = {r["doc_id"] for r in cluster_survivors(
+        exact, connected_components(
+            exact.selectExpr("doc_id AS id"),
+            pairs.select("id_a", "id_b"))).collect()}
+    got = {r["doc_id"] for r in written.select("doc_id").collect()}
+    assert got == want
+    # the strict Gopher gate rejects this corpus wholesale — the
+    # cascade must produce a clean EMPTY result, not crash
+    out2, obs2 = curation_pipeline(docs, quality="gopher")
+    assert out2.count() == 0
+    assert int(obs2["quality_pass"].get["n"]) == 0
