@@ -57,11 +57,17 @@ _ASSIGN_TYPE = T.StructType([
 ])
 
 
-def _assign_udf(n_lists: int, dim: int, nprobe: int):
+def _assign_udf(n_lists: int, dim: int, nprobe: int, C=None):
     """(list_id, probes): nearest centroid + the nprobe nearest, by
-    squared L2, left-assoc per dimension, ties to the lowest index."""
+    squared L2, left-assoc per dimension, ties to the lowest index.
+    ``C`` (n_lists x dim ndarray) drops in a TRAINED coarse quantizer
+    (e.g. `kmeans.kmeans_fit`); default = the seeded oracle-checkable
+    centroids.  The array is captured in the UDF closure — Spark
+    broadcasts it with the serialized task, the production pattern for
+    shipping a trained model to every executor."""
     import numpy as np
-    C = centroids(n_lists, dim)
+    C = centroids(n_lists, dim) if C is None else np.asarray(C, dtype=np.float64)
+    n_lists = C.shape[0]
 
     @F.pandas_udf(_ASSIGN_TYPE)
     def assign(v: pd.Series) -> pd.DataFrame:
@@ -90,9 +96,10 @@ def _assign_udf(n_lists: int, dim: int, nprobe: int):
 
 def ivf_assign(df: DataFrame, dim: int, n_lists: int = N_LISTS,
                nprobe: int = NPROBE, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """Add (list_id, probes) to each vector — one Arrow hop."""
-    a = _assign_udf(n_lists, dim, nprobe)
+               vec_col: str = "embedding", centroids_arr=None) -> DataFrame:
+    """Add (list_id, probes) to each vector — one Arrow hop.
+    ``centroids_arr`` drops in a trained coarse quantizer."""
+    a = _assign_udf(n_lists, dim, nprobe, centroids_arr)
     return (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
             .withColumn("_a", a(F.col("v")))
             .select("id", "v", F.col("_a.list_id").alias("list_id"),
@@ -101,12 +108,14 @@ def ivf_assign(df: DataFrame, dim: int, n_lists: int = N_LISTS,
 
 def ivf_topk(df: DataFrame, dim: int, k: int = 3, n_lists: int = N_LISTS,
              nprobe: int = NPROBE, id_col: str = "vec_id",
-             vec_col: str = "embedding", persist: bool = True) -> DataFrame:
+             vec_col: str = "embedding", persist: bool = True,
+             centroids_arr=None) -> DataFrame:
     """Approximate top-k: each query scores only vectors whose inverted
     list is among its nprobe probes.  Candidate generation joins bare
     ids + list ids; vectors ride only into the scoring step."""
     from .similarity import cosine_batch_udf
-    assigned = ivf_assign(df, dim, n_lists, nprobe, id_col, vec_col)
+    assigned = ivf_assign(df, dim, n_lists, nprobe, id_col, vec_col,
+                          centroids_arr)
     if persist:
         assigned = assigned.persist()   # consumed by both join sides
     q = (assigned.select(F.col("id").alias("query_id"),

@@ -71,13 +71,14 @@ def _q_array(vec_col):
         x.cast("double") * F.lit(QSCALE) + F.lit(0.5)).cast("long"))
 
 
-def kmeans_fit_assign(df: DataFrame, k: int = 8, iters: int = 2,
-                      id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
-    """Run ``iters`` Lloyd rounds; return (id, cluster) under the FINAL
-    centroids.  Init: the vectors of the k smallest ids (deterministic,
-    SQL-expressible; swap for k-means|| sampling at production scale)."""
-    dim = len(df.select(vec_col).first()[0])
+def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Run the distributed Lloyd loop and return ``(base frame,
+    final centroids ndarray)`` — the centroids are the trained
+    quantizer to broadcast into `ivf_assign`/`ivfpq_*` via their
+    ``centroids_arr`` drop-in.  Init: the vectors of the k smallest
+    ids (deterministic, SQL-expressible; swap for k-means|| sampling
+    at production scale)."""
     seeds = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
     cent = _quantize(np.array([list(r[1]) for r in seeds],
                               dtype=np.float64)) / QSCALE
@@ -85,11 +86,8 @@ def kmeans_fit_assign(df: DataFrame, k: int = 8, iters: int = 2,
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("v"),
                      _q_array(F.col(vec_col)).alias("q"))
-    assigned = None
-    for it in range(iters):
+    for _ in range(max(iters - 1, 0)):
         assigned = base.withColumn("cluster", _assign_udf(cent)(F.col("v")))
-        if it == iters - 1:
-            break
         sums = (assigned
                 .select("cluster", F.posexplode("q").alias("d", "qv"))
                 .groupBy("cluster", "d")
@@ -103,7 +101,18 @@ def kmeans_fit_assign(df: DataFrame, k: int = 8, iters: int = 2,
             for d, (s, n) in dims.items():
                 new[j, d] = float(s) / n / QSCALE
         cent = new
-    return assigned.select("id", "cluster")
+    return base, cent
+
+
+def kmeans_fit_assign(df: DataFrame, k: int = 8, iters: int = 2,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Run ``iters`` Lloyd rounds; return (id, cluster) under the FINAL
+    centroids (iters assigns, iters-1 centroid updates — unchanged
+    numerics, now via `kmeans_fit`)."""
+    base, cent = kmeans_fit(df, k, iters, id_col, vec_col)
+    return (base.withColumn("cluster", _assign_udf(cent)(F.col("v")))
+            .select("id", "cluster"))
 
 
 def kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64,

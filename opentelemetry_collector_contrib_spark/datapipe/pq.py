@@ -58,9 +58,9 @@ _ENC_TYPE = T.StructType([
 ])
 
 
-def _encode_udf(dim: int, m: int, k: int):
+def _encode_udf(dim: int, m: int, k: int, C=None):
     import numpy as np
-    C = codebooks(dim, m, k)
+    C = codebooks(dim, m, k) if C is None else np.asarray(C, dtype=np.float64)
     sub = dim // m
 
     @F.pandas_udf(_ENC_TYPE)
@@ -91,24 +91,26 @@ def _encode_udf(dim: int, m: int, k: int):
 
 def pq_encode(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """(id, codes array<int>, recon_err): one Arrow hop per batch."""
+              vec_col: str = "embedding", codebooks_arr=None) -> DataFrame:
+    """(id, codes array<int>, recon_err): one Arrow hop per batch.
+    ``codebooks_arr`` (m x k x dim/m) drops in TRAINED codebooks
+    (`train_ivfpq`); default = the seeded oracle-checkable ones."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    enc = _encode_udf(dim, m, k)
+    enc = _encode_udf(dim, m, k, codebooks_arr)
     return df.select(F.col(id_col).alias("id"),
                      enc(F.col(vec_col).cast("array<double>")).alias("e")) \
              .select("id", F.col("e.codes").alias("codes"),
                      F.col("e.recon_err").alias("recon_err"))
 
 
-def _adc_udf(dim: int, m: int, k: int):
+def _adc_udf(dim: int, m: int, k: int, C=None):
     """ADC scorer (qv raw vector, code row) -> distance; left-assoc
     per-dim and per-subspace accumulation, shared by the flat ADC
     search and the IVF-PQ composite so both are bit-identical to the
     oracle's inlined CASE chains."""
     import numpy as np
-    C = codebooks(dim, m, k)
+    C = codebooks(dim, m, k) if C is None else np.asarray(C, dtype=np.float64)
     sub = dim // m
 
     @F.pandas_udf(T.DoubleType())
@@ -206,7 +208,8 @@ def pq_encode_sql(dim: int, m: int = M_SUB, k: int = K_CODES) -> str:
 def ivfpq_index(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
                 n_lists: int | None = None, nprobe: int | None = None,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                centroids_arr=None, codebooks_arr=None) -> DataFrame:
     """The coded inverted file: (id, v, list_id, probes, codes).
 
     One narrow stage, ZERO shuffles: both pandas UDFs (coarse assign,
@@ -218,8 +221,8 @@ def ivfpq_index(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
     from .ivf import _assign_udf, N_LISTS, NPROBE
     n_lists = N_LISTS if n_lists is None else n_lists
     nprobe = NPROBE if nprobe is None else nprobe
-    a = _assign_udf(n_lists, dim, nprobe)
-    e = _encode_udf(dim, m, k)
+    a = _assign_udf(n_lists, dim, nprobe, centroids_arr)
+    e = _encode_udf(dim, m, k, codebooks_arr)
     return (df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
             .withColumn("_a", a(F.col("v")))
@@ -234,7 +237,8 @@ def ivfpq_topk(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
                n_lists: int | None = None, nprobe: int | None = None,
                n_queries: int = 3, topk: int = 3,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               persist: bool = True) -> DataFrame:
+               persist: bool = True,
+               centroids_arr=None, codebooks_arr=None) -> DataFrame:
     """IVF-PQ search: each query probes its ``nprobe`` nearest lists
     and ADC-scores ONLY the codes in those lists.
 
@@ -244,7 +248,8 @@ def ivfpq_topk(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
     The query side (a handful of rows) is broadcast onto the coded
     lists — BroadcastHashJoin on probe == list_id; the index table
     never moves."""
-    index = ivfpq_index(df, dim, m, k, n_lists, nprobe, id_col, vec_col)
+    index = ivfpq_index(df, dim, m, k, n_lists, nprobe, id_col, vec_col,
+                        centroids_arr, codebooks_arr)
     if persist:
         index = index.persist()     # consumed by query + candidate side
     queries = (index.where(F.col("id") < n_queries)
@@ -256,7 +261,7 @@ def ivfpq_topk(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
                                "list_id", "codes"),
                   F.col("probe") == F.col("list_id"))
             .where(F.col("query_id") != F.col("neighbor_id")))
-    adc = _adc_udf(dim, m, k)
+    adc = _adc_udf(dim, m, k, codebooks_arr)
     scored = cand.select(
         "query_id", "neighbor_id",
         F.round(adc(F.col("qv"), F.col("codes")), 6).alias("adc_dist"))
@@ -279,3 +284,52 @@ def ivfpq_adc_dist_sql(dim: int, m: int = M_SUB, k: int = K_CODES) -> str:
     for t in terms[1:]:
         dist = f"({dist} + {t})"
     return dist.replace("v[", "q.v[")
+
+
+def _lloyd_np(X, k: int, iters: int, seed: int):
+    """Plain numpy Lloyd on a sample: deterministic seeded init (first
+    k rows of a seeded permutation), empty clusters re-seeded to the
+    farthest point.  Returns (k x dim) centroids."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    C = X[rng.permutation(len(X))[:k]].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            mask = a == j
+            if mask.any():
+                C[j] = X[mask].mean(axis=0)
+            else:
+                C[j] = X[d.min(axis=1).argmax()]
+    return C
+
+
+def train_ivfpq(df: DataFrame, dim: int, m: int = M_SUB, k: int = K_CODES,
+                n_lists: int | None = None, sample_n: int = 65536,
+                iters: int = 10, seed: int = 0,
+                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Train (coarse centroids, PQ codebooks) on a BOUNDED sample —
+    the FAISS pattern: quantizers are fit on O(sample_n) vectors
+    driver-side, then broadcast to every executor through the
+    ``centroids_arr``/``codebooks_arr`` drop-ins; the full corpus is
+    never collected.  The sample is the ``sample_n`` smallest ids
+    (deterministic; at production scale feed `dedup.hash_sample`
+    output instead).  Driver memory: sample_n x dim doubles.
+
+    For the exact-oracle variant keep the default seeded quantizers;
+    trained ones trade bit-checkability for lower quantization error
+    (asserted in tests: trained recon_err < seeded recon_err).
+    """
+    import numpy as np
+    from .ivf import N_LISTS
+    n_lists = N_LISTS if n_lists is None else n_lists
+    rows = (df.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_n).collect())
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    cents = _lloyd_np(X, n_lists, iters, seed)
+    sub = dim // m
+    books = np.stack([
+        _lloyd_np(X[:, mi * sub:(mi + 1) * sub], k, iters, seed + 1 + mi)
+        for mi in range(m)])
+    return cents, books

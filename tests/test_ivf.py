@@ -150,3 +150,36 @@ def test_ivfpq_plan_broadcasts_queries_no_index_shuffle(spark):
     import re
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert all("query_id" in ln for ln in ex), plan
+
+
+def test_trained_quantizers_drop_in_and_beat_seeded(spark):
+    """The trained-model contract: centroids from the sample trainer
+    (or the distributed kmeans_fit) flow through ivf_assign /
+    pq_encode / ivfpq_topk unchanged, and trained codebooks fit the
+    data strictly better than the seeded stand-ins (lower mean
+    reconstruction error)."""
+    from opentelemetry_collector_contrib_spark.datapipe.pq import (
+        ivfpq_topk, pq_encode, train_ivfpq)
+    df, _ = _ivecs(spark, n=120)
+    cents, books = train_ivfpq(df, dim=64, sample_n=120, iters=5)
+    assert cents.shape == (16, 64) and books.shape == (4, 4, 16)
+    seeded = (pq_encode(df, dim=64)
+              .agg({"recon_err": "avg"}).collect()[0][0])
+    trained = (pq_encode(df, dim=64, codebooks_arr=books)
+               .agg({"recon_err": "avg"}).collect()[0][0])
+    assert trained < seeded
+    out = ivfpq_topk(df, dim=64, n_queries=2, topk=3,
+                     centroids_arr=cents, codebooks_arr=books).collect()
+    assert {r.query_id for r in out} == {0, 1}
+    assert all(r.neighbor_id != r.query_id for r in out)
+
+
+def test_distributed_kmeans_centroids_drop_into_ivf(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.ivf import ivf_assign
+    from opentelemetry_collector_contrib_spark.datapipe.kmeans import (
+        kmeans_fit)
+    df, _ = _ivecs(spark, n=80)
+    _, cent = kmeans_fit(df, k=8, iters=2)
+    got = ivf_assign(df, dim=64, nprobe=2, centroids_arr=cent).collect()
+    assert {r["list_id"] for r in got} <= set(range(8))
+    assert all(len(r["probes"]) == 2 for r in got)
