@@ -58,14 +58,17 @@ def grams_py(words: list[str]) -> list[str]:
     return words + [f"{a} {b}" for a, b in zip(words, words[1:])]
 
 
-def logit_py(text: str | None, n_buckets: int = N_BUCKETS) -> tuple:
-    """Python twin: (n_grams, logit)."""
+def logit_py(text: str | None, n_buckets: int = N_BUCKETS,
+             W=None) -> tuple:
+    """Python twin: (n_grams, logit).  ``W`` (length-n_buckets array)
+    drops in TRAINED weights; default = the seeded per-bucket hash."""
     gs = grams_py(_norm_words_py(text))
     if not gs:
         return 0, 0.0
     acc = 0.0
     for g in gs:                       # left-assoc, document order
-        acc += weight(bucket(g, n_buckets))
+        j = bucket(g, n_buckets)
+        acc += weight(j) if W is None else float(W[j])
     return len(gs), acc / len(gs)
 
 
@@ -79,20 +82,23 @@ _CLF_TYPE = T.StructType([
 ])
 
 
-def _clf_udf(n_buckets: int):
+def _clf_udf(n_buckets: int, W=None):
     @F.pandas_udf(_CLF_TYPE)
     def clf(texts: pd.Series) -> pd.DataFrame:
-        rows = [logit_py(t, n_buckets) for t in texts]
+        rows = [logit_py(t, n_buckets, W) for t in texts]
         return pd.DataFrame(rows, columns=["n_grams", "logit"])
     return clf
 
 
 def quality_scores(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
-                   n_buckets: int = N_BUCKETS) -> DataFrame:
+                   n_buckets: int = N_BUCKETS, weights=None) -> DataFrame:
     """Per-document classifier output:
-    (doc_id, n_grams, logit rounded to 6, label)."""
-    u = _clf_udf(n_buckets)
+    (doc_id, n_grams, logit rounded to 6, label).  ``weights`` drops
+    in a trained vector (`fit_quality_clf`) — closure-captured, so it
+    ships to executors with the task (O(n_buckets) floats); the seeded
+    default stays DuckDB-checkable."""
+    u = _clf_udf(n_buckets, weights)
     out = df.select(F.col(id_col).alias("doc_id"),
                     u(F.col(text_col)).alias("_c"))
     logit = F.round(F.col("_c.logit"), 6)
@@ -137,3 +143,42 @@ SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
             ELSE list_reduce(ws, (a, b) -> a + b) / len(grams) > 0
        END AS label
 FROM bw"""
+
+
+# ---------------------------------------------------------------------------
+# trained weights (the production drop-in for the seeded stand-in)
+# ---------------------------------------------------------------------------
+
+def fit_quality_clf(df: DataFrame, label_col: str = "label",
+                    text_col: str = "text", n_buckets: int = N_BUCKETS,
+                    sample_n: int = 65536, epochs: int = 20,
+                    lr: float = 2.0, id_col: str = "doc_id"):
+    """Fit the fastText-style linear layer on a BOUNDED labeled sample
+    (full-batch logistic regression over the hashed mean-of-grams
+    features — the same featurization `quality_scores` applies, so the
+    trained vector is an exact drop-in via its ``weights`` param).
+
+    The sample is the ``sample_n`` smallest ids (deterministic; feed a
+    `dedup.hash_sample` for production corpora).  Driver memory:
+    n_buckets floats + the sampled gram index lists — the corpus is
+    never collected.  Returns the weight ndarray.
+    """
+    import numpy as np
+    rows = (df.select(id_col, text_col, label_col).orderBy(id_col)
+            .limit(sample_n).collect())
+    feats = []     # per-doc bucket index array
+    y = np.array([1.0 if r[2] else 0.0 for r in rows])
+    for r in rows:
+        gs = grams_py(_norm_words_py(r[1]))
+        feats.append(np.array([bucket(g, n_buckets) for g in gs],
+                              dtype=np.int64))
+    W = np.zeros(n_buckets)
+    for _ in range(epochs):
+        grad = np.zeros(n_buckets)
+        for idx, yi in zip(feats, y):
+            if len(idx) == 0:
+                continue
+            p = 1.0 / (1.0 + math.exp(-float(W[idx].sum() / len(idx))))
+            np.add.at(grad, idx, (p - yi) / len(idx))
+        W -= lr * grad / max(len(rows), 1)
+    return W

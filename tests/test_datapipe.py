@@ -489,3 +489,33 @@ def test_curation_pipeline_funnel(spark, tmp_path):
     out2, obs2 = curation_pipeline(docs, quality="gopher")
     assert out2.count() == 0
     assert int(obs2["quality_pass"].get["n"]) == 0
+
+
+def test_fit_quality_clf_beats_seeded_weights(spark):
+    """Trained-model drop-in: logistic weights fit on a labeled sample
+    separate a synthetic clean-vs-gibberish corpus near-perfectly,
+    where the seeded stand-in is chance; same featurization, same
+    quality_scores surface."""
+    from opentelemetry_collector_contrib_spark.datapipe.quality_clf import (
+        fit_quality_clf, quality_scores)
+    clean = ("this is a clean well formed informative document about "
+             "science and history with useful sentences")
+    junk = "zxq vbn qqq kkz pp zz xx yy qq ww ee rr tt uu garbage spam"
+    rows = []
+    for i in range(120):
+        base = clean if i % 2 == 0 else junk
+        rows.append((i, f"{base} variant {i % 7}", i % 2 == 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    train = df.where(F.col("doc_id") < 80)
+    test = df.where(F.col("doc_id") >= 80)
+    W = fit_quality_clf(train, sample_n=80)
+    scored = quality_scores(test, weights=W).join(
+        test.select("doc_id", F.col("label").alias("want")), "doc_id")
+    got = scored.collect()
+    acc = sum(1 for r in got if r["label"] == r["want"]) / len(got)
+    assert acc >= 0.95
+    seeded = quality_scores(test).join(
+        test.select("doc_id", F.col("label").alias("want")), "doc_id")
+    seeded_acc = sum(1 for r in seeded.collect()
+                     if r["label"] == r["want"]) / len(got)
+    assert acc > seeded_acc
