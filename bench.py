@@ -50,7 +50,12 @@ HEADLINE = ["parse_agg", "enrich", "route_rows", "pipeline_e2e",
             # harness, stays gate-checked but is ~2x the bytes work.)
             "wire_batch",
             # curation batteries (fused single-hop doc filters) + DSIR
-            "gopher_repetition", "c4_rules", "dsir_weights"]
+            "gopher_repetition", "c4_rules", "dsir_weights",
+            # round-3 additions: IVF-PQ composite ANN (coded lists,
+            # broadcast probes), LSH-blocked embedding near-dup (the
+            # scale twin of the all-pairs verifier), batchpertrace
+            # one-exchange window split
+            "ivfpq_adc", "embed_neardup_blocked", "batch_split"]
 # ann_ivf is gate-checked at sf0.01 but not a headline: its fixed
 # 16-list quantizer is sized for the oracle's inlined SQL — at bench
 # scale IVF needs n_lists ~ sqrt(N) (see docs/SCALE.md), and ann_lsh
