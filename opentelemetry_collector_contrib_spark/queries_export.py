@@ -154,6 +154,13 @@ def q_azure(spark, sf_dir, tok_dir) -> DataFrame:
         .alias("lib_name"),
         F.when(t % 6 >= 2, F.lit("1.2")).otherwise(F.lit(""))
         .alias("lib_version"))
+    # Codegen-stage break (test-fixture-only): without it the span
+    # synthesis above FUSES into azure_envelopes' staged projections and
+    # the single processNext() blows the JVM 64 KB method limit ("ERROR
+    # CodeGenerator … Code grows beyond 64 KB" → interpreted fallback).
+    # Each side compiles fine alone; production inputs arrive from a
+    # scan, so the operator never sees this shape outside the gate.
+    spans = spans.repartition(spark.sparkContext.defaultParallelism)
     return azure_envelopes(spans)
 
 
