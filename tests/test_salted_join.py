@@ -42,6 +42,23 @@ def test_salted_join_key_includes_salt(spark):
     assert "_salt" in plan    # the shuffle/join key carries the salt
 
 
+def test_salted_join_caps_hot_group_size(spark):
+    """Quantitative skew bound: the 70%-hot key's 1400 big-side rows
+    shuffle as (key, salt) groups, so no single reducer group exceeds
+    ~1/8 of them.  White-box: re-derives the operator's default salt
+    (xxhash64, seed 7) because the join output drops _salt and AQE
+    coalescing makes output-partition probes unreliable on tiny data."""
+    big, small = _frames(spark)
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in big.columns]),
+            F.lit(7)), F.lit(8)).cast("int"))
+    biggest = (b.groupBy("key", "_salt").count()
+               .agg(F.max("count")).collect()[0][0])
+    # unsalted, the hot reducer group is 1400 rows; salted it is ~175
+    assert biggest <= 1400 * 0.25
+
+
 def test_streaming_exact_dedup_drops_cross_batch_dupes(spark, tmp_path):
     """Exact dedup under Structured Streaming: dropDuplicates keys state
     on doc_id, so a duplicate arriving in a LATER micro-batch is
