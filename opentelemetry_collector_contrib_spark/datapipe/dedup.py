@@ -10,9 +10,12 @@ Scale notes (100 TB):
 - exact dedup: hash-groupBy — map-side partial agg, one shuffle keyed
   by 128-bit digest (uniform, no skew).
 - n-gram Jaccard: shingle-explode + self-equi-join on shingle.  The
-  shuffle is keyed by shingle hash; stopword-like ultra-hot shingles
-  are the skew risk, so shingles are k-grams (k>=3) which are already
-  near-unique; AQE skew-split covers the tail.
+  shuffle is keyed by shingle hash; a boilerplate k-gram shared by D
+  docs fans out to D(D-1)/2 join rows, which no salt fixes (the pairs
+  really exist) — the scale path is ``ngram_jaccard_pairs_capped``,
+  which drops shingles with document frequency > max_df via a
+  broadcast anti-join (per-shingle fan-out <= max_df^2); the uncapped
+  form is the small-N / LSH-candidate verifier.
 - MinHash+LSH: signature is 16 mins computed in ONE aggregation over
   the exploded shingles (no per-hash pass); band buckets then
   equi-join — the classic sub-quadratic path; candidate pairs are
@@ -28,7 +31,7 @@ import re
 from functools import lru_cache
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -143,6 +146,58 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, k: int = 3,
     # NB: jaccard is left unrounded — the long/long double division is
     # bit-identical across engines, so the oracle compares raw doubles
     # (rounding could disagree on exact decimal halves).
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (inter
+            .withColumn("jaccard", jac)
+            .filter(jac >= threshold)
+            .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard"))
+
+
+def ngram_jaccard_pairs_capped(df: DataFrame, threshold: float = 0.5,
+                               k: int = 3, max_df: int = 64,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Scale-path twin of :func:`ngram_jaccard_pairs`: Jaccard over the
+    DISCRIMINATIVE shingle space only — shingles whose document
+    frequency exceeds ``max_df`` (stopword-like k-grams shared by huge
+    swaths of the corpus) are dropped from both the candidate join and
+    the set sizes before pairing.
+
+    Why this is the production form: in the uncapped operator a shingle
+    appearing in D docs fans out to D(D-1)/2 join rows — one boilerplate
+    header shared by 1% of a web corpus is a quadratic hot key no salt
+    can fix (the pairs really exist).  Capping bounds per-shingle
+    fan-out at max_df^2 rows, and the dropped shingles carry no dedup
+    signal anyway.  Plan shape: the hot-shingle set is O(hot) tiny, so
+    it is removed with a BROADCAST left-anti join (fact side never
+    shuffles for the filter); the doc-frequency count itself is a
+    map-side-combined groupBy keyed by shingle (aggregation, not
+    pairing — hot keys partial-combine instead of fanning out).
+
+    Semantics are exact over the filtered space: sizes are recomputed
+    from the kept shingles, so ``jaccard = |A∩B| / |A∪B|`` over
+    discriminative shingles; docs with zero kept shingles drop out.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingles_udf(k)(F.col(text_col)).alias("sh")))
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    hot = (ex.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > max_df)
+           .select("g"))
+    kept = ex.join(F.broadcast(hot), "g", "left_anti")
+    # kept-set size per doc via a window, not agg+join-back: ONE
+    # exchange of the big side (hashpartitioning id) instead of two.
+    exk = kept.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    a, b = exk.alias("a"), exk.alias("b")
+    inter = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"),
+                      F.col("a.sz").alias("sz_a"),
+                      F.col("b.sz").alias("sz_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (inter
             .withColumn("jaccard", jac)

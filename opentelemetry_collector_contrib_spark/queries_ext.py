@@ -418,6 +418,19 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_near_corpus(spark, sf_dir), threshold=0.5, k=3)
 
 
+def q_jaccard_capped(spark, sf_dir):
+    """Scale-path twin of dedup_jaccard (datapipe/dedup.py::
+    ngram_jaccard_pairs_capped): shingles with document frequency
+    > max_df are dropped via a broadcast anti-join before pairing, so
+    per-shingle join fan-out is bounded by max_df^2 — the form you
+    actually run on a web corpus where one boilerplate k-gram shared
+    by 1% of docs is a quadratic hot key.  Jaccard is exact over the
+    kept (discriminative) shingle space."""
+    from .datapipe.dedup import ngram_jaccard_pairs_capped
+    return ngram_jaccard_pairs_capped(
+        _near_corpus(spark, sf_dir), threshold=0.5, k=3, max_df=4)
+
+
 def q_sample_split(spark, sf_dir):
     """Deterministic 30% sample + train/val hash split, verified as
     per-(lang, split) counts (resume-safe curation subsetting)."""
@@ -962,6 +975,46 @@ _RATE_LIMIT_SQL = """WITH ev AS (
   FROM ev
 )
 SELECT event_id, event_type, t_ms FROM rk WHERE rn <= 4"""
+
+
+def q_resource_detect(spark, sf_dir):
+    """resourcedetection battery (operators/resource_detection.py):
+    constant detected attributes merged into every row in both modes —
+    Insert (existing wins; a NULL existing value takes the detected
+    one) and Upsert (detected wins unconditionally), plus a brand-new
+    key that appears in both (resourcedetection_processor.go:33-67,
+    internal/resourcedetection.go:176-189).  Aggregated per (mode,
+    host, cloud_region) so the oracle compares the full merge matrix."""
+    from .operators.resource_detection import resource_detection
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_id") % 3 != 0,
+               F.concat(F.lit("h"), (F.col("event_id") % 5).cast("string")))
+        .alias("host"))
+    det = {"host": "det-host", "cloud_region": "us-east-1"}
+    ins = resource_detection(ev, det, override=False) \
+        .withColumn("mode", F.lit("insert"))
+    ups = resource_detection(ev, det, override=True) \
+        .withColumn("mode", F.lit("upsert"))
+    return (ins.unionByName(ups)
+            .groupBy("mode", "host", "cloud_region")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+_RESOURCE_DETECT_SQL = """WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 <> 0
+              THEN 'h' || CAST(event_id % 5 AS VARCHAR) END AS host
+  FROM events
+), merged AS (
+  SELECT 'insert' AS mode, COALESCE(host, 'det-host') AS host,
+         'us-east-1' AS cloud_region FROM ev
+  UNION ALL
+  SELECT 'upsert' AS mode, 'det-host' AS host,
+         'us-east-1' AS cloud_region FROM ev
+)
+SELECT mode, host, cloud_region, CAST(count(*) AS BIGINT) AS n
+FROM merged GROUP BY mode, host, cloud_region"""
 
 
 def q_c4(spark, sf_dir):
@@ -1686,6 +1739,24 @@ SELECT doc_id, dup_count FROM r WHERE rn = 1""",
         "dedup_jaccard": f"""WITH {NEAR_CORPUS_SQL}, {_shingle_cte()}, {_JACCARD_CTE}
 SELECT id_a, id_b, inter, sz_a, sz_b, jaccard FROM jac WHERE jaccard >= 0.5""",
 
+        "jaccard_capped": f"""WITH {NEAR_CORPUS_SQL}, {_shingle_cte()},
+hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > 4),
+exk AS (
+  SELECT id, g, count(*) OVER (PARTITION BY id)::BIGINT AS sz
+  FROM ex WHERE g NOT IN (SELECT g FROM hot)
+), inter2 AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         count(*)::BIGINT AS inter
+  FROM exk a JOIN exk b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+), jac2 AS (
+  SELECT id_a, id_b, inter, sz_a, sz_b,
+         inter / (sz_a + sz_b - inter) AS jaccard
+  FROM inter2
+)
+SELECT id_a, id_b, inter, sz_a, sz_b, jaccard
+FROM jac2 WHERE jaccard >= 0.5""",
+
         "sample_split": f"""WITH h AS (
   SELECT doc_id, lang,
          {portable_hash_sql("'sample:' || CAST(doc_id AS VARCHAR)")} AS hs,
@@ -2044,6 +2115,7 @@ FROM s""",
         "gopher_repetition": _repetition_sql(),
         "c4_rules": _c4_sql(),
         "rate_limit": _RATE_LIMIT_SQL,
+        "resource_detect": _RESOURCE_DETECT_SQL,
         "gopher_rules": """WITH f AS (
   SELECT doc_id,
     list_filter(regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
@@ -2324,6 +2396,7 @@ def extra_queries(tok_dir_for) -> dict:
         "lm_logprob": q_lm_logprob,
         "topk_docs": q_topk_docs,
         "dedup_jaccard": q_dedup_jaccard,
+        "jaccard_capped": q_jaccard_capped,
         "line_dedup": q_line_dedup,
         "asof_enrich": q_asof_enrich,
         "sessionize": q_sessionize,
@@ -2379,6 +2452,7 @@ def extra_queries(tok_dir_for) -> dict:
         "gopher_repetition": q_gopher_repetition,
         "c4_rules": q_c4,
         "rate_limit": q_rate_limit,
+        "resource_detect": q_resource_detect,
         "dsir_weights": q_dsir,
         "kmeans_clusters": q_kmeans,
         "span_removal": with_tok(q_span_removal),

@@ -60,6 +60,36 @@ def test_jaccard_matches_python(spark):
     assert ("d1", "d3") in got
 
 
+def test_jaccard_capped_equals_uncapped_when_cap_exceeds_df(spark):
+    """With max_df above every shingle's document frequency the capped
+    operator is the exact operator — same pairs, same jaccard."""
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import \
+        ngram_jaccard_pairs_capped
+    want = sorted(map(tuple, ngram_jaccard_pairs(
+        _docs(spark), threshold=0.3).collect()))
+    got = sorted(map(tuple, ngram_jaccard_pairs_capped(
+        _docs(spark), threshold=0.3, max_df=10_000).collect()))
+    assert got == want
+
+
+def test_jaccard_capped_drops_hot_shingle_and_bounds_fanout(spark):
+    """A boilerplate shingle shared by EVERY doc is excluded from
+    candidate generation: 40 docs whose only common content is a
+    header k-gram produce ZERO pairs capped (vs 40*39/2 = 780 join
+    rows uncapped), and the hot set is removed via a BROADCAST
+    anti-join (fact side unshuffled for the filter)."""
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import \
+        ngram_jaccard_pairs_capped
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"shared boilerplate header unique{i} tail{i} end{i}")
+         for i in range(40)], "doc_id string, text string")
+    capped = ngram_jaccard_pairs_capped(docs, threshold=0.01, max_df=4)
+    assert capped.count() == 0
+    assert ngram_jaccard_pairs(docs, threshold=0.01).count() == 780
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            minhash_lsh_dedup(_docs(spark), threshold=0.5).collect()}
