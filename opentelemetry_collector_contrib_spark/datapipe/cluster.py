@@ -29,6 +29,7 @@ over the reachability set (cluster_oracle_sql).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,7 +43,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
            .unionByName(
                pairs.select(F.col("id_b").alias("src"),
                             F.col("id_a").alias("dst")))
-           .persist())
+           .persist(StorageLevel.MEMORY_AND_DISK))
     # localCheckpoint (not just persist) each iteration: it TRUNCATES
     # the logical plan, keeping analysis cost and plan depth O(1) across
     # iterations — with bare persist the plan nests one join deeper per

@@ -23,6 +23,7 @@ broadcast-hash on the shingle string.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import shingles_udf
@@ -316,7 +317,14 @@ def curation_pipeline(docs: DataFrame, jaccard_threshold: float = 0.5,
     gated = observed(gated, "quality_pass")
     exact = (dedup_survivors(gated, text_col, id_col, policy="longest")
              .drop("dup_count"))
-    exact = observed(exact, "exact_unique").persist()
+    # serialized MEMORY_AND_DISK, not the deserialized default: the
+    # frame carries full document texts, and deserialized row caching
+    # costs ~3-5x the serialized bytes — at 8 GB executor heap that
+    # difference is what lets a 500k-doc corpus fit (measured in
+    # tools/bench_curation.py; the broadcast builds of the CC loop
+    # need the headroom).
+    exact = observed(exact, "exact_unique").persist(
+        StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_lsh_dedup(exact, threshold=jaccard_threshold,
                               text_col=text_col, id_col=id_col)
     clusters = connected_components(
