@@ -39,10 +39,16 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     """nodes: (id), pairs: (id_a, id_b) undirected.  Returns
     (id, cluster_id) where cluster_id = min id of the component
     (singletons keep their own id)."""
+    # The edge list is consumed by a join keyed on src EVERY iteration:
+    # shuffle it by src ONCE here and persist — the per-iteration join
+    # then reuses this partitioning instead of re-exchanging the
+    # (largest) side each round.  Serialized storage: edges are
+    # long-lived and never row-accessed between joins.
     sym = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
            .unionByName(
                pairs.select(F.col("id_b").alias("src"),
                             F.col("id_a").alias("dst")))
+           .repartition(F.col("src"))
            .persist(StorageLevel.MEMORY_AND_DISK))
     # localCheckpoint (not just persist) each iteration: it TRUNCATES
     # the logical plan, keeping analysis cost and plan depth O(1) across
@@ -59,18 +65,20 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                         "src")
                .groupBy(F.col("dst").alias("id"))
                .agg(F.min("src_label").alias("nbr_label")))
+        # carry the previous label through the checkpoint so convergence
+        # is a filter-count over the ALREADY-MATERIALIZED frame — one
+        # action per iteration (the eager checkpoint) plus a cheap
+        # in-memory scan, instead of a second join of old vs new labels.
         new_labels = (labels.join(nbr, "id", "left")
                       .select("id",
+                              F.col("label").alias("_old"),
                               F.least(F.col("label"),
                                       F.coalesce(F.col("nbr_label"),
                                                  F.col("label")))
                               .alias("label"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.select("id", F.col("label").alias("new_label"))
-                   .join(labels, "id")
-                   .filter(F.col("new_label") != F.col("label"))
-                   .count())
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             converged = True
             break
