@@ -36,6 +36,45 @@ def test_long_chain_converges(spark):
     assert all(v == 0 for v in got.values())
 
 
+def test_cc_edge_cache_partitioning_reused(spark):
+    """Plan pin for the iteration loop's cost model: the symmetric edge
+    list is shuffled by src ONCE (inside the persisted relation), so
+    the per-iteration propagation join consumes the cache scan with NO
+    Exchange between them — only the labels side and the groupBy(dst)
+    propagation shuffle move per round.  Re-derives the loop's first
+    nbr frame white-box (the loop itself doesn't expose per-iteration
+    plans)."""
+    from pyspark import StorageLevel
+    pairs = (spark.range(2000)
+             .select(F.col("id").alias("id_a"),
+                     (F.col("id") + 1).alias("id_b")))
+    sym = (pairs.select(F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"))
+           .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                     F.col("id_a").alias("dst")))
+           .repartition(F.col("src"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    sym.count()
+    labels = (spark.range(2001)
+              .select("id", F.col("id").alias("label"))
+              .localCheckpoint(eager=True))
+    nbr = (sym.join(labels.select(F.col("id").alias("src"),
+                                  F.col("label").alias("src_label")), "src")
+           .groupBy(F.col("dst").alias("id"))
+           .agg(F.min("src_label").alias("nbr_label")))
+    nbr.collect()
+    plan = nbr._jdf.queryExecution().executedPlan().toString()
+    sym.unpersist()
+    # the cache scan feeds the join directly: any Exchange between the
+    # join and InMemoryTableScan would mean the edge list re-shuffles
+    # every iteration
+    join_block = plan[plan.index("Join"):plan.index("InMemoryTableScan")]
+    assert "Exchange" not in join_block
+    # exactly one repartition of the edges exists, inside the cached
+    # relation (REPARTITION_BY_COL), paid at persist time
+    assert plan.count("REPARTITION_BY_COL") >= 1
+
+
 def test_cluster_survivors_keep_min_id(spark):
     docs = spark.createDataFrame(
         [(1, "a"), (2, "a"), (3, "a"), (7, "x")], "doc_id long, text string")
