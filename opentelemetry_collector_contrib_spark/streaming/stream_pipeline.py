@@ -74,6 +74,49 @@ def streaming_pipeline_fresh_dim(spark: SparkSession, tokens_dir: str,
             .start())
 
 
+def streaming_multi_sink(spark: SparkSession, tokens_dir: str,
+                         pods_path: str, out_root: str,
+                         routes: RoutingTable = DEFAULT_ROUTES,
+                         checkpoint: str | None = None,
+                         parser: RegexParser | None = None):
+    """Streaming twin of the batch single-pass fan-out
+    (plans/pipeline.py::_process_units): one micro-batch feeds N sinks
+    for ONE parse of the batch — the reference pushes each consumed
+    batch to every exporter once (routingprocessor routing.go:152-161).
+
+    The hazard is identical to batch: ``batch_df`` inside
+    ``foreachBatch`` is LAZY, so N per-sink write actions would re-run
+    the batch's scan + Arrow parse N times.  The routed batch is
+    persisted (serialized MEMORY_AND_DISK) before the sink loop and
+    unpersisted after; each sink's rows land under
+    ``out_root/<sink>/batch=N``.  Returns the StreamingQuery."""
+    from pyspark import StorageLevel
+
+    df = spark.readStream.schema(TOKENS_DDL).parquet(tokens_dir)
+    parsed = kv_extract((parser or RegexParser()).apply(df), "pod_ip")
+    sinks = routes.all_sinks()
+
+    def _process(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        pods = prepare_pods_dim(s.read.parquet(pods_path))
+        routed = (with_route(broadcast_enrich(batch_df, pods, "pod_ip"),
+                             routes)
+                  .select("doc_id", "pod_ip", "namespace", "deployment",
+                          "tokens", F.explode("sinks").alias("sink"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            for sink in sinks:
+                (routed.filter(F.col("sink") == sink).drop("sink")
+                 .write.mode("overwrite")
+                 .parquet(f"{out_root}/{sink}/batch={batch_id}"))
+        finally:
+            routed.unpersist()
+
+    return (parsed.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint or f"{out_root}/_ck")
+            .start())
+
+
 def streaming_wire_ingest(spark: SparkSession, frames_dir: str,
                           parser: RegexParser | None = None) -> DataFrame:
     """The truest receiver analog: a STREAM of raw wire frames

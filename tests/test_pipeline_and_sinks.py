@@ -591,3 +591,47 @@ def test_single_pass_fanout_scans_input_once(spark, sf_dir, tmp_path):
         a = spark.read.parquet(f"{tmp_path}/once/sinks/{sink}/unit=*")
         b = spark.read.parquet(f"{tmp_path}/multi/sinks/{sink}/unit=*")
         assert rows(a, "doc_id", "tokens") == rows(b, "doc_id", "tokens")
+
+
+def test_streaming_multi_sink_single_pass(spark, sf_dir, tmp_path):
+    """Streaming twin of the single-pass fan-out proof: batch_df inside
+    foreachBatch is lazy, so without the persist each of the 3 sink
+    writes would re-run the micro-batch's Arrow parse.  The counting
+    parser's accumulator must equal the input row count EXACTLY (one
+    parse pass for all sinks), and the per-sink outputs must match the
+    batch route fan-out."""
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        broadcast_enrich, prepare_pods_dim)
+    from opentelemetry_collector_contrib_spark.operators.regex_parser import (
+        RegexParser, kv_extract)
+    from opentelemetry_collector_contrib_spark.operators.routing import (
+        DEFAULT_ROUTES, with_route)
+    from opentelemetry_collector_contrib_spark.streaming.stream_pipeline import (
+        streaming_multi_sink)
+
+    src = tmp_path / "tok_in"
+    tok = spark.read.parquet(f"{sf_dir}/tokens.parquet").limit(2000)
+    tok.coalesce(1).write.parquet(str(src))
+    n_rows = spark.read.parquet(str(src)).count()
+
+    acc = spark.sparkContext.accumulator(0)
+    q = streaming_multi_sink(
+        spark, str(src), f"{sf_dir}/pods.parquet",
+        str(tmp_path / "sinks"), parser=_CountingParser(acc))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert acc.value == n_rows               # ONE parse pass, 3 sinks
+
+    pods = prepare_pods_dim(spark.read.parquet(f"{sf_dir}/pods.parquet"))
+    batch = (with_route(broadcast_enrich(
+        kv_extract(RegexParser().apply(spark.read.parquet(str(src))),
+                   "pod_ip"), pods, "pod_ip"), DEFAULT_ROUTES)
+        .select("doc_id", F.explode("sinks").alias("sink")))
+    for sink in DEFAULT_ROUTES.all_sinks():
+        want = sorted(r["doc_id"] for r in
+                      batch.filter(F.col("sink") == sink).collect())
+        got = sorted(r["doc_id"] for r in spark.read.parquet(
+            f"{tmp_path}/sinks/{sink}/batch=*").collect())
+        assert got == want
