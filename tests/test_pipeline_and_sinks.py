@@ -593,6 +593,53 @@ def test_single_pass_fanout_scans_input_once(spark, sf_dir, tmp_path):
         assert rows(a, "doc_id", "tokens") == rows(b, "doc_id", "tokens")
 
 
+def _scan_output_rows(df) -> int:
+    """numOutputRows of the leaf FileSourceScan AFTER an action — rows
+    surviving parquet row-group pruning (the Spark Filter re-filters
+    them, so scan rows >> result rows means the layout defeated
+    data skipping)."""
+    df.collect()
+    jp = df._jdf.queryExecution().executedPlan()
+    try:
+        jp = jp.executedPlan()          # unwrap AdaptiveSparkPlanExec
+    except Exception:
+        pass
+    leaf = jp.collectLeaves().apply(0)
+    return leaf.metrics().apply("numOutputRows").value()
+
+
+def test_compact_sorted_layout_prunes_row_groups(spark, tmp_path):
+    """compact(sort_by=...) is not cosmetic: range-partitioned, sorted
+    files give each parquet row group a narrow key min/max, so a
+    selective filter skips whole groups AT THE SCAN.  On the shuffled
+    layout every row group straddles the full key range and the scan
+    emits every row; after sorted compaction the same filter's scan
+    emits <5% of them.  This is the zorder/compact data-skipping story
+    measured, not asserted."""
+    from opentelemetry_collector_contrib_spark.sinks.maintenance import compact
+    out = str(tmp_path / "t")
+    n = 200_000
+    (spark.range(n)
+     .select(F.pmod(F.xxhash64("id"), F.lit(1000)).alias("key"), "id")
+     .repartition(8).write.parquet(out))
+
+    pred = F.col("key") == 7
+    unsorted_rows = _scan_output_rows(spark.read.parquet(out).filter(pred))
+    assert unsorted_rows == n            # no skipping on shuffled layout
+
+    stats = compact(spark, out, target_file_bytes=256 * 1024,
+                    sort_by=["key"])
+    sorted_rows = _scan_output_rows(spark.read.parquet(out).filter(pred))
+    want = spark.read.parquet(out).filter(pred).count()
+    assert sorted_rows >= want           # correctness floor
+    # skipping is file/row-group granular: the surviving rows are ~one
+    # range partition's worth (2x slack for a boundary-straddling key),
+    # not the whole table
+    per_file = n / stats["files_after"]
+    assert sorted_rows <= 2 * per_file
+    assert sorted_rows <= n * 0.25
+
+
 def test_streaming_multi_sink_single_pass(spark, sf_dir, tmp_path):
     """Streaming twin of the single-pass fan-out proof: batch_df inside
     foreachBatch is lazy, so without the persist each of the 3 sink
