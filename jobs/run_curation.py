@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--quality", default="gopher",
                     choices=["gopher", "score", "none"])
     ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--run-dir", default=None,
+                    help="stage-checkpoint directory: each cascade stage "
+                         "materializes here and a rerun with the same "
+                         "--run-dir resumes from the last completed stage "
+                         "(curated output lands in <run-dir>/curated; "
+                         "--out is ignored)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,9 +46,20 @@ def main() -> None:
         from opentelemetry_collector_contrib_spark.session import get_spark
         spark = get_spark(app_name="otelcol-curation")
 
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    if args.run_dir:
+        from opentelemetry_collector_contrib_spark.datapipe.curation import (
+            curation_pipeline_staged)
+        funnel = curation_pipeline_staged(
+            docs, args.run_dir, jaccard_threshold=args.jaccard,
+            val_permille=args.val_permille, quality=args.quality,
+            min_quality=args.min_quality)
+        print(json.dumps({"status": "complete",
+                          "out": f"{args.run_dir}/curated",
+                          "funnel": funnel}))
+        return
     from opentelemetry_collector_contrib_spark.datapipe.curation import (
         curation_pipeline)
-    docs = spark.read.parquet(args.docs).select("doc_id", "text")
     out, obs = curation_pipeline(docs, jaccard_threshold=args.jaccard,
                                  val_permille=args.val_permille,
                                  quality=args.quality,

@@ -325,8 +325,14 @@ def curation_pipeline(docs: DataFrame, jaccard_threshold: float = 0.5,
     # need the headroom).
     exact = observed(exact, "exact_unique").persist(
         StorageLevel.MEMORY_AND_DISK)
+    # candidates="star": within each LSH band bucket only hub edges
+    # (member -> bucket-min) are emitted — linear in bucket size, so a
+    # boilerplate-heavy corpus (one mega-bucket of templated docs)
+    # can't go quadratic; the CC stage right below restores the
+    # transitive closure the dropped (a, b) edges would have carried.
     pairs = minhash_lsh_dedup(exact, threshold=jaccard_threshold,
-                              text_col=text_col, id_col=id_col)
+                              text_col=text_col, id_col=id_col,
+                              candidates="star")
     clusters = connected_components(
         exact.select(F.col(id_col).alias("id")),
         pairs.select("id_a", "id_b"))
@@ -336,3 +342,138 @@ def curation_pipeline(docs: DataFrame, jaccard_threshold: float = 0.5,
     out = scrubbed.withColumn(
         "split", train_split_column(id_col, val_permille))
     return out, obs
+
+
+# ---------------------------------------------------------------------------
+# stage-checkpointed cascade (resumable: the offsets_file analog at
+# stage granularity — a multi-day 100-TB cascade that dies mid-CC must
+# not lose the exact-dedup and pair-generation work already done)
+# ---------------------------------------------------------------------------
+
+CURATION_STAGES = ("exact", "pairs", "clusters", "final")
+
+
+def curation_pipeline_staged(docs: DataFrame, run_dir: str,
+                             jaccard_threshold: float = 0.5,
+                             val_permille: int = 100,
+                             quality: str = "gopher",
+                             min_quality: float = 0.0,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             stop_after: str | None = None) -> dict:
+    """Resumable twin of :func:`curation_pipeline`: each expensive stage
+    materializes to ``run_dir/<stage>`` and appends a manifest row
+    (``run_dir/manifest.jsonl`` — the same jsonl recipe as
+    plans/manifest.py, stage names as units); a restarted run skips
+    every stage with a ``done`` row and reads its parquet instead.
+
+    Crash safety is write-then-record: a kill mid-write leaves a
+    partial stage directory but NO manifest row, so the rerun
+    overwrites it (mode=overwrite) — completed stages are never
+    recomputed OR rewritten, and resumed output is value-identical to
+    an uninterrupted run (every stage is deterministic).
+
+    Stages (costs at 100 TB):
+      exact    — quality gate + exact-dup survivors (the big frame:
+                 ~unique-docs x full text; this is also what the
+                 all-in-one form persists to cluster disk anyway)
+      pairs    — MinHash-LSH star candidates + Jaccard verify
+                 (O(pairs) — tiny)
+      clusters — connected components over the pair graph (O(nodes))
+      final    — transitive survivors + PII scrub + split, written
+                 partitioned by split to ``run_dir/curated``
+
+    ``stop_after`` ends the run after that stage completes (the test
+    hook simulating a mid-cascade death).  Returns the funnel dict;
+    counts for stages skipped on resume come from their manifest rows.
+    """
+    import json
+    import os
+    import time
+
+    from pyspark.sql import Observation
+
+    from ..plans.manifest import RunManifest
+    from .cluster import cluster_survivors, connected_components
+    from .dedup import dedup_survivors, minhash_lsh_dedup, train_split_column
+    from .quality_rules import gopher_filter
+    from .textstats import scrub_pii
+
+    if stop_after is not None and stop_after not in CURATION_STAGES:
+        raise ValueError(f"unknown stage {stop_after!r}")
+    spark = docs.sparkSession
+    man = RunManifest(run_dir, run_id="curation")
+    done = man.completed_units()
+    funnel: dict[str, int] = {}
+    for e in man.entries():
+        for k, v in json.loads(e.get("counts", "{}")).items():
+            funnel[k] = v
+
+    def finish(stage: str, counts: dict[str, int], t0: float) -> bool:
+        """Record the stage; True = caller should stop (test hook)."""
+        funnel.update(counts)
+        man.record(stage, {"counts": json.dumps(counts),
+                           "wall_ms": int((time.time() - t0) * 1000)})
+        return stop_after == stage
+
+    p = {s: os.path.join(run_dir, s) for s in CURATION_STAGES}
+
+    if "exact" not in done:
+        t0 = time.time()
+        obs_in, obs_q = Observation(), Observation()
+        d = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
+        if quality == "gopher":
+            gated = gopher_filter(d, text_col)
+        elif quality == "score":
+            from .textstats import text_features
+            scores = text_features(
+                d.select(F.col(id_col), F.col(text_col)), text_col)
+            gated = d.join(
+                scores.where(F.col("quality_score") >= min_quality)
+                .select(id_col), id_col)
+        elif quality == "none":
+            gated = d
+        else:
+            raise ValueError(f"unknown quality gate {quality!r}")
+        gated = gated.observe(obs_q, F.count(F.lit(1)).alias("n"))
+        exact = (dedup_survivors(gated, text_col, id_col, policy="longest")
+                 .drop("dup_count"))
+        exact.write.mode("overwrite").parquet(p["exact"])
+        n_exact = spark.read.parquet(p["exact"]).count()
+        if finish("exact", {"input": int(obs_in.get["n"]),
+                            "quality_pass": int(obs_q.get["n"]),
+                            "exact_unique": n_exact}, t0):
+            return funnel
+    exact = spark.read.parquet(p["exact"])
+
+    if "pairs" not in done:
+        t0 = time.time()
+        pairs = minhash_lsh_dedup(exact, threshold=jaccard_threshold,
+                                  text_col=text_col, id_col=id_col,
+                                  candidates="star").select("id_a", "id_b")
+        pairs.write.mode("overwrite").parquet(p["pairs"])
+        if finish("pairs",
+                  {"pairs": spark.read.parquet(p["pairs"]).count()}, t0):
+            return funnel
+
+    if "clusters" not in done:
+        t0 = time.time()
+        clusters = connected_components(
+            exact.select(F.col(id_col).alias("id")),
+            spark.read.parquet(p["pairs"]))
+        clusters.write.mode("overwrite").parquet(p["clusters"])
+        if finish("clusters",
+                  {"nodes": spark.read.parquet(p["clusters"]).count()}, t0):
+            return funnel
+
+    if "final" not in done:
+        t0 = time.time()
+        clusters = spark.read.parquet(p["clusters"])
+        fuzzy = cluster_survivors(exact, clusters, id_col)
+        out = (scrub_pii(fuzzy, text_col, out_col="clean_text")
+               .withColumn("split", train_split_column(id_col, val_permille)))
+        curated = os.path.join(run_dir, "curated")
+        out.write.mode("overwrite").partitionBy("split").parquet(curated)
+        finish("final",
+               {"fuzzy_unique": spark.read.parquet(curated).count()}, t0)
+    return funnel

@@ -156,7 +156,8 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, k: int = 3,
 def ngram_jaccard_pairs_capped(df: DataFrame, threshold: float = 0.5,
                                k: int = 3, max_df: int = 64,
                                text_col: str = "text",
-                               id_col: str = "doc_id") -> DataFrame:
+                               id_col: str = "doc_id",
+                               hot_broadcast_limit: int = 1_000_000) -> DataFrame:
     """Scale-path twin of :func:`ngram_jaccard_pairs`: Jaccard over the
     DISCRIMINATIVE shingle space only — shingles whose document
     frequency exceeds ``max_df`` (stopword-like k-grams shared by huge
@@ -184,8 +185,18 @@ def ngram_jaccard_pairs_capped(df: DataFrame, threshold: float = 0.5,
     hot = (ex.groupBy("g")
            .agg(F.count(F.lit(1)).alias("df"))
            .filter(F.col("df") > max_df)
-           .select("g"))
-    kept = ex.join(F.broadcast(hot), "g", "left_anti")
+           .select("g")
+           .persist())
+    # Size-guarded broadcast (ADVICE r03): on a pathological corpus the
+    # df>max_df set itself can reach tens of millions of k-grams, and a
+    # blind F.broadcast hint bypasses autoBroadcastJoinThreshold —
+    # executor OOM.  The hot set is persisted (the count below and the
+    # anti-join both consume it, one aggregation pass total) and the
+    # hint applied only under the limit; above it the anti-join
+    # shuffles, which is slower but bounded.
+    if hot.count() <= hot_broadcast_limit:
+        hot = F.broadcast(hot)
+    kept = ex.join(hot, "g", "left_anti")
     # kept-set size per doc via a window, not agg+join-back: ONE
     # exchange of the big side (hashpartitioning id) instead of two.
     exk = kept.withColumn(
@@ -220,18 +231,31 @@ def minhash_signatures(df: DataFrame, k: int = 3, text_col: str = "text",
     return ex.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature (BANDS x ROWS_PER_BAND) and emit pairs sharing
-    at least one band bucket (distinct pairs, a < b)."""
+def _banded(sig: DataFrame) -> DataFrame:
+    """(id, band, sig) rows: one per (doc, band), sig = md5 of the band's
+    ROWS_PER_BAND MinHash values."""
     bands = []
     for b in range(BANDS):
         cols = [F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
                 for r in range(ROWS_PER_BAND)]
         bands.append(F.struct(F.lit(b).alias("band"),
                               F.md5(F.concat_ws(",", *cols)).alias("sig")))
-    banded = (sig.select("id", F.explode(F.array(*bands)).alias("bs"))
-              .select("id", F.col("bs.band").alias("band"),
-                      F.col("bs.sig").alias("sig")))
+    return (sig.select("id", F.explode(F.array(*bands)).alias("bs"))
+            .select("id", F.col("bs.band").alias("band"),
+                    F.col("bs.sig").alias("sig")))
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature (BANDS x ROWS_PER_BAND) and emit ALL pairs
+    sharing at least one band bucket (distinct pairs, a < b).
+
+    Small-N VERIFIER ONLY: a (band, sig) bucket of D docs emits
+    D(D-1)/2 rows.  On a boilerplate-heavy web corpus (near-identical
+    templated docs that survive exact dedup share every band) one
+    bucket can hold millions of docs — the production candidate
+    generator is :func:`lsh_candidate_edges_star`, which is linear in
+    bucket size."""
+    banded = _banded(sig)
     a, b_ = banded.alias("a"), banded.alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.sig") == F.col("b.sig"))
@@ -240,12 +264,48 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             .distinct())
 
 
+def lsh_candidate_edges_star(sig: DataFrame) -> DataFrame:
+    """Scale-path candidate generator: within each (band, sig) bucket
+    emit STAR edges — every member links to the bucket's min id — so a
+    bucket of D docs produces D-1 candidate rows instead of D(D-1)/2.
+
+    Why this is safe: duplicate-cluster construction downstream runs
+    connected components over the verified pairs
+    (``datapipe/cluster.py``), and a star is exactly the spanning
+    structure CC needs — (rep,a) + (rep,b) collapses a and b without
+    the (a,b) edge ever existing.  Recall loss relative to all-pairs
+    is bounded because each of the BANDS bands independently elects a
+    representative: two docs sharing ANY band still reach each other
+    through that band's hub unless the hub itself fails the Jaccard
+    verify (near-identical corpora — the case that matters at scale —
+    have hubs as duplicated as their spokes).
+
+    Plan shape: ONE exchange keyed by (band, sig) for the window min —
+    a mega-bucket lands on a single task but costs O(D) rows of
+    (id, band, sig), not O(D^2).  Output keeps the id_a < id_b
+    invariant (the rep is the min)."""
+    banded = _banded(sig)
+    rep = F.min("id").over(Window.partitionBy("band", "sig"))
+    return (banded.withColumn("rep", rep)
+            .filter(F.col("id") != F.col("rep"))
+            .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+            .distinct())
+
+
 def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.5, k: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
-                      persist: bool = True) -> DataFrame:
+                      persist: bool = True,
+                      candidates: str = "all_pairs") -> DataFrame:
     """LSH candidates verified with exact Jaccard — computed ONLY for the
     candidate pairs (the production path: sub-quadratic candidate
     generation, per-candidate verify; never the all-pairs join).
+
+    ``candidates`` picks the generator: ``"all_pairs"`` (every pair in
+    a band bucket — the small-N verifier; quadratic in bucket size) or
+    ``"star"`` (each bucket member linked to the bucket min — the
+    production form: linear in bucket size, transitivity restored by
+    the connected-components stage downstream; see
+    :func:`lsh_candidate_edges_star`).
 
     The verify joins each candidate pair back to its two shingle sets
     (broadcastable when candidates are few after banding) and intersects
@@ -255,6 +315,8 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.5, k: int = 3,
     times (signature aggregation + both verify sides) — without it the
     Arrow shingler re-runs on every consumption.  O(docs x shingles),
     spills to disk."""
+    gen = {"all_pairs": lsh_candidate_pairs,
+           "star": lsh_candidate_edges_star}[candidates]
     sh = (df.select(F.col(id_col).alias("id"),
                     shingles_udf(k)(F.col(text_col)).alias("sh"))
           .withColumn("sz", F.size("sh")))
@@ -264,7 +326,7 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.5, k: int = 3,
           .withColumn("h", portable_hash(F.col("g"))))
     aggs = [F.min(minhash_expr(F.col("h"), i)).alias(f"mh{i}")
             for i in range(NUM_HASHES)]
-    cand = lsh_candidate_pairs(ex.groupBy("id").agg(*aggs))
+    cand = gen(ex.groupBy("id").agg(*aggs))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
                   F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),

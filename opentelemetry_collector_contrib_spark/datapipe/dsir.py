@@ -52,7 +52,16 @@ def bucket(gram: str, n_buckets: int = N_BUCKETS) -> int:
 def _buckets_udf(n_buckets: int):
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def to_buckets(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: [bucket(g, n_buckets)
+        cache: dict[str, int] = {}
+
+        def bk(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                v = bucket(g, n_buckets)
+                cache[g] = v
+            return v
+
+        return texts.map(lambda t: [bk(g)
                                     for g in grams_py(_norm_words_py(t))])
     return to_buckets
 
@@ -90,14 +99,34 @@ def importance_weights(raw: DataFrame, target: DataFrame,
     @F.pandas_udf(T.StructType([T.StructField("n_grams", T.IntegerType()),
                                 T.StructField("logw", T.DoubleType())]))
     def score(texts: pd.Series) -> pd.DataFrame:
+        # Two vectorizations over the naive per-gram loop, both
+        # value-identical (oracle-checked):
+        # - gram->bucket md5 memoized per batch: vocabulary is Zipfian,
+        #   so most hash calls are repeats (the _simhash_udf recipe);
+        # - the fold is np.cumsum over llr[bs] — cumsum is sequentially
+        #   left-associative by definition (out[i] = out[i-1] + x[i]),
+        #   so the LAST prefix is bit-identical to the pinned
+        #   left-assoc float accumulation the oracle replays.
+        import numpy as np
+        llr_np = np.asarray(llr, dtype=np.float64)
+        cache: dict[str, int] = {}
+
+        def bk(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                v = bucket(g, n_buckets)
+                cache[g] = v
+            return v
+
         rows = []
         for t in texts:
-            bs = [bucket(g, n_buckets)
-                  for g in grams_py(_norm_words_py(t))]
-            acc = 0.0
-            for b in bs:               # left-assoc, gram order
-                acc += llr[b]
-            rows.append((len(bs), acc))
+            gs = grams_py(_norm_words_py(t))
+            if not gs:
+                rows.append((0, 0.0))
+                continue
+            bs = np.fromiter((bk(g) for g in gs), dtype=np.int64,
+                             count=len(gs))
+            rows.append((len(gs), float(np.cumsum(llr_np[bs])[-1])))
         return pd.DataFrame(rows, columns=["n_grams", "logw"])
 
     s = F.col("_s")

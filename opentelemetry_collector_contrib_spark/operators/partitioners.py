@@ -116,12 +116,23 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     becomes (key, salt), spreading each hot key over salt_buckets
     reducers.  Join RESULTS are salt-invariant (asserted in tests).
     """
-    salt_col = F.col(salt_from) if salt_from else F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in big.columns])
-    b = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(salt_col, F.lit(seed)),
-                        F.lit(salt_buckets)).cast("int"))
+    b = salted_big_side(big, salt_buckets, salt_from, seed)
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in
                                      range(salt_buckets)])))
     return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
+def salted_big_side(big: DataFrame, salt_buckets: int = 16,
+                    salt_from: str | None = None,
+                    seed: int = 7) -> DataFrame:
+    """The big side of :func:`salted_join` with its ``_salt`` column
+    attached — THE salt derivation (xxhash64 over a row-unique column,
+    pmod into [0, salt_buckets)).  Exposed so tests can assert on the
+    operator's actual pre-drop salt grouping instead of re-deriving
+    the formula (a drifted re-derivation would mask a regression)."""
+    salt_col = F.col(salt_from) if salt_from else F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in big.columns])
+    return big.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_col, F.lit(seed)),
+                        F.lit(salt_buckets)).cast("int"))

@@ -50,7 +50,18 @@ class PipelineConfig:
     n_units: int = 8               # manifest granularity
     salt_partitions: int = 0       # >0: salted repartition before writes
     decode_backend: str = "native"
-    single_pass: bool = True       # persist routed lineage across sinks
+    single_pass: bool = True       # one parse pass across sinks
+    # how single_pass avoids the N-sink re-parse:
+    #  "persist" — cache the routed lineage MEMORY_AND_DISK (serialized;
+    #     costs ~input-sized executor cache, zero extra write);
+    #  "staged"  — write the routed rows ONCE partitionBy(sink) to
+    #     out_dir/_fanout_staging, then each sink branch re-reads its
+    #     pruned partition (costs one extra fan-out-sized write+read on
+    #     durable storage, zero cache pressure — the 100-TB regime where
+    #     ~input-sized cluster cache is not available).
+    # A/B at sf2 x 4 sinks: see BENCH/DELTAS.md (persist is the default:
+    # faster whenever the frame fits cache).
+    fanout_strategy: str = "persist"
 
     def sink_cfg(self, name: str) -> SinkConfig:
         if name not in self.sinks:
@@ -117,16 +128,32 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
     in_obs = Observation()
     df = df.observe(in_obs, *_unit_count_aggs(units))
     persisted = None
+    staging = None
+    staged_col = None
     if cfg.single_pass and len(cfg.routes.all_sinks()) > 1:
-        from pyspark import StorageLevel
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted = df
+        if cfg.fanout_strategy == "staged":
+            # write-once fan-out: the routed rows land partitionBy(sink)
+            # on durable storage (the in_obs counts ride this action);
+            # each branch below re-reads its own partition-pruned slice
+            # — no cache, one extra write.
+            import os
+            spark = df.sparkSession
+            staging = os.path.join(cfg.out_dir, "_fanout_staging")
+            (df.withColumn("sink", F.explode("sinks"))
+             .write.mode("overwrite").partitionBy("sink").parquet(staging))
+            df = spark.read.parquet(staging)
+            staged_col = "sink"
+        else:
+            from pyspark import StorageLevel
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted = df
     per_sink: dict[str, dict[int, int]] = {}
     dropped: dict[str, dict[int, int]] = {}
     branch_obs: dict[str, "Observation"] = {}
     drop_obs: dict[str, "Observation"] = {}
     try:
-        _write_sink_branches(df, cfg, units, branch_obs, drop_obs)
+        _write_sink_branches(df, cfg, units, branch_obs, drop_obs,
+                             staged_col=staged_col)
         for sink_name, obs in branch_obs.items():
             got = obs.get
             per_sink[sink_name] = {u: int(got[f"u{u}"]) for u in units}
@@ -137,6 +164,9 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
     finally:
         if persisted is not None:
             persisted.unpersist()
+        if staging is not None:
+            import shutil
+            shutil.rmtree(staging, ignore_errors=True)
     rows_in_per_unit = {u: int(rows_in_got[f"u{u}"]) for u in units}
     wall_ms = int((time.time() - t0) * 1000)
     out: dict[int, dict] = {}
@@ -154,12 +184,20 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
 
 def _write_sink_branches(df: DataFrame, cfg: PipelineConfig,
                          units: list[int],
-                         branch_obs: dict, drop_obs: dict) -> None:
-    """The per-sink write loop over the (persisted) routed lineage."""
+                         branch_obs: dict, drop_obs: dict,
+                         staged_col: str | None = None) -> None:
+    """The per-sink write loop over the (persisted or staged) routed
+    lineage.  ``staged_col`` set means ``df`` is the re-read staging
+    table partitioned by that column — the equality filter prunes to
+    the sink's own files instead of scanning the array column."""
     from pyspark.sql import Observation
     for sink_name in cfg.routes.all_sinks():
         sink = cfg.sink_cfg(sink_name)
-        branch = df.filter(F.array_contains(F.col("sinks"), sink_name))
+        if staged_col is not None:
+            branch = (df.filter(F.col(staged_col) == sink_name)
+                      .drop(staged_col))
+        else:
+            branch = df.filter(F.array_contains(F.col("sinks"), sink_name))
         branch = serialize_records(branch, sink, attr_cols=ATTR_COLS)
         out_cols = ["unit", "doc_id", "tokens", "n_tok", "payload",
                     "metadata_signature", *ATTR_COLS]

@@ -452,6 +452,17 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_dedup(_near_corpus(spark, sf_dir), threshold=0.5, k=3)
 
 
+def q_minhash_lsh_star(spark, sf_dir):
+    """Production LSH candidate path: star edges (bucket member ->
+    bucket min) instead of all pairs within a band bucket — linear in
+    bucket size, so boilerplate mega-buckets can't go quadratic.  The
+    oracle replays the same hub election (min(id) over (band, bsig)),
+    so the exact pair set — including which non-hub pairs the star
+    (by design) defers to connected components — is value-checked."""
+    return minhash_lsh_dedup(_near_corpus(spark, sf_dir), threshold=0.5,
+                             k=3, candidates="star")
+
+
 def q_simhash_fp(spark, sf_dir):
     return simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -1784,6 +1795,16 @@ SELECT c.id_a, c.id_b, j.jaccard
 FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
 WHERE j.jaccard >= 0.5""",
 
+        "minhash_lsh_star": f"""WITH {NEAR_CORPUS_SQL}, {_shingle_cte()}, {_JACCARD_CTE},
+sig AS (SELECT id, {mh} FROM ex GROUP BY id),
+bands AS ({_band_union()}),
+star AS (
+  SELECT id, min(id) OVER (PARTITION BY band, bsig) AS rep FROM bands),
+cand AS (SELECT DISTINCT rep AS id_a, id AS id_b FROM star WHERE id <> rep)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= 0.5""",
+
         "simhash_fp": f"""WITH corpus AS (SELECT doc_id AS id, text FROM documents),
 {_simhash_cte()}
 SELECT id, simhash FROM fp""",
@@ -2409,6 +2430,7 @@ def extra_queries(tok_dir_for) -> dict:
         "minhash_sig": q_minhash_sig,
         "sample_split": q_sample_split,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_star": q_minhash_lsh_star,
         "simhash_fp": q_simhash_fp,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,

@@ -45,7 +45,8 @@ def streaming_pipeline(spark: SparkSession, tokens_dir: str, pods_path: str,
 def streaming_pipeline_fresh_dim(spark: SparkSession, tokens_dir: str,
                                  pods_path: str, out_dir: str,
                                  routes: RoutingTable = DEFAULT_ROUTES,
-                                 checkpoint: str | None = None):
+                                 checkpoint: str | None = None,
+                                 parser: RegexParser | None = None):
     """The k8s WATCH analog (kube/client.go:91-169: pod add/update/
     delete events mutate the ip->pod map while the collector runs): the
     dimension snapshot is RE-READ inside ``foreachBatch``, so every
@@ -57,7 +58,10 @@ def streaming_pipeline_fresh_dim(spark: SparkSession, tokens_dir: str,
     Writes enriched routed rows under ``out_dir/batch=N``; returns the
     StreamingQuery."""
     df = spark.readStream.schema(TOKENS_DDL).parquet(tokens_dir)
-    parsed = kv_extract(RegexParser().apply(df), "pod_ip")
+    parser = parser or RegexParser()
+    if parser.backend not in ("fused", "arrow"):
+        df = with_body(df)      # fused/arrow detokenize inside the parser
+    parsed = kv_extract(parser.apply(df), "pod_ip")
 
     def _process(batch_df, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -93,7 +97,10 @@ def streaming_multi_sink(spark: SparkSession, tokens_dir: str,
     from pyspark import StorageLevel
 
     df = spark.readStream.schema(TOKENS_DDL).parquet(tokens_dir)
-    parsed = kv_extract((parser or RegexParser()).apply(df), "pod_ip")
+    parser = parser or RegexParser()
+    if parser.backend not in ("fused", "arrow"):
+        df = with_body(df)      # fused/arrow detokenize inside the parser
+    parsed = kv_extract(parser.apply(df), "pod_ip")
     sinks = routes.all_sinks()
 
     def _process(batch_df, batch_id: int) -> None:

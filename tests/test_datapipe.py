@@ -88,6 +88,16 @@ def test_jaccard_capped_drops_hot_shingle_and_bounds_fanout(spark):
     assert ngram_jaccard_pairs(docs, threshold=0.01).count() == 780
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # size guard (ADVICE r03): a hot set over the broadcast limit must
+    # NOT be hint-broadcast (planner picks a bounded shuffled anti
+    # join) — and the result is unchanged
+    guarded = ngram_jaccard_pairs_capped(docs, threshold=0.01, max_df=4,
+                                         hot_broadcast_limit=0)
+    assert guarded.count() == 0
+    gplan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in gplan
+    assert ("SortMergeJoin" in gplan or "ShuffledHashJoin" in gplan
+            or "BroadcastHashJoin" not in gplan.split("LeftAnti")[0])
 
 
 def test_minhash_lsh_finds_near_dups(spark):
@@ -95,6 +105,58 @@ def test_minhash_lsh_finds_near_dups(spark):
            minhash_lsh_dedup(_docs(spark), threshold=0.5).collect()}
     assert ("d1", "d2") in got            # exact dup always collides
     assert all(p[0] != "d4" and p[1] != "d4" for p in got)
+
+
+def test_lsh_star_candidates_linear_in_bucket_size(spark):
+    """A planted boilerplate cluster — D near-identical templated docs
+    that all share every band bucket — must produce O(D * BANDS)
+    candidate rows on the star path, not the O(D^2) the all-pairs
+    verifier emits.  This is the 100-TB web-corpus shape (same page
+    modulo a counter) that makes all-pairs a job-killer."""
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+        lsh_candidate_edges_star, lsh_candidate_pairs, minhash_signatures)
+    from opentelemetry_collector_contrib_spark.datapipe.hashing import BANDS
+    d = 80
+    base = "breaking news template header shared across every page footer"
+    docs = spark.createDataFrame(
+        [(f"d{i:04d}", base) for i in range(d)], "doc_id string, text string")
+    sig = minhash_signatures(docs, k=3).persist()
+    try:
+        star = lsh_candidate_edges_star(sig).count()
+        allp = lsh_candidate_pairs(sig).count()
+    finally:
+        sig.unpersist()
+    assert allp == d * (d - 1) // 2        # the quadratic shape
+    # identical docs share every bucket -> one hub total: D-1 edges;
+    # the bound we rely on at scale is per-band-linear.
+    assert star == d - 1
+    assert star <= (d - 1) * BANDS
+
+
+def test_lsh_star_clusters_equal_all_pairs_after_cc(spark):
+    """Star candidates drop (a, b) edges inside a bucket but keep the
+    hub spanning edges — after connected components the duplicate
+    clusters must match the all-pairs path on a corpus of
+    near-identical template groups (the case the star path optimizes)."""
+    from opentelemetry_collector_contrib_spark.datapipe.cluster import \
+        connected_components
+    rows_ = []
+    for g in range(4):
+        for i in range(6):
+            rows_.append((f"g{g}x{i}",
+                          f"group {g} template body shared words alpha beta "
+                          f"gamma delta epsilon zeta eta theta v{i}"))
+    rows_.append(("solo", "completely different text about unrelated topics"))
+    docs = spark.createDataFrame(rows_, "doc_id string, text string")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+
+    def clusters(candidates):
+        pairs = minhash_lsh_dedup(docs, threshold=0.5,
+                                  candidates=candidates).select("id_a", "id_b")
+        comp = connected_components(nodes, pairs)
+        return sorted(map(tuple, comp.collect()))
+
+    assert clusters("star") == clusters("all_pairs")
 
 
 def test_simhash_identical_and_blocked_equals_bruteforce(spark):
@@ -507,7 +569,9 @@ def test_curation_pipeline_funnel(spark, tmp_path):
     gated = docs.join(
         feats.where(feats.quality_score >= 0.8).select("doc_id"), "doc_id")
     exact = dedup_survivors(gated, policy="longest").drop("dup_count")
-    pairs = minhash_lsh_dedup(exact, threshold=0.5)
+    # candidates="star" mirrors the cascade's production generator
+    # (strategy equivalence after CC has its own test above)
+    pairs = minhash_lsh_dedup(exact, threshold=0.5, candidates="star")
     want = {r["doc_id"] for r in cluster_survivors(
         exact, connected_components(
             exact.selectExpr("doc_id AS id"),
@@ -519,6 +583,47 @@ def test_curation_pipeline_funnel(spark, tmp_path):
     out2, obs2 = curation_pipeline(docs, quality="gopher")
     assert out2.count() == 0
     assert int(obs2["quality_pass"].get["n"]) == 0
+
+
+def test_curation_staged_resume_equals_uninterrupted(spark, tmp_path):
+    """Stage-checkpointed cascade: killing the run after stage K and
+    resuming must produce output value-identical to an uninterrupted
+    run (the curation mirror of test_pipeline_resume_equals_
+    uninterrupted), completed stages must NOT recompute on resume, and
+    the resumed funnel must carry the pre-kill stages' counts."""
+    import json
+
+    from opentelemetry_collector_contrib_spark.datapipe.curation import (
+        CURATION_STAGES, curation_pipeline_staged)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+
+    def read_out(run_dir):
+        return sorted(map(tuple, spark.read.parquet(f"{run_dir}/curated")
+                          .select("doc_id", "clean_text", "split")
+                          .collect()))
+
+    base = str(tmp_path / "uninterrupted")
+    want_funnel = curation_pipeline_staged(docs, base, quality="score",
+                                           min_quality=0.8)
+    want = read_out(base)
+    assert want_funnel["fuzzy_unique"] == len(want) > 0
+
+    for k, stage in enumerate(CURATION_STAGES[:-1]):
+        run = str(tmp_path / f"kill_after_{stage}")
+        partial = curation_pipeline_staged(docs, run, quality="score",
+                                           min_quality=0.8,
+                                           stop_after=stage)
+        assert "fuzzy_unique" not in partial      # it really stopped
+        funnel = curation_pipeline_staged(docs, run, quality="score",
+                                          min_quality=0.8)
+        assert read_out(run) == want
+        assert funnel == want_funnel
+        # completed stages were skipped, not recomputed: exactly one
+        # manifest row per stage after the resume
+        with open(f"{run}/manifest.jsonl") as f:
+            stages = [json.loads(line)["unit"] for line in f]
+        assert sorted(stages) == sorted(CURATION_STAGES)
 
 
 def test_fit_quality_clf_beats_seeded_weights(spark):

@@ -593,6 +593,46 @@ def test_single_pass_fanout_scans_input_once(spark, sf_dir, tmp_path):
         assert rows(a, "doc_id", "tokens") == rows(b, "doc_id", "tokens")
 
 
+def test_staged_fanout_matches_persist_and_scans_once(spark, sf_dir,
+                                                      tmp_path):
+    """fanout_strategy='staged': the routed rows are written ONCE
+    partitionBy(sink) and each branch re-reads its pruned slice — the
+    parse still runs exactly once (the accumulator counts staging-write
+    rows only; branch writes read parquet, not the parse lineage), the
+    per-sink outputs and manifest metrics match the persist strategy,
+    and the staging dir is cleaned up."""
+    import os
+    n_rows = spark.read.parquet(f"{sf_dir}/tokens.parquet").count()
+
+    cfg_p = _cfg(sf_dir, str(tmp_path / "persist"), n_units=2)
+    res_p = run_pipeline(spark, cfg_p)
+
+    acc = spark.sparkContext.accumulator(0)
+    cfg_s = _cfg(sf_dir, str(tmp_path / "staged"), n_units=2)
+    cfg_s.parser = _CountingParser(acc)
+    cfg_s.fanout_strategy = "staged"
+    res_s = run_pipeline(spark, cfg_s)
+    assert acc.value == n_rows           # ONE parse pass, 3 sinks
+    assert res_s["status"] == "complete"
+    assert res_s["rows_in"] == res_p["rows_in"] == n_rows
+    assert res_s["rows_routed"] == res_p["rows_routed"]
+
+    def unit_counts(out_dir):
+        from opentelemetry_collector_contrib_spark.plans.manifest import (
+            RunManifest)
+        return {e["unit"]: e["sink_counts"]
+                for e in RunManifest(f"{out_dir}/_manifest").entries()}
+
+    assert unit_counts(f"{tmp_path}/staged") == \
+        unit_counts(f"{tmp_path}/persist")
+    assert not os.path.exists(f"{tmp_path}/staged/_fanout_staging")
+
+    for sink in ("sumologic", "loki", "default-sink"):
+        a = spark.read.parquet(f"{tmp_path}/persist/sinks/{sink}/unit=*")
+        b = spark.read.parquet(f"{tmp_path}/staged/sinks/{sink}/unit=*")
+        assert rows(a, "doc_id", "tokens") == rows(b, "doc_id", "tokens")
+
+
 def _scan_output_rows(df) -> int:
     """numOutputRows of the leaf FileSourceScan AFTER an action — rows
     surviving parquet row-group pruning (the Spark Filter re-filters
@@ -682,3 +722,44 @@ def test_streaming_multi_sink_single_pass(spark, sf_dir, tmp_path):
         got = sorted(r["doc_id"] for r in spark.read.parquet(
             f"{tmp_path}/sinks/{sink}/batch=*").collect())
         assert got == want
+
+
+def test_streaming_multi_sink_body_backend(spark, sf_dir, tmp_path):
+    """Non-fused parser backends ('pandas'/'native') parse from a
+    ``body`` column the raw token stream doesn't carry — the fan-out
+    entrypoints must inject with_body exactly like streaming_pipeline
+    does (ADVICE r03: the guard was missing in streaming_multi_sink
+    and streaming_pipeline_fresh_dim)."""
+    from opentelemetry_collector_contrib_spark.operators.regex_parser import (
+        RegexParser)
+    from opentelemetry_collector_contrib_spark.operators.routing import (
+        DEFAULT_ROUTES)
+    from opentelemetry_collector_contrib_spark.streaming.stream_pipeline import (
+        streaming_multi_sink)
+
+    src = tmp_path / "tok_in"
+    spark.read.parquet(f"{sf_dir}/tokens.parquet").limit(500) \
+        .coalesce(1).write.parquet(str(src))
+    q = streaming_multi_sink(
+        spark, str(src), f"{sf_dir}/pods.parquet",
+        str(tmp_path / "sinks_native"), parser=RegexParser(backend="native"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {s: sorted(r["doc_id"] for r in spark.read.parquet(
+               f"{tmp_path}/sinks_native/{s}/batch=*").collect())
+           for s in DEFAULT_ROUTES.all_sinks()}
+
+    # fused twin over the same input — outputs must be identical
+    q2 = streaming_multi_sink(
+        spark, str(src), f"{sf_dir}/pods.parquet",
+        str(tmp_path / "sinks_fused"), parser=RegexParser(backend="fused"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    for s in DEFAULT_ROUTES.all_sinks():
+        want = sorted(r["doc_id"] for r in spark.read.parquet(
+            f"{tmp_path}/sinks_fused/{s}/batch=*").collect())
+        assert got[s] == want

@@ -4,7 +4,7 @@ hot key, and the plan spreads the hot key over (key, salt)."""
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.operators.partitioners import (
-    salted_join)
+    salted_big_side, salted_join)
 
 from conftest import rows
 
@@ -45,14 +45,13 @@ def test_salted_join_key_includes_salt(spark):
 def test_salted_join_caps_hot_group_size(spark):
     """Quantitative skew bound: the 70%-hot key's 1400 big-side rows
     shuffle as (key, salt) groups, so no single reducer group exceeds
-    ~1/8 of them.  White-box: re-derives the operator's default salt
-    (xxhash64, seed 7) because the join output drops _salt and AQE
-    coalescing makes output-partition probes unreliable on tiny data."""
+    ~1/8 of them.  Asserts on the operator's OWN pre-drop salted big
+    side (salted_big_side — the exact frame salted_join joins on; the
+    join output drops _salt and AQE coalescing makes output-partition
+    probes unreliable on tiny data), at the same salt_buckets the
+    parity tests above use."""
     big, small = _frames(spark)
-    b = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.concat_ws(
-            "\x1f", *[F.col(c).cast("string") for c in big.columns]),
-            F.lit(7)), F.lit(8)).cast("int"))
+    b = salted_big_side(big, salt_buckets=8)
     biggest = (b.groupBy("key", "_salt").count()
                .agg(F.max("count")).collect()[0][0])
     # unsalted, the hot reducer group is 1400 rows; salted it is ~175
