@@ -74,27 +74,60 @@ def bucket_counts(df: DataFrame, text_col: str = "text",
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
 
 
-def fit_log_ratios(raw: DataFrame, target: DataFrame,
-                   text_col: str = "text",
-                   n_buckets: int = N_BUCKETS) -> list[float]:
-    """Per-bucket ln p - ln q as a plain O(B) list.  math.log per
-    element (scalar libm), NOT numpy's vectorized log — the oracle's
-    ``ln`` must see the identical rounding."""
-    def counts(df) -> dict[int, int]:
-        return {r["bucket"]: r["n"]
-                for r in bucket_counts(df, text_col, n_buckets).collect()}
-    tc, rc = counts(target), counts(raw)
+def _log_ratio_list(tc: dict[int, int], rc: dict[int, int],
+                    n_buckets: int) -> list[float]:
+    """math.log per element (scalar libm), NOT numpy's vectorized log —
+    the oracle's ``ln`` must see the identical rounding."""
     nt, nr = sum(tc.values()), sum(rc.values())
     return [math.log((tc.get(b, 0) + 1) / (nt + n_buckets))
             - math.log((rc.get(b, 0) + 1) / (nr + n_buckets))
             for b in range(n_buckets)]
 
 
-def importance_weights(raw: DataFrame, target: DataFrame,
+def fit_log_ratios(raw: DataFrame, target: DataFrame,
+                   text_col: str = "text",
+                   n_buckets: int = N_BUCKETS) -> list[float]:
+    """Per-bucket ln p - ln q as a plain O(B) list."""
+    def counts(df) -> dict[int, int]:
+        return {r["bucket"]: r["n"]
+                for r in bucket_counts(df, text_col, n_buckets).collect()}
+    return _log_ratio_list(counts(target), counts(raw), n_buckets)
+
+
+def fit_log_ratios_flagged(docs: DataFrame, target_flag,
+                           text_col: str = "text",
+                           n_buckets: int = N_BUCKETS) -> list[float]:
+    """One-pass twin of :func:`fit_log_ratios` for the common case
+    target ⊆ raw (a predicate over the raw corpus, e.g. the curated
+    slice): both per-bucket counts come out of a SINGLE explode +
+    aggregation — one hashing pass over the corpus instead of two,
+    identical counts, identical ln composition."""
+    ex = docs.select(
+        F.col(target_flag).alias("is_t") if isinstance(target_flag, str)
+        else target_flag.alias("is_t"),
+        F.explode(_buckets_udf(n_buckets)(F.col(text_col))).alias("bucket"))
+    rows = (ex.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("nr"),
+                 F.count(F.when(F.col("is_t"), 1)).alias("nt"))
+            .collect())
+    rc = {r["bucket"]: r["nr"] for r in rows}
+    tc = {r["bucket"]: r["nt"] for r in rows if r["nt"]}
+    return _log_ratio_list(tc, rc, n_buckets)
+
+
+def importance_weights(raw: DataFrame, target: DataFrame = None,
                        id_col: str = "doc_id", text_col: str = "text",
-                       n_buckets: int = N_BUCKETS) -> DataFrame:
-    """(id, n_grams, logw) per raw document; zero-gram docs score 0.0."""
-    llr = fit_log_ratios(raw, target, text_col, n_buckets)
+                       n_buckets: int = N_BUCKETS,
+                       target_flag=None) -> DataFrame:
+    """(id, n_grams, logw) per raw document; zero-gram docs score 0.0.
+
+    Pass either ``target`` (a separate target-corpus frame — two fit
+    passes) or ``target_flag`` (a boolean column/name over ``raw`` when
+    target ⊆ raw — ONE fit pass, same model)."""
+    if target_flag is not None:
+        llr = fit_log_ratios_flagged(raw, target_flag, text_col, n_buckets)
+    else:
+        llr = fit_log_ratios(raw, target, text_col, n_buckets)
 
     @F.pandas_udf(T.StructType([T.StructField("n_grams", T.IntegerType()),
                                 T.StructField("logw", T.DoubleType())]))

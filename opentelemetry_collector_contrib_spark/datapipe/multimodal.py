@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (the image/audio codecs aren't in this
-container): ``decode_image_batch`` raises NotImplementedError unless
-``fake=True``, in which case it produces a deterministic fake decode
-(dimensions + checksum derived from the bytes) so the Spark-side
-plumbing — schema, partitioning, UDF signature, Arrow batch shape — is
-real and tested end-to-end.
+Decode backends, in preference order:
+- Pillow when installed (broad format coverage, C resampling);
+- the stdlib-only PPM/BMP codec (``imagecodec.py`` — struct header
+  parse + numpy nearest-neighbor resample), so the REAL decode/resize
+  branch executes even in codec-less containers; unsniffable formats
+  are flagged ``ok=False`` and kept, never crashed on;
+- ``fake=True`` keeps the deterministic fake decode (dimensions +
+  checksum derived from the bytes) for oracle-checked plumbing tests.
 
 Scale notes: binary payloads ride the same parquet scan; mapInPandas
 keeps one Arrow batch in memory per task (bounded by
@@ -57,9 +59,9 @@ def _fake_decode(checksum: str) -> tuple[int, int]:
 
 
 def _pil():
-    """Import Pillow if available, else None — the real decode path is
-    gated on this (the codec libs are an OPTIONAL dependency; without
-    them the stub raises exactly as before)."""
+    """Import Pillow if available, else None — the preferred real-decode
+    backend (OPTIONAL dependency; without it the stdlib PPM/BMP codec
+    takes over)."""
     try:
         from PIL import Image
         return Image
@@ -70,19 +72,28 @@ def _pil():
 def decode_image_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
     if not fake:
         Image = _pil()
-        if Image is None:
-            # real path needs PIL — not in every container
-            raise NotImplementedError(
-                "image decode requires Pillow (pip install pillow); "
-                "use fake=True for the deterministic test path")
-        import io
+        if Image is not None:
+            import io
 
-        def dims(payload):
-            try:
-                with Image.open(io.BytesIO(bytes(payload))) as im:
-                    return im.width, im.height, True
-            except Exception:
-                return 0, 0, False       # undecodable blob: flagged, kept
+            def dims(payload):
+                try:
+                    with Image.open(io.BytesIO(bytes(payload))) as im:
+                        return im.width, im.height, True
+                except Exception:
+                    return 0, 0, False   # undecodable blob: flagged, kept
+        else:
+            # no Pillow: the stdlib PPM/BMP codec keeps the REAL decode
+            # branch executable (bytes -> header parse -> dimensions);
+            # formats it can't sniff are flagged, kept
+            from .imagecodec import ImageCodecError
+            from .imagecodec import decode as codec_decode
+
+            def dims(payload):
+                try:
+                    rgb = codec_decode(bytes(payload))
+                    return rgb.shape[1], rgb.shape[0], True
+                except ImageCodecError:
+                    return 0, 0, False
 
         decoded = pdf["payload"].map(dims)
         return pd.DataFrame({
@@ -123,11 +134,10 @@ RESIZED_SCHEMA = ("media_id string, kind string, payload binary, "
 def resize_images(df: DataFrame, target_w: int = 224,
                   target_h: int = 224, fake: bool = True) -> DataFrame:
     """mapInPandas resize: decode -> aspect-preserving downscale ->
-    re-encode.  The codec step is the same honest stub as decode
-    (raises without ``fake``); the FAKE path still exercises the real
-    plumbing — blob in, blob out, metadata columns, Arrow batch shape —
-    by computing the scale factor from the fake-decoded dimensions and
-    passing the payload through (a real implementation re-encodes).
+    re-encode (PNG under Pillow, PPM under the stdlib codec).  The FAKE
+    path exercises the plumbing — blob in, blob out, metadata columns,
+    Arrow batch shape — by computing the scale factor from the
+    fake-decoded dimensions and passing the payload through.
 
     Scale notes: the output carries the payload column, so cap
     ``arrow.maxRecordsPerBatch`` for multi-MB blobs and never groupBy
@@ -135,27 +145,42 @@ def resize_images(df: DataFrame, target_w: int = 224,
     """
     def _real_resize(pdf: pd.DataFrame) -> pd.DataFrame:
         Image = _pil()
-        if Image is None:
-            raise NotImplementedError(
-                "image resize requires Pillow (pip install pillow); "
-                "use fake=True for the deterministic test path")
-        import io
-        out = {"media_id": [], "kind": [], "payload": [], "width": [],
-               "height": [], "target_w": [], "target_h": [], "scale": [],
-               "ok": []}
-        for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
-                                      pdf["payload"]):
-            try:
+        if Image is not None:
+            import io
+
+            def one(payload):
                 with Image.open(io.BytesIO(bytes(payload))) as im:
                     w, h = im.width, im.height
                     s = min(target_w / w, target_h / h, 1.0)
                     tw, th = max(1, int(w * s)), max(1, int(h * s))
                     buf = io.BytesIO()
                     im.resize((tw, th)).save(buf, format="PNG")
-                    out["payload"].append(buf.getvalue())
-                    out["width"].append(w); out["height"].append(h)
-                    out["target_w"].append(tw); out["target_h"].append(th)
-                    out["scale"].append(s); out["ok"].append(True)
+                    return buf.getvalue(), w, h, tw, th, s
+        else:
+            # no Pillow: stdlib PPM/BMP decode -> vectorized
+            # nearest-neighbor resample -> PPM re-encode
+            from .imagecodec import decode as codec_decode
+            from .imagecodec import encode_ppm, resize_nearest
+
+            def one(payload):
+                rgb = codec_decode(bytes(payload))
+                h, w = rgb.shape[:2]
+                s = min(target_w / w, target_h / h, 1.0)
+                tw, th = max(1, int(w * s)), max(1, int(h * s))
+                return (encode_ppm(resize_nearest(rgb, tw, th)),
+                        w, h, tw, th, s)
+
+        out = {"media_id": [], "kind": [], "payload": [], "width": [],
+               "height": [], "target_w": [], "target_h": [], "scale": [],
+               "ok": []}
+        for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                      pdf["payload"]):
+            try:
+                blob, w, h, tw, th, s = one(payload)
+                out["payload"].append(blob)
+                out["width"].append(w); out["height"].append(h)
+                out["target_w"].append(tw); out["target_h"].append(th)
+                out["scale"].append(s); out["ok"].append(True)
             except Exception:
                 out["payload"].append(bytes(payload))
                 out["width"].append(0); out["height"].append(0)

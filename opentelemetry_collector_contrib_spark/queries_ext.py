@@ -802,7 +802,9 @@ def q_dsir(spark, sf_dir):
     is two B-bounded count aggregations, scoring ONE Arrow hop)."""
     from .datapipe.dsir import importance_weights
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
-    out = importance_weights(docs, docs.filter(F.col("lang") == "en"))
+    # target ⊆ raw -> flagged one-pass fit (identical model, half the
+    # fit hashing; r4 perf item)
+    out = importance_weights(docs, target_flag=(F.col("lang") == "en"))
     return out.select("id", "n_grams", F.round("logw", 6).alias("logw"))
 
 

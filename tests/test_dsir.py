@@ -34,6 +34,24 @@ def test_weights_favor_target_like_docs(spark):
     assert avg_en > avg_de
 
 
+def test_flagged_one_pass_fit_matches_two_pass(spark):
+    """fit_log_ratios_flagged (ONE explode+agg when target ⊆ raw) must
+    produce the exact model of the two-frame fit — same counts, same
+    scalar-libm ln composition — and importance_weights(target_flag=)
+    must be value-identical to the two-frame call."""
+    from opentelemetry_collector_contrib_spark.datapipe.dsir import (
+        fit_log_ratios_flagged)
+    docs = _docs(spark)
+    two = fit_log_ratios(docs, docs.filter(F.col("lang") == "en"))
+    one = fit_log_ratios_flagged(docs, F.col("lang") == "en")
+    assert one == two                          # bit-identical floats
+    a = sorted(map(tuple, importance_weights(
+        docs, docs.filter(F.col("lang") == "en")).collect()))
+    b = sorted(map(tuple, importance_weights(
+        docs, target_flag=(F.col("lang") == "en")).collect()))
+    assert a == b
+
+
 def test_weights_match_python_model(spark):
     """The distributed fit (two count aggregations + closure scoring)
     equals the single-machine model computed straight from the
