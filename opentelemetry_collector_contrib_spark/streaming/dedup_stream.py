@@ -72,16 +72,25 @@ def _keep_first_counting(id_col: str):
            state: GroupState) -> Iterator[pd.DataFrame]:
         (k,) = key
         seen_before = int(state.get[0]) if state.exists else 0
-        ids: list = []
+        # hot-key safe: a key receiving 10^6 rows in one micro-batch
+        # must not materialize 10^6 ids in the Python worker — fold
+        # each Arrow chunk into a running (count, min) instead, so
+        # working memory is O(1) per key regardless of batch skew.
+        n_ids = 0
+        min_id = None
         for pdf in pdfs:
-            ids.extend(pdf[id_col].tolist())
-        state.update((seen_before + len(ids),))
-        if seen_before == 0 and ids:
+            if len(pdf):
+                n_ids += len(pdf)
+                chunk_min = pdf[id_col].min()
+                if min_id is None or chunk_min < min_id:
+                    min_id = chunk_min
+        state.update((seen_before + n_ids,))
+        if seen_before == 0 and n_ids:
             # first micro-batch this key appears in: emit ONE survivor
             yield pd.DataFrame({
                 "key": [k],
-                "survivor_id": [str(min(ids))],
-                "n_batch": [len(ids)],
+                "survivor_id": [str(min_id)],
+                "n_batch": [n_ids],
                 "n_seen_before": [0],
             })
         else:

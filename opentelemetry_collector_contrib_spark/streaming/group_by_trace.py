@@ -32,7 +32,7 @@ OUTPUT_SCHEMA = ("trace_id string, n_spans int, span_ids array<string>, "
 STATE_SCHEMA = "span_ids array<string>, deadline long"
 
 
-def _buffer_and_release(wait_duration_ms: int):
+def _buffer_and_release(wait_duration_ms: int, max_spans: int | None = None):
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         (trace_id,) = key
@@ -62,6 +62,19 @@ def _buffer_and_release(wait_duration_ms: int):
             deadline = now + wait_duration_ms
         for pdf in pdfs:
             buffered.extend(pdf["span_id"].tolist())
+        if max_spans is not None and len(buffered) >= max_spans:
+            # hot-trace eviction (processor.go num_traces ring-buffer
+            # analog): a runaway trace_id (instrumentation bug, id
+            # collision) must not grow one state entry without bound.
+            # Release NOW, flagged incomplete, and clear state — later
+            # spans of the same trace start a fresh buffer, so state
+            # per key stays <= max_spans + one micro-batch's worth.
+            state.remove()
+            yield pd.DataFrame({"trace_id": [trace_id],
+                                "n_spans": [len(buffered)],
+                                "span_ids": [buffered],
+                                "complete": [False]})
+            return
         state.update((buffered, deadline))
         state.setTimeoutDuration(max(deadline - now, 1))
         yield pd.DataFrame({"trace_id": pd.Series([], dtype="object"),
@@ -72,13 +85,19 @@ def _buffer_and_release(wait_duration_ms: int):
 
 
 def group_by_trace_stream(spans: DataFrame,
-                          wait_duration_ms: int = 1000) -> DataFrame:
+                          wait_duration_ms: int = 1000,
+                          max_spans: int | None = None) -> DataFrame:
     """Streaming sessionizer: input needs (trace_id string, span_id
-    string) columns; emits one row per released trace."""
+    string) columns; emits one row per released trace.
+
+    ``max_spans`` bounds per-trace state: a trace reaching the cap is
+    released immediately with ``complete=False`` (the reference evicts
+    from its ring buffer when full, processor.go:124-170 — same
+    safety valve, keyed by size instead of trace count)."""
     return (spans
             .groupBy("trace_id")
             .applyInPandasWithState(
-                _buffer_and_release(wait_duration_ms),
+                _buffer_and_release(wait_duration_ms, max_spans),
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
