@@ -55,7 +55,11 @@ HEADLINE = ["parse_agg", "enrich", "route_rows", "pipeline_e2e",
             # broadcast probes), LSH-blocked embedding near-dup (the
             # scale twin of the all-pairs verifier), batchpertrace
             # one-exchange window split
-            "ivfpq_adc", "embed_neardup_blocked", "batch_split"]
+            "ivfpq_adc", "embed_neardup_blocked", "batch_split",
+            # round-4 addition: star-edge LSH dedup (the linear-in-
+            # bucket-size production path; all-pairs minhash_lsh above
+            # stays as the verifier)
+            "minhash_lsh_star"]
 # ann_ivf is gate-checked at sf0.01 but not a headline: its fixed
 # 16-list quantizer is sized for the oracle's inlined SQL — at bench
 # scale IVF needs n_lists ~ sqrt(N) (see docs/SCALE.md), and ann_lsh
