@@ -17,6 +17,18 @@ MinHash-LSH + connected components -> PII scrub -> split) forced by
 a single count, with the stage funnel read from the in-lineage
 Observation aggregates (zero extra scans).
 
+Besides the wall, the run is PROFILED for the two things that break a
+cascade at 100 TB before the plan does — memory ceilings and shuffle
+spill:
+
+- peak JVM RSS from ``/proc/<jvm>/status`` ``VmHWM`` (the local-mode
+  JVM is driver+executor in one, so this is the whole engine's
+  high-water mark — no polling thread, the kernel tracks the peak);
+- per-stage ``memoryBytesSpilled`` / ``diskBytesSpilled`` /
+  ``shuffleBytesWritten`` from the Spark UI REST API
+  (``/api/v1/applications/<id>/stages``), with the top spilling
+  stages named so docs/SCALE.md can attribute them to cascade stages.
+
 Usage: python tools/bench_curation.py [n_docs] — prints one JSON line.
 """
 
@@ -28,6 +40,7 @@ import shutil
 import sys
 import tempfile
 import time
+import urllib.request
 
 from pyspark.sql import functions as F
 
@@ -69,9 +82,70 @@ def synth(spark, n: int):
         F.concat(F.lit(HEADER), F.lit(" "), body, extra).alias("text"))
 
 
+def _jvm_pid() -> int | None:
+    """The gateway JVM is our direct child named ``java``."""
+    me = os.getpid()
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().split()
+            if parts[1] == "(java)" and int(parts[3]) == me:
+                return int(p)
+        except (OSError, IndexError, ValueError):
+            continue
+    return None
+
+
+def _peak_rss_gb(pid: int | None) -> float | None:
+    """Kernel-tracked peak resident set (VmHWM) of the JVM, in GiB."""
+    if pid is None:
+        return None
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return round(int(line.split()[1]) / (1024 ** 2), 2)
+    except OSError:
+        pass
+    return None
+
+
+def _stage_profile(spark, top: int = 5) -> dict:
+    """Spill + shuffle totals (and top spilling stages) from the UI API."""
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete",
+                timeout=30) as r:
+            stages = json.loads(r.read())
+    except Exception as exc:                       # UI disabled / port taken
+        return {"error": f"{type(exc).__name__}: {exc}"}
+    gb = 1024 ** 3
+    tot_mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+    tot_disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
+    tot_shuf = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    spillers = sorted(stages, key=lambda s: -s.get("memoryBytesSpilled", 0))
+    return {
+        "stages": len(stages),
+        "mem_spill_gb": round(tot_mem / gb, 2),
+        "disk_spill_gb": round(tot_disk / gb, 2),
+        "shuffle_write_gb": round(tot_shuf / gb, 2),
+        "top_spill_stages": [
+            {"stage": s["stageId"],
+             "name": (s.get("name") or "")[:80],
+             "mem_spill_gb": round(s.get("memoryBytesSpilled", 0) / gb, 2),
+             "disk_spill_gb": round(s.get("diskBytesSpilled", 0) / gb, 2)}
+            for s in spillers[:top] if s.get("memoryBytesSpilled", 0) > 0],
+    }
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     spark = get_spark(cpus=32)
+    jvm = _jvm_pid()
     from opentelemetry_collector_contrib_spark.datapipe.curation import (
         curation_pipeline)
 
@@ -93,6 +167,9 @@ def main() -> None:
             "docs_per_sec": round(n / wall),
             "n_out": n_out,
             "funnel": funnel,
+            "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", ""),
+            "peak_jvm_rss_gb": _peak_rss_gb(jvm),
+            "profile": _stage_profile(spark),
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

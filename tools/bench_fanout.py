@@ -92,27 +92,33 @@ def main() -> None:
     from opentelemetry_collector_contrib_spark import datagen
     sf_dir = datagen.ensure_sf(sf)
 
-    results: dict[str, dict] = {}
-    for regime, heap in HEAPS.items():
-        for strategy in ("persist", "staged"):
-            walls = []
-            cell = {}
-            for _ in range(repeats):
+    # Cells are INTERLEAVED (rep-major: every strategy x regime once,
+    # then again) so a drifting shared host biases all variants alike —
+    # a grouped order put each variant in a different load window and
+    # produced a monotone wall trend that swamped the A/B signal.
+    cells: dict[str, list[float]] = {}
+    meta: dict[str, dict] = {}
+    for rep in range(repeats):
+        for regime, heap in HEAPS.items():
+            for strategy in ("persist", "staged"):
+                key = f"{strategy}_{regime}"
                 cell = run_cell(sf_dir, strategy, heap, cpus)
                 if cell.get("wall_s") is None:
-                    break
-                walls.append(cell["wall_s"])
-            key = f"{strategy}_{regime}"
-            results[key] = {
-                "heap": heap,
-                "walls": walls,
-                "best_s": min(walls) if walls else None,
-                **({"error": cell["error"]} if cell.get("wall_s") is None
-                   else {"rows_in": cell["rows_in"],
-                         "rows_routed": cell["rows_routed"]}),
-            }
-            print(f"# {key} heap={heap}: {results[key].get('walls')} "
-                  f"{results[key].get('error', '')}", file=sys.stderr)
+                    meta[key] = {"error": cell["error"]}
+                else:
+                    cells.setdefault(key, []).append(cell["wall_s"])
+                    meta[key] = {"rows_in": cell["rows_in"],
+                                 "rows_routed": cell["rows_routed"]}
+                print(f"# rep{rep} {key} heap={heap}: "
+                      f"{cell.get('wall_s') or cell.get('error', '')}",
+                      file=sys.stderr)
+    results = {
+        key: {"heap": HEAPS[key.rsplit('_', 1)[1]],
+              "walls": cells.get(key, []),
+              "best_s": min(cells[key]) if cells.get(key) else None,
+              **meta.get(key, {})}
+        for key in meta
+    }
 
     print(json.dumps({"metric": "fanout_ab", "sf": sf, "cpus": cpus,
                       "repeats": repeats, "results": results}))
