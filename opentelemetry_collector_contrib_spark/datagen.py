@@ -99,7 +99,7 @@ def gen_pods(rng: np.random.Generator) -> pa.Table:
     })
 
 
-def gen_tokens(rng: np.random.Generator, n: int) -> pa.Table:
+def gen_tokens(rng: np.random.Generator, n: int, id_offset: int = 0) -> pa.Table:
     src_idx = rng.choice(len(SOURCES), n, p=SOURCE_P)
     sev_idx = rng.choice(len(SEVERITIES), n, p=SEV_P)
     msg_idx = rng.choice(len(MESSAGES), n)
@@ -140,7 +140,9 @@ def gen_tokens(rng: np.random.Generator, n: int) -> pa.Table:
         pa.array(offsets64.astype(np.int32), pa.int32()),
         pa.array(flat.astype(np.int32), pa.int32()))
     return pa.table({
-        "doc_id": pa.array([f"doc-{i:08d}" for i in range(n)], pa.string()),
+        "doc_id": pa.array([f"doc-{i:08d}"
+                            for i in range(id_offset, id_offset + n)],
+                           pa.string()),
         "tokens": tokens_arr,
         "n_tok": pa.array(lens.astype(np.int32), pa.int32()),
         "source": pa.array([SOURCES[s] for s in src_idx], pa.string()),
@@ -235,6 +237,41 @@ def gen_media(rng: np.random.Generator, n: int) -> pa.Table:
     })
 
 
+# per-chunk row cap for the tokens table: keeps one chunk's corpus
+# (~80 B/row) far under the int32 list-offset ceiling gen_tokens guards
+# against, and bounds generator memory at O(chunk) for any sf
+TOKENS_CHUNK = 6_000_000
+
+
+def _write_tokens(path: str, n: int) -> None:
+    """tokens.parquet at any scale.
+
+    n <= TOKENS_CHUNK (sf <= 1): the original single-shot stream —
+    byte-identical to what every earlier round generated.  Larger:
+    chunked through one ParquetWriter, each chunk drawing from its own
+    PCG stream keyed (SEED, chunk_idx) so the output is deterministic
+    per sf without materializing >2^31 corpus bytes in one ListArray;
+    doc ids carry the global row offset so they stay corpus-unique.
+    """
+    if n <= TOKENS_CHUNK:
+        rng = np.random.default_rng(np.random.PCG64(SEED))
+        # small row groups so Spark can split the single file across tasks
+        pq.write_table(gen_tokens(rng, n), path, row_group_size=20_000)
+        return
+    writer = None
+    try:
+        for ci, lo in enumerate(range(0, n, TOKENS_CHUNK)):
+            m = min(TOKENS_CHUNK, n - lo)
+            rng = np.random.default_rng(np.random.PCG64([SEED, ci]))
+            t = gen_tokens(rng, m, id_offset=lo)
+            if writer is None:
+                writer = pq.ParquetWriter(path, t.schema)
+            writer.write_table(t, row_group_size=20_000)
+    finally:
+        if writer is not None:
+            writer.close()
+
+
 def ensure_sf(sf: float, force: bool = False) -> str:
     """Generate (if absent) all synthetic tables for a scale factor.
 
@@ -248,10 +285,7 @@ def ensure_sf(sf: float, force: bool = False) -> str:
                 return d
     os.makedirs(d, exist_ok=True)
     n = max(int(TOKENS_ROWS_SF1 * sf), 1000)
-    rng = np.random.default_rng(np.random.PCG64(SEED))
-    # small row groups so Spark can split the single file across tasks
-    pq.write_table(gen_tokens(rng, n), os.path.join(d, "tokens.parquet"),
-                   row_group_size=20_000)
+    _write_tokens(os.path.join(d, "tokens.parquet"), n)
     # pods dim is sf-independent but re-derived from a fixed-seed stream
     rng_p = np.random.default_rng(np.random.PCG64(SEED + 1))
     pq.write_table(gen_pods(rng_p), os.path.join(d, "pods.parquet"))

@@ -144,7 +144,10 @@ def _stage_profile(spark, top: int = 5) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    spark = get_spark(cpus=32)
+    # the session factory disables the UI (bench batteries run many
+    # sessions); the spill profile below needs its REST API, so this
+    # tool re-enables it for its own session only
+    spark = get_spark(cpus=32, extra_conf={"spark.ui.enabled": "true"})
     jvm = _jvm_pid()
     from opentelemetry_collector_contrib_spark.datapipe.curation import (
         curation_pipeline)
