@@ -118,6 +118,12 @@ def bench_once(cpus: int, sf_dir: str, names: list[str]) -> dict:
     times = {k: min(t1[k], t2[k]) for k in t1}
     wall = round(sum(times.values()), 3)
     n_in = input_rows(spark, sf_dir)
+    # the hypervisor grant on this sandbox swings ~1-8 effective cores
+    # (tools/cpu_probe.py) — record it so cross-round walls can be
+    # normalized for grant deltas instead of misread as code deltas
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from cpu_probe import effective_cores
     return {
         "metric": "pipeline_wall_sec",
         "value": round(wall, 3),
@@ -128,6 +134,7 @@ def bench_once(cpus: int, sf_dir: str, names: list[str]) -> dict:
         "input_rows": n_in,
         "warm": True,
         "seq_per_sec": round(n_in * len([q for q in names if q in times]) / wall, 1),
+        "eff_cores": effective_cores()["eff_cores"],
     }
 
 

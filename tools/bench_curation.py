@@ -158,10 +158,15 @@ def main() -> None:
         synth(spark, n).repartition(32).write.parquet(corpus)
         docs = spark.read.parquet(corpus)
 
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from cpu_probe import effective_cores
+        grant_before = effective_cores()
+
         t0 = time.time()
         out, obs = curation_pipeline(docs, jaccard_threshold=0.5)
         n_out = out.count()
         wall = time.time() - t0
+        grant_after = effective_cores()
 
         funnel = {stage: int(o.get["n"]) for stage, o in obs.items()}
         print(json.dumps({
@@ -171,6 +176,10 @@ def main() -> None:
             "n_out": n_out,
             "funnel": funnel,
             "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", ""),
+            # hypervisor grant bracketing the timed region (see
+            # cpu_probe.py) — walls are only comparable at like grants
+            "eff_cores_before": grant_before["eff_cores"],
+            "eff_cores_after": grant_after["eff_cores"],
             "peak_jvm_rss_gb": _peak_rss_gb(jvm),
             "profile": _stage_profile(spark),
         }))
