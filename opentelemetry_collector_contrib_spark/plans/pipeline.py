@@ -57,16 +57,28 @@ class PipelineConfig:
     #  "staged"  — write the routed rows ONCE partitionBy(sink) to
     #     out_dir/_fanout_staging, then each sink branch re-reads its
     #     pruned partition (costs one extra fan-out-sized write+read on
-    #     durable storage, zero cache pressure — the 100-TB regime where
-    #     ~input-sized cluster cache is not available).
-    # A/B at sf2 x 4 sinks: see BENCH/DELTAS.md (persist is the default:
-    # faster whenever the frame fits cache).
-    fanout_strategy: str = "persist"
+    #     durable storage, zero cache pressure);
+    #  "auto"    — persist while the estimated cache fits guaranteed
+    #     storage memory, staged past that (_auto_fanout_strategy).
+    # A/Bs in BENCH/DELTAS.md: persist edges staged at sf2 where the
+    # cache fits (71 vs 72 s best), but at sf8 persist OOMs 6-8 GiB
+    # heaps and runs 1.25x SLOWER at 12 GiB (264 vs 211 s — each
+    # persist branch re-scans the FULL cache through an array_contains
+    # filter, while each staged branch reads only its partition-pruned
+    # slice).  At 100 TB staged is the only viable regime; "auto" makes
+    # that cutover size-driven instead of hand-tuned.
+    fanout_strategy: str = "auto"
+    # default parquet row-group size for auto-created sinks (None =
+    # hadoop's 128 MiB).  Bounds per-write-task heap on the fan-out
+    # stage — a task writing partitionBy(unit) holds one open row-group
+    # buffer per unit value it sees (SinkConfig.parquet_block_bytes).
+    sink_parquet_block_bytes: int | None = None
 
     def sink_cfg(self, name: str) -> SinkConfig:
         if name not in self.sinks:
             self.sinks[name] = SinkConfig(
-                name=name, path=f"{self.out_dir}/sinks/{name}")
+                name=name, path=f"{self.out_dir}/sinks/{name}",
+                parquet_block_bytes=self.sink_parquet_block_bytes)
         return self.sinks[name]
 
 
@@ -89,6 +101,58 @@ ATTR_COLS = ["source", "severity_text", "namespace", "deployment", "pod_name"]
 def _unit_count_aggs(units: list[int]) -> list:
     return [F.coalesce(F.sum(F.when(F.col("unit") == u, 1).otherwise(0)),
                        F.lit(0)).alias(f"u{u}") for u in units]
+
+
+def _parse_mem(s: str) -> int:
+    """'12g' / '512m' / '1t' / plain bytes -> bytes."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+# cached-routed-lineage footprint per input parquet byte: parquet
+# decodes ~2-3x (token int arrays), the route fan-out duplicates
+# ~1.8x rows, and java-serialized cache blocks carry overhead —
+# measured ~4x at sf8 (1.77 GB parquet OOMs an 8 GiB heap's store)
+_CACHE_BYTES_PER_INPUT_BYTE = 4
+
+
+def _auto_fanout_strategy(spark: SparkSession, cfg: PipelineConfig) -> str:
+    """Pick the single-pass fan-out strategy from the input size.
+
+    persist (cache the routed lineage) wins while the cache fits the
+    cluster's guaranteed storage memory; past that it first thrashes,
+    then dies building cache blocks (measured: the sf8=48M-row flagship
+    OOMs at 6-8 GiB heaps where the staged write-once runs 1.25-1.5x
+    FASTER — BENCH/DELTAS.md round 4).  Estimate the cache as input
+    parquet bytes x4 and compare against heap x memory.fraction x
+    storageFraction x live executors; fall back to staged when the
+    input can't be stat'ed (unknown size = assume big)."""
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(cfg.tokens_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        input_bytes = fs.getContentSummary(jpath).getLength()
+    except Exception:
+        return "staged"
+    conf = spark.conf
+    master = conf.get("spark.master", "local")
+    if master.startswith("local"):
+        heap = _parse_mem(conf.get("spark.driver.memory", "1g"))
+        n_exec = 1
+    else:
+        heap = _parse_mem(conf.get("spark.executor.memory", "1g"))
+        # live executors (minus the driver entry); dynamic allocation
+        # safe — this is a point-in-time lower bound
+        n_exec = max(
+            spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1,
+            1)
+    frac = float(conf.get("spark.memory.fraction", "0.6"))
+    storage_frac = float(conf.get("spark.memory.storageFraction", "0.5"))
+    storage_bytes = int(heap * frac * storage_frac) * n_exec
+    est_cache = input_bytes * _CACHE_BYTES_PER_INPUT_BYTE
+    return "persist" if est_cache <= storage_bytes else "staged"
 
 
 def _process_units(df: DataFrame, cfg: PipelineConfig,
@@ -131,7 +195,10 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
     staging = None
     staged_col = None
     if cfg.single_pass and len(cfg.routes.all_sinks()) > 1:
-        if cfg.fanout_strategy == "staged":
+        strategy = cfg.fanout_strategy
+        if strategy == "auto":
+            strategy = _auto_fanout_strategy(df.sparkSession, cfg)
+        if strategy == "staged":
             # write-once fan-out: the routed rows land partitionBy(sink)
             # on durable storage (the in_obs counts ride this action);
             # each branch below re-reads its own partition-pruned slice
@@ -139,9 +206,21 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
             import os
             spark = df.sparkSession
             staging = os.path.join(cfg.out_dir, "_fanout_staging")
-            (df.withColumn("sink", F.explode("sinks"))
-             .write.mode("overwrite").partitionBy("sink").parquet(staging))
-            df = spark.read.parquet(staging)
+            writer = df.withColumn("sink", F.explode("sinks")) \
+                .write.mode("overwrite").partitionBy("sink")
+            if cfg.sink_parquet_block_bytes is not None:
+                writer = writer.option("parquet.block.size",
+                                       str(cfg.sink_parquet_block_bytes))
+            writer.parquet(staging)
+            # read the partition dirs via an explicit glob + basePath:
+            # the staging root is underscore-prefixed (so casual readers
+            # of out_dir never see it as data), and hidden-path roots
+            # are only incidentally exempt from Hadoop's hiddenFileFilter
+            # when passed directly — the glob makes the listing
+            # explicit and version-proof (and silences the
+            # "All paths were ignored" WARN).
+            df = (spark.read.option("basePath", staging)
+                  .parquet(os.path.join(staging, "sink=*")))
             staged_col = "sink"
         else:
             from pyspark import StorageLevel

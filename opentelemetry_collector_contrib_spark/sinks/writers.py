@@ -48,6 +48,13 @@ class SinkConfig:
     # the whole unit.  None/[] disables (default: everything ships).
     max_payload_bytes: int | None = None           # config.go:113 (1 MiB body)
     required_attrs: list[str] = field(default_factory=list)
+    # parquet row-group size for this sink's files (None = hadoop
+    # default 128 MiB).  Each write task buffers ONE open row group per
+    # open file, so this bounds writer heap on fan-out stages where a
+    # task holds several open files (multi-value partitionBy) — see
+    # docs/SCALE.md "Flagship pipeline at sf8".  Smaller groups trade
+    # scan-side row-group pruning granularity for write-side memory.
+    parquet_block_bytes: int | None = None
 
 
 def split_metadata_keys(columns: list[str], regexes: list[str],
@@ -221,6 +228,9 @@ def write_sink(df: DataFrame, cfg: SinkConfig,
         return
     writer = (df.write.mode(mode)
               .option("maxRecordsPerFile", cfg.max_records_per_file))
+    if cfg.parquet_block_bytes is not None:
+        writer = writer.option("parquet.block.size",
+                               str(cfg.parquet_block_bytes))
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(cfg.path)

@@ -83,6 +83,31 @@ def test_write_sink_allowlist_and_partition(spark, tmp_path):
     assert (tmp_path / "loki" / "severity_text=Info").exists()
 
 
+def test_write_sink_parquet_block_bytes_bounds_row_groups(spark, tmp_path):
+    """SinkConfig.parquet_block_bytes caps the open row-group buffer per
+    write task (the sf8 fan-out heap floor — docs/SCALE.md): a small cap
+    must yield multiple small row groups where the 128 MiB default
+    writes one."""
+    import pyarrow.parquet as pq
+    rows = spark.range(20_000).selectExpr(
+        "cast(id as string) as doc_id", "repeat('x', 200) as payload")
+
+    def row_groups(path):
+        files = [f for f in (tmp_path / path).rglob("*.parquet")]
+        assert files
+        return sum(pq.ParquetFile(str(f)).num_row_groups for f in files), \
+            len(files)
+
+    write_sink(rows, SinkConfig("dflt", str(tmp_path / "dflt")))
+    write_sink(rows, SinkConfig("capped", str(tmp_path / "capped"),
+                                parquet_block_bytes=64 * 1024))
+    dflt_groups, dflt_files = row_groups("dflt")
+    cap_groups, cap_files = row_groups("capped")
+    # same file count (same task layout), strictly more + smaller groups
+    assert cap_groups > dflt_groups
+    assert (spark.read.parquet(str(tmp_path / "capped")).count() == 20_000)
+
+
 # -- manifest + resume ------------------------------------------------------
 
 def _cfg(sf_dir, out_dir, n_units=4):
@@ -605,6 +630,7 @@ def test_staged_fanout_matches_persist_and_scans_once(spark, sf_dir,
     n_rows = spark.read.parquet(f"{sf_dir}/tokens.parquet").count()
 
     cfg_p = _cfg(sf_dir, str(tmp_path / "persist"), n_units=2)
+    cfg_p.fanout_strategy = "persist"   # pin vs the size-driven default
     res_p = run_pipeline(spark, cfg_p)
 
     acc = spark.sparkContext.accumulator(0)
@@ -631,6 +657,30 @@ def test_staged_fanout_matches_persist_and_scans_once(spark, sf_dir,
         a = spark.read.parquet(f"{tmp_path}/persist/sinks/{sink}/unit=*")
         b = spark.read.parquet(f"{tmp_path}/staged/sinks/{sink}/unit=*")
         assert rows(a, "doc_id", "tokens") == rows(b, "doc_id", "tokens")
+
+
+def test_auto_fanout_strategy_size_cutover(spark, sf_dir, monkeypatch):
+    """fanout_strategy='auto' (the default) picks persist while the
+    estimated routed-lineage cache fits guaranteed storage memory and
+    staged past that; an un-stat-able input (e.g. an Iceberg catalog
+    table name) is assumed big."""
+    from opentelemetry_collector_contrib_spark.plans import pipeline as P
+    cfg = _cfg(sf_dir, "/tmp/unused")
+    assert P._auto_fanout_strategy(spark, cfg) == "persist"  # tiny input
+    monkeypatch.setattr(P, "_CACHE_BYTES_PER_INPUT_BYTE", 10**12)
+    assert P._auto_fanout_strategy(spark, cfg) == "staged"   # huge estimate
+    cfg2 = _cfg(sf_dir, "/tmp/unused")
+    cfg2.tokens_path = str(sf_dir) + "/no_such_table.parquet"
+    assert P._auto_fanout_strategy(spark, cfg2) == "staged"  # unknown size
+
+
+def test_parse_mem_suffixes():
+    from opentelemetry_collector_contrib_spark.plans.pipeline import (
+        _parse_mem)
+    assert _parse_mem("12g") == 12 << 30
+    assert _parse_mem("512M") == 512 << 20
+    assert _parse_mem("1.5g") == int(1.5 * (1 << 30))
+    assert _parse_mem("1048576") == 1 << 20
 
 
 def _scan_output_rows(df) -> int:

@@ -38,6 +38,8 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g")
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = heap
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    block_mb = int(sys.argv[4]) if len(sys.argv) > 4 else 0  # 0 = default
+    strategy = sys.argv[5] if len(sys.argv) > 5 else "persist"
 
     from opentelemetry_collector_contrib_spark import datagen
     from opentelemetry_collector_contrib_spark.session import get_spark
@@ -60,7 +62,9 @@ def main() -> None:
         cfg = PipelineConfig(
             tokens_path=os.path.join(sf_dir, "tokens.parquet"),
             pods_path=os.path.join(sf_dir, "pods.parquet"),
-            out_dir=out_dir, n_units=8, routes=routes)
+            out_dir=out_dir, n_units=8, routes=routes,
+            fanout_strategy=strategy,
+            sink_parquet_block_bytes=block_mb * 1024 * 1024 or None)
         grant_before = effective_cores()
         t0 = time.time()
         res = run_pipeline(spark, cfg)
@@ -74,6 +78,8 @@ def main() -> None:
             "rows_per_sec": round(res["rows_in"] / wall),
             "heap": heap,
             "task_slots": cpus,
+            "parquet_block_mb": block_mb or 128,
+            "fanout_strategy": strategy,
             "eff_cores_before": grant_before["eff_cores"],
             "eff_cores_after": grant_after["eff_cores"],
             "peak_jvm_rss_gb": _peak_rss_gb(jvm),
