@@ -35,6 +35,15 @@ def main() -> None:
     ap.add_argument("--out", help="output dir (manifest mode)")
     ap.add_argument("--units", type=int, default=64)
     ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--fanout-strategy", default="auto",
+                    choices=["auto", "persist", "staged"],
+                    help="single-pass fan-out: cache the routed lineage "
+                         "(persist), write-once partitionBy(sink) "
+                         "(staged), or size-driven cutover (auto)")
+    ap.add_argument("--sink-block-mb", type=int, default=0,
+                    help="parquet row-group MiB for sink writes "
+                         "(0 = hadoop default 128; bounds per-write-task "
+                         "heap on fan-out stages)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,7 +65,10 @@ def main() -> None:
             PipelineConfig, run_pipeline)
         cfg = PipelineConfig(tokens_path=args.tokens, pods_path=args.pods,
                              out_dir=args.out, n_units=args.units,
-                             salt_partitions=args.salt)
+                             salt_partitions=args.salt,
+                             fanout_strategy=args.fanout_strategy,
+                             sink_parquet_block_bytes=(
+                                 args.sink_block_mb * 1024 * 1024 or None))
         print(json.dumps(run_pipeline(spark, cfg)))
 
 

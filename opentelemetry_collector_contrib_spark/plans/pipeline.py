@@ -55,7 +55,7 @@ class PipelineConfig:
     #  "persist" — cache the routed lineage MEMORY_AND_DISK (serialized;
     #     costs ~input-sized executor cache, zero extra write);
     #  "staged"  — write the routed rows ONCE partitionBy(sink) to
-    #     out_dir/_fanout_staging, then each sink branch re-reads its
+    #     out_dir/fanout-staging.tmp, then each sink branch re-reads its
     #     pruned partition (costs one extra fan-out-sized write+read on
     #     durable storage, zero cache pressure);
     #  "auto"    — persist while the estimated cache fits guaranteed
@@ -205,22 +205,21 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
             # — no cache, one extra write.
             import os
             spark = df.sparkSession
-            staging = os.path.join(cfg.out_dir, "_fanout_staging")
+            # NOT underscore-prefixed: hidden-path roots are only
+            # incidentally readable when passed directly (Hadoop's
+            # hiddenFileFilter exempts the root in current Spark, with
+            # an "All paths were ignored" WARN), and a glob workaround
+            # trips FileStreamSink's metadata probe.  out_dir is never
+            # read as a table, and the dir is removed in the finally
+            # below, so a plain name is safe and silent.
+            staging = os.path.join(cfg.out_dir, "fanout-staging.tmp")
             writer = df.withColumn("sink", F.explode("sinks")) \
                 .write.mode("overwrite").partitionBy("sink")
             if cfg.sink_parquet_block_bytes is not None:
                 writer = writer.option("parquet.block.size",
                                        str(cfg.sink_parquet_block_bytes))
             writer.parquet(staging)
-            # read the partition dirs via an explicit glob + basePath:
-            # the staging root is underscore-prefixed (so casual readers
-            # of out_dir never see it as data), and hidden-path roots
-            # are only incidentally exempt from Hadoop's hiddenFileFilter
-            # when passed directly — the glob makes the listing
-            # explicit and version-proof (and silences the
-            # "All paths were ignored" WARN).
-            df = (spark.read.option("basePath", staging)
-                  .parquet(os.path.join(staging, "sink=*")))
+            df = spark.read.parquet(staging)
             staged_col = "sink"
         else:
             from pyspark import StorageLevel

@@ -651,7 +651,7 @@ def test_staged_fanout_matches_persist_and_scans_once(spark, sf_dir,
 
     assert unit_counts(f"{tmp_path}/staged") == \
         unit_counts(f"{tmp_path}/persist")
-    assert not os.path.exists(f"{tmp_path}/staged/_fanout_staging")
+    assert not os.path.exists(f"{tmp_path}/staged/fanout-staging.tmp")
 
     for sink in ("sumologic", "loki", "default-sink"):
         a = spark.read.parquet(f"{tmp_path}/persist/sinks/{sink}/unit=*")

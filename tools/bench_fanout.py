@@ -8,7 +8,7 @@ two single-pass fan-out strategies (plans/pipeline.py:_process_units):
   per-sink branches read InMemoryTableScan.  Costs ~input-sized
   executor cache; zero extra writes.
 - ``staged``: routed rows written ONCE ``partitionBy(sink)`` to
-  ``out_dir/_fanout_staging``; branches re-read partition-pruned
+  ``out_dir/fanout-staging.tmp``; branches re-read partition-pruned
   slices.  Costs one extra fan-out-sized write+read on durable
   storage; zero cache pressure.
 
