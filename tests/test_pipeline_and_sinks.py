@@ -813,3 +813,93 @@ def test_streaming_multi_sink_body_backend(spark, sf_dir, tmp_path):
         want = sorted(r["doc_id"] for r in spark.read.parquet(
             f"{tmp_path}/sinks_fused/{s}/batch=*").collect())
         assert got[s] == want
+
+
+# -- versioned snapshots (the Iceberg-commit analog) -------------------------
+
+def _snap_table(spark, path, unit, n, offset=0):
+    (spark.range(offset, offset + n)
+     .selectExpr("cast(id as string) as doc_id", f"{unit} as unit")
+     .write.mode("append").partitionBy("unit").parquet(path))
+
+
+def test_snapshot_versions_pin_and_expire(spark, tmp_path):
+    """Versioned publish (HadoopTableOperations model): appending new
+    units and republishing bumps the version; a reader pinned to v1
+    still sees EXACTLY v1's file set (time travel while files persist);
+    expire_snapshots drops old metadata; a deleted data file makes
+    verify_snapshot report it and read_pinned fail loud."""
+    from opentelemetry_collector_contrib_spark.sinks.maintenance import (
+        current_version, expire_snapshots, publish_snapshot, read_pinned,
+        read_snapshot, snapshot_versions, verify_snapshot)
+    path = str(tmp_path / "t")
+    _snap_table(spark, path, unit=0, n=100)
+    publish_snapshot(path, "run-a", extra={"sink": "s"})
+    assert current_version(path) == 1
+    _snap_table(spark, path, unit=1, n=50, offset=100)
+    publish_snapshot(path, "run-b", extra={"sink": "s"})
+
+    assert snapshot_versions(path) == [1, 2]
+    assert read_snapshot(path)["version"] == 2
+    assert read_snapshot(path, version=1)["run_id"] == "run-a"
+    # time travel: v1 pins the pre-append file set
+    assert read_pinned(spark, path, version=1).count() == 100
+    assert read_pinned(spark, path).count() == 150
+    assert "unit" in read_pinned(spark, path).columns  # basePath keeps it
+    assert verify_snapshot(path, 1) == [] and verify_snapshot(path) == []
+
+    # root alias tracks the current version
+    assert read_snapshot(path)["n_files"] == len(
+        read_snapshot(path)["files"])
+
+    expired = expire_snapshots(path, keep_last=1)
+    assert expired == [1]
+    assert snapshot_versions(path) == [2]
+    assert read_snapshot(path, version=1) is None
+
+    # dangle a data file -> loud failure, named file
+    victim = read_snapshot(path)["files"][0]["path"]
+    os.remove(os.path.join(path, victim))
+    assert victim in verify_snapshot(path)
+    import pytest
+    with pytest.raises(FileNotFoundError, match="dangling"):
+        read_pinned(spark, path)
+
+
+def test_compact_republishes_current_snapshot(spark, tmp_path):
+    """compact() must never leave the CURRENT snapshot pointing at
+    rewritten (deleted) files: it carries the _snapshots dir across the
+    atomic swap and publishes a new version over the compacted layout.
+    The pre-compaction version naturally dangles — reported, not
+    silent."""
+    from opentelemetry_collector_contrib_spark.sinks.maintenance import (
+        compact, current_version, publish_snapshot, read_pinned,
+        read_snapshot, verify_snapshot)
+    path = str(tmp_path / "t")
+    _snap_table(spark, path, unit=0, n=2000)
+    _snap_table(spark, path, unit=1, n=2000, offset=2000)
+    publish_snapshot(path, "run-a", extra={"sink": "s"})
+    compact(spark, path, target_file_bytes=1 << 30)
+    assert current_version(path) == 2
+    snap = read_snapshot(path)
+    assert snap["compacted_from"] == 1 and snap["sink"] == "s"
+    assert verify_snapshot(path) == []                # current is readable
+    assert read_pinned(spark, path).count() == 4000   # rows preserved
+    assert verify_snapshot(path, 1) != []             # old version dangles
+
+
+def test_run_pipeline_snapshot_versions_accumulate(spark, sf_dir, tmp_path):
+    """Each run_pipeline completion commits a new snapshot version per
+    sink (the per-run Iceberg commit); a re-run over a completed
+    manifest re-publishes rather than mutating v1."""
+    from opentelemetry_collector_contrib_spark.sinks.maintenance import (
+        read_pinned, snapshot_versions)
+    cfg = _cfg(sf_dir, str(tmp_path / "snap2"))
+    run_pipeline(spark, cfg)
+    cfg2 = _cfg(sf_dir, str(tmp_path / "snap2"))
+    run_pipeline(spark, cfg2)
+    p = cfg.sink_cfg("sumologic").path
+    assert snapshot_versions(p) == [1, 2]
+    # nothing was rewritten between the two publishes -> both pin fine
+    assert (read_pinned(spark, p, version=1).count()
+            == read_pinned(spark, p, version=2).count() > 0)
