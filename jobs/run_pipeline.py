@@ -44,6 +44,10 @@ def main() -> None:
                     help="parquet row-group MiB for sink writes "
                          "(0 = hadoop default 128; bounds per-write-task "
                          "heap on fan-out stages)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="process only input files not yet in the "
+                         "ingest ledger (one cycle per invocation; "
+                         "the cron/Airflow-driven file_input analog)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,7 +73,12 @@ def main() -> None:
                              fanout_strategy=args.fanout_strategy,
                              sink_parquet_block_bytes=(
                                  args.sink_block_mb * 1024 * 1024 or None))
-        print(json.dumps(run_pipeline(spark, cfg)))
+        if args.incremental:
+            from opentelemetry_collector_contrib_spark.plans.incremental \
+                import run_pipeline_incremental
+            print(json.dumps(run_pipeline_incremental(spark, cfg)))
+        else:
+            print(json.dumps(run_pipeline(spark, cfg)))
 
 
 if __name__ == "__main__":

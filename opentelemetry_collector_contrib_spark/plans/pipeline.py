@@ -73,6 +73,10 @@ class PipelineConfig:
     # stage — a task writing partitionBy(unit) holds one open row-group
     # buffer per unit value it sees (SinkConfig.parquet_block_bytes).
     sink_parquet_block_bytes: int | None = None
+    # bytes actually being processed this run, when different from the
+    # tokens_path total (incremental ingest sets this to the new-file
+    # sum so the auto fan-out strategy sizes by the increment)
+    input_bytes_hint: int | None = None
 
     def sink_cfg(self, name: str) -> SinkConfig:
         if name not in self.sinks:
@@ -82,9 +86,13 @@ class PipelineConfig:
         return self.sinks[name]
 
 
-def build_lineage(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
-    """The full parse -> enrich -> route lineage (no actions)."""
-    df = read_tokens(spark, cfg.tokens_path)
+def build_lineage(spark: SparkSession, cfg: PipelineConfig,
+                  df: DataFrame | None = None) -> DataFrame:
+    """The full parse -> enrich -> route lineage (no actions).  ``df``
+    overrides the input scan (incremental ingest reads only new files
+    of the same schema)."""
+    if df is None:
+        df = read_tokens(spark, cfg.tokens_path)
     if cfg.parser.backend not in ("fused", "arrow"):
         # fused/arrow detokenize inside the parser
         df = with_body(df, backend=cfg.decode_backend)
@@ -129,13 +137,21 @@ def _auto_fanout_strategy(spark: SparkSession, cfg: PipelineConfig) -> str:
     FASTER — BENCH/DELTAS.md round 4).  Estimate the cache as input
     parquet bytes x4 and compare against heap x memory.fraction x
     storageFraction x live executors; fall back to staged when the
-    input can't be stat'ed (unknown size = assume big)."""
-    try:
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(cfg.tokens_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        input_bytes = fs.getContentSummary(jpath).getLength()
-    except Exception:
-        return "staged"
+    input can't be stat'ed (unknown size = assume big).
+
+    ``cfg.input_bytes_hint`` (when set) overrides the stat — the
+    incremental ingest mode processes only NEW files of a much larger
+    table, so sizing by the full table would wrongly force staged for
+    a small increment."""
+    if cfg.input_bytes_hint is not None:
+        input_bytes = cfg.input_bytes_hint
+    else:
+        try:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(cfg.tokens_path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            input_bytes = fs.getContentSummary(jpath).getLength()
+        except Exception:
+            return "staged"
     conf = spark.conf
     master = conf.get("spark.master", "local")
     if master.startswith("local"):
@@ -156,7 +172,9 @@ def _auto_fanout_strategy(spark: SparkSession, cfg: PipelineConfig) -> str:
 
 
 def _process_units(df: DataFrame, cfg: PipelineConfig,
-                   units: list[int]) -> dict[int, dict]:
+                   units: list[int],
+                   partition_cols: list[str] | None = None,
+                   partition_values: dict | None = None) -> dict[int, dict]:
     """ONE pass over the pending units per sink: the branch is written
     ``partitionBy("unit")`` under the sink root, so the parse+enrich
     compute runs once regardless of how many units are pending (the
@@ -231,7 +249,9 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
     drop_obs: dict[str, "Observation"] = {}
     try:
         _write_sink_branches(df, cfg, units, branch_obs, drop_obs,
-                             staged_col=staged_col)
+                             staged_col=staged_col,
+                             partition_cols=partition_cols,
+                             partition_values=partition_values)
         for sink_name, obs in branch_obs.items():
             got = obs.get
             per_sink[sink_name] = {u: int(got[f"u{u}"]) for u in units}
@@ -263,12 +283,17 @@ def _process_units(df: DataFrame, cfg: PipelineConfig,
 def _write_sink_branches(df: DataFrame, cfg: PipelineConfig,
                          units: list[int],
                          branch_obs: dict, drop_obs: dict,
-                         staged_col: str | None = None) -> None:
+                         staged_col: str | None = None,
+                         partition_cols: list[str] | None = None,
+                         partition_values: dict | None = None) -> None:
     """The per-sink write loop over the (persisted or staged) routed
     lineage.  ``staged_col`` set means ``df`` is the re-read staging
     table partitioned by that column — the equality filter prunes to
-    the sink's own files instead of scanning the array column."""
+    the sink's own files instead of scanning the array column.
+    ``partition_cols`` extends the sink layout beyond the default
+    ``unit`` (incremental ingest adds a leading ``cycle``)."""
     from pyspark.sql import Observation
+    partition_cols = partition_cols or ["unit"]
     for sink_name in cfg.routes.all_sinks():
         sink = cfg.sink_cfg(sink_name)
         if staged_col is not None:
@@ -277,7 +302,7 @@ def _write_sink_branches(df: DataFrame, cfg: PipelineConfig,
         else:
             branch = df.filter(F.array_contains(F.col("sinks"), sink_name))
         branch = serialize_records(branch, sink, attr_cols=ATTR_COLS)
-        out_cols = ["unit", "doc_id", "tokens", "n_tok", "payload",
+        out_cols = [*partition_cols, "doc_id", "tokens", "n_tok", "payload",
                     "metadata_signature", *ATTR_COLS]
         branch = branch.select(*[c for c in out_cols if c in branch.columns])
         if sink.max_payload_bytes is not None or sink.required_attrs:
@@ -295,15 +320,21 @@ def _write_sink_branches(df: DataFrame, cfg: PipelineConfig,
             # re-send already-shipped rows), so clear pending units first
             import shutil
             qp = quarantine_path(sink)
+            # with a leading cycle partition, clear only this run's
+            # pending unit dirs under it, never other cycles'
+            prefix = "/".join(f"{c}={partition_values[c]}"
+                              for c in partition_cols if c != "unit")
+            base = f"{qp}/{prefix}" if prefix else qp
             for u in units:
-                shutil.rmtree(f"{qp}/unit={u}", ignore_errors=True)
-            bad.write.mode("overwrite").partitionBy("unit").parquet(qp)
+                shutil.rmtree(f"{base}/unit={u}", ignore_errors=True)
+            bad.write.mode("overwrite") \
+                .partitionBy(*partition_cols).parquet(qp)
             drop_obs[sink_name] = dobs
         obs = Observation()
         branch = branch.observe(obs, *_unit_count_aggs(units))
         if cfg.salt_partitions:
             branch = salted_repartition(branch, "source", cfg.salt_partitions)
-        write_sink(branch, sink, partition_cols=["unit"])
+        write_sink(branch, sink, partition_cols=partition_cols)
         branch_obs[sink_name] = obs
 
 

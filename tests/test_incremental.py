@@ -1,0 +1,149 @@
+"""Incremental file ingest: the file_input discovery + offsets-resume
+analog in batch (receiver/stanzareceiver/config.go:26 offsets_file;
+stanza file_input polls for new files).  New parquet files appended to
+the tokens table are processed in ledger-committed cycles; each cycle
+appends under its own cycle=<id> partition and publishes one snapshot
+version, so pinned reads time-travel the ingest history."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.plans.incremental import (
+    FileLedger, list_input_files, run_pipeline_incremental)
+from opentelemetry_collector_contrib_spark.plans.pipeline import (
+    PipelineConfig, run_pipeline)
+from opentelemetry_collector_contrib_spark.sinks.maintenance import (
+    read_pinned, snapshot_versions, verify_snapshot)
+
+SINKS = ("sumologic", "loki", "default-sink")
+
+
+def _split_tokens(spark, sf_dir, tmp_path):
+    """The sf tokens table split in two halves; half A written as the
+    initial table, half B returned for a later append."""
+    tok = spark.read.parquet(f"{sf_dir}/tokens.parquet")
+    a = tok.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    b = tok.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    in_dir = str(tmp_path / "tokens_inc")
+    a.write.parquet(in_dir)
+    return in_dir, a.count(), b
+
+
+def _inc_cfg(in_dir, sf_dir, out):
+    return PipelineConfig(tokens_path=in_dir,
+                          pods_path=f"{sf_dir}/pods.parquet",
+                          out_dir=str(out), n_units=4)
+
+
+def _sink_docs(spark, path):
+    return sorted(r["doc_id"]
+                  for r in spark.read.parquet(path).select("doc_id")
+                  .collect())
+
+
+def test_incremental_cycles_append_and_time_travel(spark, sf_dir, tmp_path):
+    in_dir, n_a, b = _split_tokens(spark, sf_dir, tmp_path)
+    cfg = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+
+    r1 = run_pipeline_incremental(spark, cfg)
+    assert r1["status"] == "complete" and r1["rows_in"] == n_a
+
+    # nothing new -> no work, no new snapshot version
+    assert run_pipeline_incremental(spark, cfg)["status"] == "no_new_data"
+    p = cfg.sink_cfg("sumologic").path
+    assert snapshot_versions(p) == [1]
+
+    # append half B to the input table -> cycle 2 processes ONLY it
+    b.write.mode("append").parquet(in_dir)
+    r2 = run_pipeline_incremental(spark, cfg)
+    assert r2["status"] == "complete" and r2["rows_in"] == b.count()
+    assert r2["cycle_id"] != r1["cycle_id"]
+    assert snapshot_versions(p) == [1, 2]
+
+    # cycles only APPEND, so v1 stays fully readable: true time travel
+    assert verify_snapshot(p, 1) == []
+    assert (read_pinned(spark, p, version=1).count()
+            < read_pinned(spark, p, version=2).count())
+
+    # two cycles == one full batch run, per sink (routed-row equality)
+    full = _inc_cfg(f"{sf_dir}/tokens.parquet", sf_dir, tmp_path / "full")
+    run_pipeline(spark, full)
+    for s in SINKS:
+        assert (_sink_docs(spark, cfg.sink_cfg(s).path)
+                == _sink_docs(spark, full.sink_cfg(s).path))
+
+
+def test_incremental_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """A cycle killed after its sink writes but before the ledger
+    commit retries with the SAME deterministic cycle id: dynamic
+    overwrite replaces the same cycle=<id>/unit=K dirs (no duplicate
+    rows) and the within-cycle unit manifest skips completed units."""
+    in_dir, n_a, _ = _split_tokens(spark, sf_dir, tmp_path)
+    cfg = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+
+    killed = run_pipeline_incremental(spark, cfg, fail_before_commit=True)
+    assert killed["status"] == "killed"
+    assert FileLedger(f"{cfg.out_dir}/_ingest_ledger").entries() == []
+
+    cfg2 = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+    done = run_pipeline_incremental(spark, cfg2)
+    assert done["status"] == "complete"
+    assert done["cycle_id"] == killed["cycle_id"]
+    assert done["rows_in"] == n_a                    # manifest-carried
+    docs = _sink_docs(spark, cfg2.sink_cfg("sumologic").path)
+    assert len(docs) == len(set(docs))               # no duplicates
+
+
+def test_incremental_vacuums_orphan_cycles(spark, sf_dir, tmp_path):
+    """A crashed cycle superseded by new arrivals (different retry id)
+    leaves uncommitted cycle dirs; the next run removes them."""
+    in_dir, _, b = _split_tokens(spark, sf_dir, tmp_path)
+    cfg = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+    run_pipeline_incremental(spark, cfg, fail_before_commit=True)
+    # new files arrive before the retry -> the retry is a DIFFERENT set
+    b.write.mode("append").parquet(in_dir)
+    cfg2 = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+    r = run_pipeline_incremental(spark, cfg2)
+    assert r["status"] == "complete"
+    p = cfg2.sink_cfg("sumologic").path
+    cycles = {d.split("=", 1)[1] for d in os.listdir(p)
+              if d.startswith("cycle=")}
+    assert cycles == {r["cycle_id"]}                 # orphan gone
+    # and the surviving cycle covers the WHOLE input (A was never
+    # committed, so the retry set is A+B)
+    full = spark.read.parquet(in_dir).count()
+    assert r["rows_in"] == full
+
+
+def test_incremental_quarantine_scoped_per_cycle(spark, sf_dir, tmp_path):
+    """Constraint sinks quarantine under the cycle partition; a second
+    cycle's quarantine clear never touches the first cycle's rows."""
+    from opentelemetry_collector_contrib_spark.sinks.writers import (
+        quarantine_path)
+    in_dir, _, b = _split_tokens(spark, sf_dir, tmp_path)
+    cfg = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+    cfg.sink_cfg("sumologic").max_payload_bytes = 40   # force violations
+    r1 = run_pipeline_incremental(spark, cfg)
+    qp = quarantine_path(cfg.sink_cfg("sumologic"))
+    q1 = spark.read.parquet(qp).count()
+    assert r1["status"] == "complete" and q1 > 0
+
+    b.write.mode("append").parquet(in_dir)
+    cfg2 = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+    cfg2.sink_cfg("sumologic").max_payload_bytes = 40
+    run_pipeline_incremental(spark, cfg2)
+    q_all = spark.read.parquet(qp)
+    assert q_all.count() > q1                          # cycle 1 kept
+    assert q_all.select("cycle").distinct().count() == 2
+
+
+def test_list_input_files_skips_hidden(spark, tmp_path):
+    d = tmp_path / "t"
+    spark.range(10).coalesce(1).write.parquet(str(d))
+    (d / "_snapshots").mkdir()
+    (d / "_snapshots" / "v1.json").write_text("{}")
+    files = list_input_files(spark, str(d))
+    assert files and all("_" not in os.path.basename(f["path"])[:1]
+                         for f in files)
+    assert all("_snapshots" not in f["path"] for f in files)
