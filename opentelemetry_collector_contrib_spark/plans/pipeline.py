@@ -394,7 +394,9 @@ def aggregate_manifest(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
         sink = cfg.sink_cfg(sink_name)
         if not sink_has_data(sink.path):
             continue
-        df = spark.read.parquet(f"{sink.path}/unit=*")
+        # partition discovery handles both layouts (unit=K and the
+        # incremental cycle=<id>/unit=K); _-prefixed metadata is ignored
+        df = spark.read.parquet(sink.path)
         frames.append(df.groupBy("source", "severity_text")
                         .agg(F.count(F.lit(1)).alias("n"))
                         .withColumn("sink", F.lit(sink_name)))

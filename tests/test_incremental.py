@@ -147,3 +147,17 @@ def test_list_input_files_skips_hidden(spark, tmp_path):
     assert files and all("_" not in os.path.basename(f["path"])[:1]
                          for f in files)
     assert all("_snapshots" not in f["path"] for f in files)
+
+
+def test_aggregate_manifest_over_cycle_layout(spark, sf_dir, tmp_path):
+    """aggregate_manifest's verification frame works over the
+    incremental cycle=<id>/unit=K sink layout too."""
+    from opentelemetry_collector_contrib_spark.plans.pipeline import (
+        aggregate_manifest)
+    in_dir, n_a, _ = _split_tokens(spark, sf_dir, tmp_path)
+    cfg = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+    run_pipeline_incremental(spark, cfg)
+    agg = aggregate_manifest(spark, cfg)
+    got = {r["sink"]: r["total"] for r in
+           agg.groupBy("sink").agg(F.sum("n").alias("total")).collect()}
+    assert set(got) == set(SINKS) and all(v > 0 for v in got.values())
