@@ -75,13 +75,23 @@ class FileLedger:
                      metrics: dict) -> None:
         row = {"cycle_id": cycle_id, "committed_at": time.time(),
                "n_files": len(files), "files": files, **metrics}
+        self._rewrite(self.entries() + [row])
+
+    def mark_expired(self, cycle_ids: set[str]) -> None:
+        """Flag cycles whose OUTPUT was retention-dropped.  Their input
+        file lists stay in the ledger so those files are never
+        re-ingested (retention removes outputs, not ingest history)."""
+        self._rewrite([{**e, "expired": True}
+                       if e["cycle_id"] in cycle_ids else e
+                       for e in self.entries()])
+
+    def _rewrite(self, entries: list[dict]) -> None:
+        # rewrite-to-tmp + atomic replace: a crash mid-write leaves the
+        # previous ledger intact, never a torn jsonl line
         tmp = self.path + ".tmp"
-        # append via rewrite-to-tmp + atomic replace: a crash mid-commit
-        # leaves the previous ledger intact, never a torn jsonl line
         with open(tmp, "w") as f:
-            for e in self.entries():
+            for e in entries:
                 f.write(json.dumps(e) + "\n")
-            f.write(json.dumps(row) + "\n")
         os.replace(tmp, self.path)
 
 
@@ -195,3 +205,47 @@ def run_pipeline_incremental(spark: SparkSession, cfg: PipelineConfig,
     return {"status": "complete", "cycle_id": cycle,
             "files_processed": len(new), "rows_in": rows_in,
             "rows_routed": rows_routed}
+
+
+def expire_cycles(cfg: PipelineConfig, keep_last: int = 0,
+                  ledger_dir: str | None = None) -> dict:
+    """Retention: drop the OUTPUT of all but the newest ``keep_last``
+    committed cycles (sink + quarantine ``cycle=<id>`` dirs), mark them
+    expired in the ledger (their input files stay recorded, so they are
+    never re-ingested), and publish a fresh snapshot version per sink
+    so the CURRENT snapshot never lists the dropped files.  Older
+    pinned snapshot versions naturally dangle — reported loud by
+    ``verify_snapshot``/``read_pinned``, the expire_snapshots contract.
+
+    The 100-TB retention story: logs age out of the serving sinks on a
+    schedule while the ingest ledger (O(cycles) metadata) remembers
+    what was processed forever."""
+    ledger = FileLedger(ledger_dir or os.path.join(cfg.out_dir,
+                                                   "_ingest_ledger"))
+    live = [e for e in ledger.entries() if not e.get("expired")]
+    live.sort(key=lambda e: e["committed_at"])
+    drop = {e["cycle_id"] for e in
+            (live[:-keep_last] if keep_last > 0 else live)}
+    if not drop:
+        return {"expired_cycles": [], "dirs_removed": 0}
+    removed = 0
+    for sink_name in cfg.routes.all_sinks():
+        p = cfg.sink_cfg(sink_name).path
+        for root in (p, p + "__quarantine"):
+            if not os.path.isdir(root):
+                continue
+            for d in os.listdir(root):
+                if (d.startswith("cycle=")
+                        and d.split("=", 1)[1] in drop):
+                    shutil.rmtree(os.path.join(root, d),
+                                  ignore_errors=True)
+                    removed += 1
+    ledger.mark_expired(drop)
+    from ..sinks.maintenance import publish_snapshot
+    for sink_name in cfg.routes.all_sinks():
+        p = cfg.sink_cfg(sink_name).path
+        if os.path.isdir(p):
+            publish_snapshot(p, run_id=f"expire-{len(drop)}",
+                             extra={"sink": sink_name,
+                                    "expired_cycles": sorted(drop)})
+    return {"expired_cycles": sorted(drop), "dirs_removed": removed}

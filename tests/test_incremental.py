@@ -161,3 +161,33 @@ def test_aggregate_manifest_over_cycle_layout(spark, sf_dir, tmp_path):
     got = {r["sink"]: r["total"] for r in
            agg.groupBy("sink").agg(F.sum("n").alias("total")).collect()}
     assert set(got) == set(SINKS) and all(v > 0 for v in got.values())
+
+
+def test_expire_cycles_retention(spark, sf_dir, tmp_path):
+    """Retention drops old cycles' OUTPUT but never their ingest
+    history: the files stay ledger-recorded (no re-ingest), the current
+    snapshot is republished clean, and old pinned versions dangle
+    loud."""
+    from opentelemetry_collector_contrib_spark.plans.incremental import (
+        expire_cycles)
+    in_dir, _, b = _split_tokens(spark, sf_dir, tmp_path)
+    cfg = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+    r1 = run_pipeline_incremental(spark, cfg)
+    b.write.mode("append").parquet(in_dir)
+    r2 = run_pipeline_incremental(spark, cfg)
+
+    res = expire_cycles(cfg, keep_last=1)
+    assert res["expired_cycles"] == [r1["cycle_id"]]
+    p = cfg.sink_cfg("sumologic").path
+    cycles = {d.split("=", 1)[1] for d in os.listdir(p)
+              if d.startswith("cycle=")}
+    assert cycles == {r2["cycle_id"]}
+    # current snapshot republished over the surviving files
+    assert verify_snapshot(p) == []
+    assert (read_pinned(spark, p).select("cycle").distinct().count() == 1)
+    # the expired cycle's snapshot version dangles - loudly
+    assert verify_snapshot(p, 1) != []
+    # ingest history intact: the dropped cycle's files are NOT re-run
+    assert run_pipeline_incremental(spark, cfg)["status"] == "no_new_data"
+    # idempotent
+    assert expire_cycles(cfg, keep_last=1)["expired_cycles"] == []
