@@ -82,7 +82,8 @@ def streaming_multi_sink(spark: SparkSession, tokens_dir: str,
                          pods_path: str, out_root: str,
                          routes: RoutingTable = DEFAULT_ROUTES,
                          checkpoint: str | None = None,
-                         parser: RegexParser | None = None):
+                         parser: RegexParser | None = None,
+                         available_now: bool = False):
     """Streaming twin of the batch single-pass fan-out
     (plans/pipeline.py::_process_units): one micro-batch feeds N sinks
     for ONE parse of the batch — the reference pushes each consumed
@@ -119,9 +120,15 @@ def streaming_multi_sink(spark: SparkSession, tokens_dir: str,
         finally:
             routed.unpersist()
 
-    return (parsed.writeStream.foreachBatch(_process)
-            .option("checkpointLocation", checkpoint or f"{out_root}/_ck")
-            .start())
+    writer = (parsed.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint or f"{out_root}/_ck"))
+    if available_now:
+        # run-to-completion incremental: process exactly the files the
+        # checkpoint has not seen, then stop — Spark's built-in
+        # counterpart of plans/incremental.py (which adds the
+        # inspectable ledger + per-cycle snapshot commits on top)
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def streaming_wire_ingest(spark: SparkSession, frames_dir: str,

@@ -191,3 +191,39 @@ def test_expire_cycles_retention(spark, sf_dir, tmp_path):
     assert run_pipeline_incremental(spark, cfg)["status"] == "no_new_data"
     # idempotent
     assert expire_cycles(cfg, keep_last=1)["expired_cycles"] == []
+
+
+def test_streaming_available_now_is_incremental(spark, sf_dir, tmp_path):
+    """The built-in incremental counterpart: streaming_multi_sink with
+    available_now=True runs to completion over files the checkpoint has
+    not seen, so a second invocation after an append processes ONLY the
+    new files (Spark file-source tracking standing in for the
+    FileLedger)."""
+    from opentelemetry_collector_contrib_spark.streaming.stream_pipeline \
+        import streaming_multi_sink
+    in_dir, n_a, b = _split_tokens(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "sinks")
+
+    q = streaming_multi_sink(spark, in_dir, f"{sf_dir}/pods.parquet", out,
+                             available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive                       # ran to completion
+    def routed_rows():
+        import glob
+        total = 0
+        for d in glob.glob(f"{out}/*/batch=*"):
+            total += spark.read.parquet(d).count()
+        return total
+    r1 = routed_rows()
+    assert r1 > 0
+
+    b.write.mode("append").parquet(in_dir)
+    q2 = streaming_multi_sink(spark, in_dir, f"{sf_dir}/pods.parquet", out,
+                              available_now=True)
+    q2.awaitTermination(120)
+    r2 = routed_rows()
+    assert r2 > r1
+    # batch twin over the full table routes the same number of rows
+    full = _inc_cfg(in_dir, sf_dir, tmp_path / "full")
+    res = run_pipeline(spark, full)
+    assert r2 == res["rows_routed"]
