@@ -22,10 +22,14 @@ from pyspark.sql import SparkSession
 
 
 def dir_bytes(path: str) -> int:
+    """Data bytes under ``path`` (hidden files/dirs — _SUCCESS, .crc,
+    `_snapshots/` metadata — excluded)."""
     total = 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
-            total += os.path.getsize(os.path.join(root, f))
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
     return total
 
 
@@ -111,9 +115,8 @@ def publish_snapshot(path: str, run_id: str, extra: dict | None = None) -> str:
     import time
 
     files = []
-    for root, _dirs, fs in os.walk(path):
-        if os.path.basename(root) == _SNAPDIR:
-            continue
+    for root, dirs, fs in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in sorted(fs):
             if f.startswith(("_", ".")):
                 continue

@@ -136,9 +136,12 @@ def quarantine_path(cfg: SinkConfig) -> str:
 def dir_has_data(path: str) -> bool:
     """True when ``path`` holds at least one data file (a sink that
     routed zero rows writes only _SUCCESS; reading it back throws
-    'Unable to infer schema')."""
+    'Unable to infer schema').  Hidden DIRECTORIES are pruned too:
+    `_snapshots/` holds non-underscore metadata files (v1.json,
+    version-hint.text) that are not data."""
     import os
-    for _root, _dirs, files in os.walk(path):
+    for _root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         if any(not f.startswith(("_", ".")) for f in files):
             return True
     return False

@@ -227,3 +227,33 @@ def test_streaming_available_now_is_incremental(spark, sf_dir, tmp_path):
     full = _inc_cfg(in_dir, sf_dir, tmp_path / "full")
     res = run_pipeline(spark, full)
     assert r2 == res["rows_routed"]
+
+
+def test_quarantine_retry_under_cycle_layout(spark, sf_dir, tmp_path):
+    """reprocess_quarantine over a cycle-partitioned quarantine: after
+    relaxing the constraint, the dropped rows (and only they) move into
+    the sink, preserving their cycle partition."""
+    from opentelemetry_collector_contrib_spark.sinks.writers import (
+        quarantine_path, reprocess_quarantine)
+    in_dir, _, _ = _split_tokens(spark, sf_dir, tmp_path)
+    cfg = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+    sink = cfg.sink_cfg("sumologic")
+    sink.max_payload_bytes = 40
+    run_pipeline_incremental(spark, cfg)
+    qp = quarantine_path(sink)
+    n_q = spark.read.parquet(qp).count()
+    # the 40-byte cap quarantines every routed row -> the sink wrote
+    # no data files yet
+    from opentelemetry_collector_contrib_spark.sinks.writers import (
+        dir_has_data)
+    n_sunk = (spark.read.parquet(sink.path).count()
+              if dir_has_data(sink.path) else 0)
+    assert n_q > 0
+
+    sink.max_payload_bytes = 10_000_000          # relax -> all pass now
+    moved = reprocess_quarantine(spark, sink,
+                                 partition_cols=["cycle", "unit"])
+    assert moved == n_q
+    sunk = spark.read.parquet(sink.path)
+    assert sunk.count() == n_sunk + n_q
+    assert sunk.select("cycle").distinct().count() == 1
