@@ -33,6 +33,22 @@ def dir_bytes(path: str) -> int:
     return total
 
 
+def _partition_cols_on_disk(path: str) -> list[str]:
+    """The hive-style partition column chain actually present under
+    ``path`` (e.g. ['cycle', 'unit']), by walking the first `col=value`
+    subdir at each level."""
+    cols: list[str] = []
+    probe = path
+    while True:
+        subs = sorted(d for d in os.listdir(probe)
+                      if "=" in d and not d.startswith(("_", "."))
+                      and os.path.isdir(os.path.join(probe, d)))
+        if not subs:
+            return cols
+        cols.append(subs[0].split("=", 1)[0])
+        probe = os.path.join(probe, subs[0])
+
+
 def compact(spark: SparkSession, path: str,
             target_file_bytes: int = 128 * 1024 * 1024,
             sort_by: list[str] | None = None) -> dict:
@@ -49,12 +65,20 @@ def compact(spark: SparkSession, path: str,
     size = dir_bytes(path)
     n_files = max(1, -(-size // target_file_bytes))
     df = spark.read.parquet(path)
+    part_cols = _partition_cols_on_disk(path)
     if sort_by:
         df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
     else:
         df = df.coalesce(n_files)
     staging = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        # preserve the on-disk partition layout (unit=K, or the
+        # incremental cycle=<id>/unit=K): writing flat files next to
+        # partition dirs would leave a mixed layout later appends can't
+        # coexist with ("conflicting directory structures")
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
     backup = f"{path.rstrip('/')}__old"
     os.rename(path, backup)
     os.rename(staging, path)

@@ -257,3 +257,29 @@ def test_quarantine_retry_under_cycle_layout(spark, sf_dir, tmp_path):
     sunk = spark.read.parquet(sink.path)
     assert sunk.count() == n_sunk + n_q
     assert sunk.select("cycle").distinct().count() == 1
+
+
+def test_compact_preserves_cycle_layout(spark, sf_dir, tmp_path):
+    """Compacting an incremental sink keeps its cycle=<id>/unit=K
+    partition layout, so later cycles append cleanly (flat files next
+    to partition dirs would be an unreadable mixed layout)."""
+    from opentelemetry_collector_contrib_spark.sinks.maintenance import (
+        compact)
+    in_dir, _, b = _split_tokens(spark, sf_dir, tmp_path)
+    cfg = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+    r1 = run_pipeline_incremental(spark, cfg)
+    p = cfg.sink_cfg("sumologic").path
+    n_before = spark.read.parquet(p).count()
+
+    compact(spark, p, target_file_bytes=1 << 30)
+    assert any(d.startswith("cycle=") for d in os.listdir(p))
+    assert spark.read.parquet(p).count() == n_before
+    assert verify_snapshot(p) == []              # republished, no dangle
+
+    # a later cycle still appends and reads back fine
+    b.write.mode("append").parquet(in_dir)
+    r2 = run_pipeline_incremental(spark, cfg)
+    assert r2["status"] == "complete"
+    got = spark.read.parquet(p)
+    assert got.select("cycle").distinct().count() == 2
+    assert got.count() > n_before
