@@ -143,6 +143,28 @@ def _vacuum_orphan_cycles(cfg: PipelineConfig, keep: set[str]) -> list[str]:
     return removed
 
 
+def _heal_unpublished_snapshots(cfg: PipelineConfig,
+                                ledger: FileLedger) -> int:
+    """Close the crash window between the ledger commit and the
+    snapshot publish: if the newest committed cycle is not the cycle
+    the sinks' current snapshots carry, republish them now so pinned
+    readers see the committed data.  Returns sinks republished."""
+    from ..sinks.maintenance import publish_snapshot, read_snapshot
+    live = [e for e in ledger.entries() if not e.get("expired")]
+    if not live:
+        return 0
+    last = max(live, key=lambda e: e["committed_at"])["cycle_id"]
+    healed = 0
+    for sink_name in cfg.routes.all_sinks():
+        p = cfg.sink_cfg(sink_name).path
+        snap = read_snapshot(p)
+        if os.path.isdir(p) and (snap is None or snap.get("cycle") != last):
+            publish_snapshot(p, run_id=last,
+                             extra={"sink": sink_name, "cycle": last})
+            healed += 1
+    return healed
+
+
 def run_pipeline_incremental(spark: SparkSession, cfg: PipelineConfig,
                              ledger_dir: str | None = None,
                              fail_before_commit: bool = False) -> dict:
@@ -161,9 +183,11 @@ def run_pipeline_incremental(spark: SparkSession, cfg: PipelineConfig,
     seen = ledger.processed_files()
     new = [f for f in all_files if f["path"] not in seen]
     if not new:
+        healed = _heal_unpublished_snapshots(cfg, ledger)
         return {"status": "no_new_data",
                 "cycles": len(ledger.committed_cycles()),
-                "files_total": len(all_files)}
+                "files_total": len(all_files),
+                "snapshots_healed": healed}
     cycle = _cycle_id(new)
     _vacuum_orphan_cycles(cfg, keep=ledger.committed_cycles() | {cycle})
 
@@ -241,11 +265,17 @@ def expire_cycles(cfg: PipelineConfig, keep_last: int = 0,
                                   ignore_errors=True)
                     removed += 1
     ledger.mark_expired(drop)
+    survivors = [e["cycle_id"] for e in ledger.entries()
+                 if not e.get("expired")]
     from ..sinks.maintenance import publish_snapshot
     for sink_name in cfg.routes.all_sinks():
         p = cfg.sink_cfg(sink_name).path
         if os.path.isdir(p):
             publish_snapshot(p, run_id=f"expire-{len(drop)}",
                              extra={"sink": sink_name,
+                                    # newest surviving cycle: keeps the
+                                    # no_new_data heal check stable
+                                    "cycle": survivors[-1] if survivors
+                                             else None,
                                     "expired_cycles": sorted(drop)})
     return {"expired_cycles": sorted(drop), "dirs_removed": removed}

@@ -283,3 +283,26 @@ def test_compact_preserves_cycle_layout(spark, sf_dir, tmp_path):
     got = spark.read.parquet(p)
     assert got.select("cycle").distinct().count() == 2
     assert got.count() > n_before
+
+
+def test_no_new_data_heals_unpublished_snapshots(spark, sf_dir, tmp_path):
+    """Crash window between ledger commit and snapshot publish: the
+    next (even no-op) run republishes, so committed data is never
+    invisible to pinned readers; a stable state heals nothing."""
+    import shutil
+    from opentelemetry_collector_contrib_spark.sinks.maintenance import (
+        read_snapshot)
+    in_dir, _, _ = _split_tokens(spark, sf_dir, tmp_path)
+    cfg = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+    r1 = run_pipeline_incremental(spark, cfg)
+    # simulate the crash: ledger committed, snapshots never published
+    p = cfg.sink_cfg("sumologic").path
+    shutil.rmtree(os.path.join(p, "_snapshots"))
+    os.remove(os.path.join(p, "_SNAPSHOT.json"))
+
+    r = run_pipeline_incremental(spark, cfg)
+    assert r["status"] == "no_new_data" and r["snapshots_healed"] >= 1
+    assert read_snapshot(p)["cycle"] == r1["cycle_id"]
+    assert verify_snapshot(p) == []
+    # stable state -> nothing to heal
+    assert (run_pipeline_incremental(spark, cfg)["snapshots_healed"] == 0)
