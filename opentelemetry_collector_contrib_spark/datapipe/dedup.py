@@ -315,15 +315,25 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.5, k: int = 3,
     times (signature aggregation + both verify sides) — without it the
     Arrow shingler re-runs on every consumption.  O(docs x shingles),
     spills to disk."""
-    gen = {"all_pairs": lsh_candidate_pairs,
-           "star": lsh_candidate_edges_star}[candidates]
     sh = (df.select(F.col(id_col).alias("id"),
                     shingles_udf(k)(F.col(text_col)).alias("sh"))
           .withColumn("sz", F.size("sh")))
+    return _minhash_lsh_verify(sh, threshold, candidates, persist,
+                               hash_expr=portable_hash)
+
+
+def _minhash_lsh_verify(sh: DataFrame, threshold: float, candidates: str,
+                        persist: bool, hash_expr) -> DataFrame:
+    """Shared LSH + exact-Jaccard tail over a prepared shingle frame
+    ``(id, sh: array<T>, sz)``.  ``hash_expr(col)`` maps one shingle to
+    its portable 32-bit hash H (identity when ``sh`` already holds
+    hashes, as in the tokens-native path)."""
+    gen = {"all_pairs": lsh_candidate_pairs,
+           "star": lsh_candidate_edges_star}[candidates]
     if persist:
         sh = sh.persist()
     ex = (sh.select("id", F.explode("sh").alias("g"))
-          .withColumn("h", portable_hash(F.col("g"))))
+          .withColumn("h", hash_expr(F.col("g"))))
     aggs = [F.min(minhash_expr(F.col("h"), i)).alias(f"mh{i}")
             for i in range(NUM_HASHES)]
     cand = gen(ex.groupBy("id").agg(*aggs))
@@ -339,6 +349,63 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.5, k: int = 3,
             .withColumn("jaccard", jac)
             .filter(jac >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+@lru_cache(maxsize=8)
+def token_gram_hash32_udf(k: int):
+    """Arrow-batched token k-gram hasher emitting the DISTINCT portable
+    32-bit hashes H (first 8 md5 hex digits of the comma-joined token
+    ids) per document — the minhash-safe width: H * a_i stays under
+    2^63 in both engines, where the 60-bit profile hashes
+    (``token_gram_hashes_udf``) would overflow the universal-hash
+    product.  The DuckDB oracle computes the identical value from
+    ``array_to_string(tokens[i:i+k-1], ',')``, so 32-bit collisions
+    (if any) are REPRODUCED, not diverged from."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def gh(tokens: pd.Series) -> pd.Series:
+        import hashlib
+
+        def one(toks):
+            if toks is None or len(toks) < k:
+                return []
+            s = [str(int(t)) for t in toks]
+            return list(dict.fromkeys(
+                int(hashlib.md5(
+                    ",".join(s[i:i + k]).encode()).hexdigest()[:8], 16)
+                for i in range(len(s) - k + 1)))
+        return tokens.map(one)
+    return gh
+
+
+def minhash_tokens_lsh(df: DataFrame, threshold: float = 0.4, k: int = 4,
+                       tokens_col: str = "tokens", id_col: str = "doc_id",
+                       persist: bool = True,
+                       candidates: str = "star") -> DataFrame:
+    """Tokens-NATIVE MinHash+LSH near-dedup: fuzzy dedup directly over
+    the north-rule input (``tokens: array<int32>``) with NO detokenize
+    hop — the shingle universe is token k-grams, hashed to 32-bit in
+    ONE Arrow pass, and everything downstream (signature aggregation,
+    banding, star candidates, exact-Jaccard verify) is the same
+    JVM-side plan as the text path.
+
+    Why this matters at 10^12 sequences: the text MinHash path pays a
+    detokenize (token ids -> string) plus word normalization before it
+    can shingle; on pre-tokenized training data those steps are pure
+    overhead — the token ids ARE the canonical form.  Per-doc work
+    drops to one md5 per gram position, and the shuffled rows are 8-byte
+    hashes either way.  Defaults (k=4, threshold=0.4) suit templated
+    log corpora where near-dups share structure but differ in
+    timestamps/values.
+
+    ``candidates="star"`` is the production default (linear in band-
+    bucket size; the downstream connected-components stage restores
+    transitivity) — ``"all_pairs"`` remains the small-N verifier."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    token_gram_hash32_udf(k)(F.col(tokens_col)).alias("sh"))
+          .withColumn("sz", F.size("sh"))
+          .filter(F.col("sz") > 0))
+    return _minhash_lsh_verify(sh, threshold, candidates, persist,
+                               hash_expr=lambda c: c)
 
 
 # ---------------------------------------------------------------------------

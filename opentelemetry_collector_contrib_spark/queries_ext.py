@@ -21,7 +21,7 @@ from .datapipe.dedup import (dedup_survivors, exact_dedup, minhash_lsh_dedup,
                              simhash_fingerprints, simhash_near_pairs_blocked,
                              embedding_neardup_pairs)
 from .datapipe.hashing import (MERSENNE_P, NUM_HASHES, BANDS, ROWS_PER_BAND,
-                               _A, _B, portable_hash_sql)
+                               _A, _B, portable_hash, portable_hash_sql)
 from .datapipe.multimodal import extract_features
 from .datapipe.similarity import cosine_topk, lsh_topk
 from .datapipe.textstats import LANGS, STOPWORDS, text_features
@@ -461,6 +461,24 @@ def q_minhash_lsh_star(spark, sf_dir):
     (by design) defers to connected components — is value-checked."""
     return minhash_lsh_dedup(_near_corpus(spark, sf_dir), threshold=0.5,
                              k=3, candidates="star")
+
+
+MINHASH_TOKENS_FRAC = int(0.02 * (1 << 32))   # 2% hash-sample gate
+
+
+def q_minhash_tokens(spark, sf_dir, tok_dir):
+    """Tokens-NATIVE MinHash+LSH near-dedup over the north-rule input
+    (datapipe/dedup.py::minhash_tokens_lsh): token 4-gram shingles
+    hashed in ONE Arrow hop — no detokenize — then the same banded
+    star-candidate + exact-Jaccard-verify plan as the text path.  The
+    corpus is a deterministic 2% hash-sample of the tokens table so
+    the verified pair set stays bounded at any sf."""
+    from .datapipe.dedup import minhash_tokens_lsh
+    toks = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    gate = portable_hash(
+        F.concat(F.lit("tokmh:"), F.col("doc_id"))) < MINHASH_TOKENS_FRAC
+    return minhash_tokens_lsh(toks.filter(gate), threshold=0.4, k=4,
+                              candidates="star")
 
 
 def q_simhash_fp(spark, sf_dir):
@@ -2304,6 +2322,40 @@ SELECT source, sum(nc)::BIGINT AS n_rows,
        (max(nc) - 1)::INT AS max_copy
 FROM n GROUP BY source HAVING sum(nc) > 0""",
 
+        "minhash_tokens": f"""WITH toks AS (
+  SELECT doc_id AS id, tokens FROM read_parquet('{d}/tokens.parquet')
+  WHERE {portable_hash_sql("'tokmh:' || doc_id")} < {int(0.02 * (1 << 32))}
+), pos AS (
+  SELECT id, tokens, unnest(generate_series(1, len(tokens) - 3)) AS i
+  FROM toks WHERE len(tokens) >= 4
+), grams AS (
+  SELECT DISTINCT id,
+         CAST(('0x' || substr(md5(array_to_string(tokens[i:i+3], ',')),
+                      1, 8)) AS BIGINT) AS h
+  FROM pos
+), szs AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+sig AS (SELECT id, {{mh_h}} FROM grams GROUP BY id),
+bands AS ({_band_union()}),
+star AS (
+  SELECT id, min(id) OVER (PARTITION BY band, bsig) AS rep FROM bands),
+cand AS (SELECT DISTINCT rep AS id_a, id AS id_b FROM star WHERE id <> rep),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN grams a ON a.id = c.id_a
+  JOIN grams b ON b.id = c.id_b AND b.h = a.h
+  GROUP BY 1, 2
+), jac AS (
+  SELECT i.id_a, i.id_b, i.inter / (sa.sz + sb.sz - i.inter) AS jaccard
+  FROM inter i
+  JOIN szs sa ON sa.id = i.id_a
+  JOIN szs sb ON sb.id = i.id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.4""".replace(
+            "{mh_h}", ", ".join(
+                f"min((h * {_A[i]} + {_B[i]}) % {MERSENNE_P}) AS mh{i}"
+                for i in range(NUM_HASHES))),
+
         "ngram_dedup": f"""WITH t AS (
   SELECT doc_id, tokens, len(tokens) AS n_tok
   FROM read_parquet('{d}/tokens.parquet')
@@ -2433,6 +2485,7 @@ def extra_queries(tok_dir_for) -> dict:
         "sample_split": q_sample_split,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_star": q_minhash_lsh_star,
+        "minhash_tokens": with_tok(q_minhash_tokens),
         "simhash_fp": q_simhash_fp,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
