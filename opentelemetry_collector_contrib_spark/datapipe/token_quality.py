@@ -1,0 +1,148 @@
+"""Tokens-NATIVE quality battery: Gopher-style repetition/diversity
+filters computed directly over the north-rule input
+(``tokens: array<int32>``) with NO detokenize hop.
+
+The text-side batteries (``quality_rules.py``, ``repetition.py``,
+arXiv:2112.11446 table A1) need the decoded body; on pre-tokenized
+training data the cheap signals — sequence length, vocabulary
+diversity, degenerate repetition — are ALREADY visible in the token
+ids, so a 10^12-sequence pre-filter can run before (and drastically
+shrink) any decode stage.  Signals per document:
+
+- ``n_distinct`` / ``distinct_ratio`` — vocabulary diversity (the
+  token-space analog of Gopher's unique-word fraction);
+- ``top_token``/``top_count``/``top_token_frac`` — mode concentration
+  (degenerate generations repeat one token);
+- ``max_run`` — longest run of IDENTICAL consecutive tokens (the
+  classic stuck-decoder signature);
+- ``dup_{k}gram_pos`` / ``dup_gram_frac`` — fraction of k-gram
+  positions whose k-gram occurs more than once WITHIN the doc
+  (token-space analog of Gopher's dup-n-gram character fractions).
+
+Thresholds are this engine's own defaults (token space has no
+published exact table); each flag and the AND (`keep`) are emitted so
+a pipeline can re-threshold without recomputing.
+
+Scale shape: ONE Arrow hop per batch emitting fixed-width integer
+counts — no shuffle, no join, perfectly data-parallel; ratios, flags
+and rounding stay in Catalyst so the DuckDB oracle's decimal behavior
+matches exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_COUNTS_TYPE = T.StructType([
+    T.StructField("n_distinct", T.IntegerType()),
+    T.StructField("top_token", T.IntegerType()),
+    T.StructField("top_count", T.IntegerType()),
+    T.StructField("max_run", T.IntegerType()),
+    T.StructField("dup_gram_pos", T.IntegerType()),
+])
+
+
+def _counts_one(toks, k: int):
+    if toks is None or len(toks) == 0:
+        return (0, None, 0, 0, 0)
+    a = np.asarray(toks, dtype=np.int64)
+    n = a.size
+    uniq, counts = np.unique(a, return_counts=True)
+    top = int(counts.max())
+    top_tok = int(uniq[counts == top].min())    # deterministic tie-break
+    # longest run of equal consecutive tokens: change-point indices
+    change = np.flatnonzero(a[1:] != a[:-1])
+    edges = np.concatenate(([-1], change, [n - 1]))
+    max_run = int(np.diff(edges).max())
+    dup_pos = 0
+    if n >= k:
+        w = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(a, k))
+        wv = w.view([("", a.dtype)] * k).ravel()
+        _, gc = np.unique(wv, return_counts=True)
+        dup_pos = int(gc[gc >= 2].sum())
+    return (len(uniq), top_tok, top, max_run, dup_pos)
+
+
+def _token_counts_udf(k: int):
+    @F.pandas_udf(_COUNTS_TYPE)
+    def tc(tokens: pd.Series) -> pd.Series:
+        rows = [_counts_one(t, k) for t in tokens]
+        return pd.DataFrame(
+            rows, columns=["n_distinct", "top_token", "top_count",
+                           "max_run", "dup_gram_pos"])
+    return tc
+
+
+def token_quality(df: DataFrame, k: int = 2,
+                  tokens_col: str = "tokens", id_col: str = "doc_id",
+                  min_tok: int = 8, max_tok: int = 8192,
+                  min_distinct_ratio: float = 0.2,
+                  max_run_len: int = 20,
+                  max_dup_gram_frac: float = 0.5) -> DataFrame:
+    """Per-doc token-space quality signals + threshold flags (see
+    module docstring).  ONE Arrow hop; ratios/flags in Catalyst."""
+    n_tok = F.size(F.col(tokens_col))
+    c = _token_counts_udf(k)(F.col(tokens_col))
+    out = (df.select(F.col(id_col).alias("id"),
+                     n_tok.alias("n_tok"), c.alias("_c"))
+           .select("id", "n_tok",
+                   F.col("_c.n_distinct").alias("n_distinct"),
+                   F.col("_c.top_token").alias("top_token"),
+                   F.col("_c.top_count").alias("top_count"),
+                   F.col("_c.max_run").alias("max_run"),
+                   F.col("_c.dup_gram_pos").alias("dup_gram_pos")))
+    n_gram_pos = F.greatest(F.col("n_tok") - (k - 1), F.lit(0))
+    nz = F.col("n_tok") > 0
+    distinct_ratio = F.when(
+        nz, F.col("n_distinct").cast("double") / F.col("n_tok")) \
+        .otherwise(F.lit(0.0))
+    top_frac = F.when(
+        nz, F.col("top_count").cast("double") / F.col("n_tok")) \
+        .otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        n_gram_pos > 0,
+        F.col("dup_gram_pos").cast("double") / n_gram_pos) \
+        .otherwise(F.lit(0.0))
+    out = (out.withColumn("n_gram_pos", n_gram_pos.cast("int"))
+           .withColumn("distinct_ratio", F.round(distinct_ratio, 6))
+           .withColumn("top_token_frac", F.round(top_frac, 6))
+           .withColumn("dup_gram_frac", F.round(dup_frac, 6)))
+    ok_length = (F.col("n_tok") >= min_tok) & (F.col("n_tok") <= max_tok)
+    ok_distinct = F.col("distinct_ratio") >= min_distinct_ratio
+    ok_run = F.col("max_run") <= max_run_len
+    ok_dup = F.col("dup_gram_frac") <= max_dup_gram_frac
+    return (out.withColumn("ok_length", ok_length)
+            .withColumn("ok_distinct", ok_distinct)
+            .withColumn("ok_run", ok_run)
+            .withColumn("ok_dup", ok_dup)
+            .withColumn("keep",
+                        ok_length & ok_distinct & ok_run & ok_dup))
+
+
+def token_quality_py(toks, k: int = 2, min_tok: int = 8,
+                     max_tok: int = 8192,
+                     min_distinct_ratio: float = 0.2,
+                     max_run_len: int = 20,
+                     max_dup_gram_frac: float = 0.5) -> dict:
+    """Pure-Python twin of one row (parity tests)."""
+    n = 0 if toks is None else len(toks)
+    nd, tt, tc_, mr, dp = _counts_one(toks, k)
+    ngp = max(n - (k - 1), 0)
+    dr = round(nd / n, 6) if n else 0.0
+    tf = round(tc_ / n, 6) if n else 0.0
+    df_ = round(dp / ngp, 6) if ngp else 0.0
+    okl = min_tok <= n <= max_tok
+    okd = dr >= min_distinct_ratio
+    okr = mr <= max_run_len
+    okg = df_ <= max_dup_gram_frac
+    return {"n_tok": n, "n_distinct": nd, "top_token": tt,
+            "top_count": tc_, "max_run": mr, "dup_gram_pos": dp,
+            "n_gram_pos": ngp, "distinct_ratio": dr,
+            "top_token_frac": tf, "dup_gram_frac": df_,
+            "ok_length": okl, "ok_distinct": okd, "ok_run": okr,
+            "ok_dup": okg, "keep": okl and okd and okr and okg}

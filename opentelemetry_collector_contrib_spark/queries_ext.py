@@ -481,6 +481,16 @@ def q_minhash_tokens(spark, sf_dir, tok_dir):
                               candidates="star")
 
 
+def q_token_quality(spark, sf_dir, tok_dir):
+    """Tokens-native quality battery over the north-rule input
+    (datapipe/token_quality.py): diversity/repetition signals + flags
+    straight from the token ids — the 10^12-sequence pre-filter that
+    runs BEFORE any decode stage.  ONE Arrow hop, zero shuffles."""
+    from .datapipe.token_quality import token_quality
+    toks = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    return token_quality(toks, k=2)
+
+
 def q_simhash_fp(spark, sf_dir):
     return simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -2356,6 +2366,79 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.4""".replace(
                 f"min((h * {_A[i]} + {_B[i]}) % {MERSENNE_P}) AS mh{i}"
                 for i in range(NUM_HASHES))),
 
+        "token_quality": f"""WITH t AS (
+  SELECT doc_id AS id, tokens, len(tokens)::INT AS n_tok
+  FROM read_parquet('{d}/tokens.parquet')
+), vals AS (
+  SELECT id, i, tokens[i] AS v
+  FROM (SELECT id, unnest(generate_series(1, len(tokens))) AS i, tokens
+        FROM t)
+), tokc AS (
+  SELECT id, v, count(*)::INT AS c FROM vals GROUP BY id, v
+), dv AS (
+  SELECT id, count(*)::INT AS n_distinct, max(c) AS top_count
+  FROM tokc GROUP BY id
+), topt AS (
+  SELECT tc.id, min(tc.v)::INT AS top_token
+  FROM tokc tc JOIN dv ON tc.id = dv.id AND tc.c = dv.top_count
+  GROUP BY tc.id
+), isl AS (
+  SELECT id, i,
+         sum(CASE WHEN pv IS DISTINCT FROM v THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY i) AS island
+  FROM (SELECT id, i, v,
+               lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
+        FROM vals)
+), mr AS (
+  SELECT id, max(c)::INT AS max_run FROM (
+    SELECT id, island, count(*) AS c FROM isl GROUP BY id, island)
+  GROUP BY id
+), grams AS (
+  SELECT id, array_to_string(tokens[i:i+1], ',') AS g
+  FROM (SELECT id, unnest(generate_series(1, len(tokens) - 1)) AS i,
+               tokens
+        FROM t WHERE len(tokens) >= 2)
+), gc AS (SELECT id, g, count(*) AS c FROM grams GROUP BY id, g),
+dupg AS (
+  SELECT id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::INT AS dup_gram_pos
+  FROM gc GROUP BY id
+), j AS (
+  SELECT t.id, t.n_tok,
+         coalesce(dv.n_distinct, 0) AS n_distinct,
+         topt.top_token,
+         coalesce(dv.top_count, 0)::INT AS top_count,
+         coalesce(mr.max_run, 0) AS max_run,
+         coalesce(dupg.dup_gram_pos, 0) AS dup_gram_pos,
+         greatest(t.n_tok - 1, 0)::INT AS n_gram_pos
+  FROM t
+  LEFT JOIN dv ON dv.id = t.id
+  LEFT JOIN topt ON topt.id = t.id
+  LEFT JOIN mr ON mr.id = t.id
+  LEFT JOIN dupg ON dupg.id = t.id
+), r AS (
+  SELECT *,
+    CASE WHEN n_tok > 0
+         THEN round(CAST(n_distinct AS DOUBLE) / n_tok, 6)
+         ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN n_tok > 0
+         THEN round(CAST(top_count AS DOUBLE) / n_tok, 6)
+         ELSE 0.0 END AS top_token_frac,
+    CASE WHEN n_gram_pos > 0
+         THEN round(CAST(dup_gram_pos AS DOUBLE) / n_gram_pos, 6)
+         ELSE 0.0 END AS dup_gram_frac
+  FROM j
+)
+SELECT id, n_tok, n_distinct, top_token, top_count, max_run,
+       dup_gram_pos, n_gram_pos, distinct_ratio, top_token_frac,
+       dup_gram_frac,
+       (n_tok >= 8 AND n_tok <= 8192) AS ok_length,
+       (distinct_ratio >= 0.2) AS ok_distinct,
+       (max_run <= 20) AS ok_run,
+       (dup_gram_frac <= 0.5) AS ok_dup,
+       (n_tok >= 8 AND n_tok <= 8192 AND distinct_ratio >= 0.2
+        AND max_run <= 20 AND dup_gram_frac <= 0.5) AS keep
+FROM r""",
+
         "ngram_dedup": f"""WITH t AS (
   SELECT doc_id, tokens, len(tokens) AS n_tok
   FROM read_parquet('{d}/tokens.parquet')
@@ -2486,6 +2569,7 @@ def extra_queries(tok_dir_for) -> dict:
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_star": q_minhash_lsh_star,
         "minhash_tokens": with_tok(q_minhash_tokens),
+        "token_quality": with_tok(q_token_quality),
         "simhash_fp": q_simhash_fp,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,

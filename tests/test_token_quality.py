@@ -1,0 +1,68 @@
+"""Tokens-native quality battery (datapipe/token_quality.py):
+python-twin parity over crafted degenerate docs + flag semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.datapipe.token_quality import (
+    token_quality, token_quality_py)
+
+DOCS = [
+    ("healthy", list(range(100, 140))),            # all distinct
+    ("stuck", [7] * 50),                           # one-token run
+    ("looped", [1, 2, 3, 4] * 12),                 # periodic 2-grams
+    ("short", [9, 9, 9]),                          # under min_tok
+    ("empty", []),
+    ("mixed", [5, 5, 6, 7, 5, 5, 6, 8, 9, 10, 11, 12]),
+    ("tie", [3, 3, 4, 4, 1, 2]),                   # top-count tie -> min id
+]
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, tokens array<int>")
+    return {r["id"]: r.asDict() for r in token_quality(df, k=2).collect()}
+
+
+def test_matches_python_twin(result):
+    for doc_id, toks in DOCS:
+        want = token_quality_py(toks, k=2)
+        got = result[doc_id]
+        for key, val in want.items():
+            if isinstance(val, float):
+                assert got[key] == pytest.approx(val, abs=1e-9), (doc_id, key)
+            else:
+                assert got[key] == val, (doc_id, key)
+
+
+def test_degenerate_docs_flagged(result):
+    assert result["healthy"]["keep"]
+    # stuck decoder: run of 50 identical tokens
+    assert not result["stuck"]["ok_run"]
+    assert not result["stuck"]["ok_distinct"]
+    assert result["stuck"]["max_run"] == 50
+    # periodic loop: every 2-gram position duplicated
+    assert result["looped"]["dup_gram_frac"] == 1.0
+    assert not result["looped"]["ok_dup"]
+    # short + empty fail the length gate without crashing
+    assert not result["short"]["ok_length"]
+    assert result["empty"]["n_tok"] == 0 and not result["empty"]["keep"]
+    assert result["empty"]["top_token"] is None
+
+
+def test_top_token_tie_breaks_to_min_id(result):
+    assert result["tie"]["top_token"] == 3
+    assert result["tie"]["top_count"] == 2
+
+
+def test_single_python_stage(spark):
+    """The battery is ONE Arrow hop: exactly one Python-eval node and
+    zero exchanges in the physical plan."""
+    df = spark.createDataFrame(DOCS, "doc_id string, tokens array<int>")
+    plan = (token_quality(df, k=2)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
