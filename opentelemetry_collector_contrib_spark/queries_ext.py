@@ -292,6 +292,25 @@ def q_latency_quantiles(spark, sf_dir):
                     F.round(F.element_at("qs", 3), 6).alias("p99")))
 
 
+def q_hdr_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch (datapipe/hdrsketch.py): HdrHistogram
+    base-2-octave + linear-sub-bucket layout over integer-scaled event
+    values — per-group state is O(buckets) counters that partial-agg
+    combine, so latency percentiles stay a groupBy at 10^12 events
+    where the exact `percentile` path must hold the value multiset.
+    Bucket math is pure integer arithmetic (msb via length(bin(v))),
+    bit-identical in DuckDB — no libm log at bucket boundaries."""
+    from .datapipe.hdrsketch import hdr_build, hdr_quantiles
+    ev = (_events(spark, sf_dir)
+          .withColumn("v", F.round(F.col("value") * 100).cast("long")))
+    sk = hdr_build(ev, "v", ["event_type"])
+    out = hdr_quantiles(sk, [0.5, 0.95, 0.99], ["event_type"])
+    return out.select("event_type", "n", "n_buckets",
+                      (F.col("p50") / 100.0).alias("p50"),
+                      (F.col("p95") / 100.0).alias("p95"),
+                      (F.col("p99") / 100.0).alias("p99"))
+
+
 def q_corpus_rollup(spark, sf_dir):
     """Hierarchical rollup (lang, source) -> (lang) -> grand total in
     ONE grouping-sets aggregate — Catalyst expands the sets map-side,
@@ -1720,6 +1739,34 @@ FROM s GROUP BY user_id, session_no""",
   round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type""",
 
+        "hdr_quantiles": """WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+), b AS (
+  SELECT event_type,
+         CASE WHEN v <= 0 THEN 0
+              ELSE CAST(greatest(length(bin(v)) - 1 - 5, 0) AS BIGINT) * 64
+                   + CAST(floor(v / power(2, greatest(length(bin(v)) - 1 - 5,
+                                                      0)))
+                          AS BIGINT)
+         END AS bucket
+  FROM ev
+), sk AS (
+  SELECT event_type, bucket, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2
+), r AS (
+  SELECT event_type, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY event_type) AS n,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST((bucket % 64 + 1) * power(2, bucket // 64) - 1
+              AS BIGINT) AS hi
+  FROM sk
+)
+SELECT event_type, max(n)::BIGINT AS n, count(*)::BIGINT AS n_buckets,
+       min(CASE WHEN cum >= ceil(0.5 * n) THEN hi END) / 100.0 AS p50,
+       min(CASE WHEN cum >= ceil(0.95 * n) THEN hi END) / 100.0 AS p95,
+       min(CASE WHEN cum >= ceil(0.99 * n) THEN hi END) / 100.0 AS p99
+FROM r GROUP BY event_type""",
+
         "asof_enrich": """WITH ev AS (
   SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events),
 users AS (SELECT DISTINCT user_id FROM ev),
@@ -2563,6 +2610,7 @@ def extra_queries(tok_dir_for) -> dict:
         "lang_source_pivot": q_lang_source_pivot,
         "inverted_index": q_inverted_index,
         "latency_quantiles": q_latency_quantiles,
+        "hdr_quantiles": q_hdr_quantiles,
         "dedup_clusters": q_dedup_clusters,
         "minhash_sig": q_minhash_sig,
         "sample_split": q_sample_split,
