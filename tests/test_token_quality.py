@@ -52,6 +52,28 @@ def test_degenerate_docs_flagged(result):
     assert result["empty"]["top_token"] is None
 
 
+def test_vectorized_batch_equals_per_doc_path():
+    """The k=2 fast path (_counts_batch2) is bit-identical to the
+    per-doc reference on a randomized ragged batch."""
+    import numpy as np
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_spark.datapipe.token_quality \
+        import _counts_batch2, _counts_one
+    rng = np.random.RandomState(7)
+    batch = [rng.randint(0, 40, size=rng.randint(0, 60)).tolist()
+             for _ in range(300)] + [[], None, [5], [-3, -3, -3, 7]]
+    got = _counts_batch2(pd.Series(batch, dtype="object"))
+    for i, toks in enumerate(batch):
+        want = _counts_one(toks, 2)
+        row = got.iloc[i]
+        assert (row["n_distinct"], row["top_count"], row["max_run"],
+                row["dup_gram_pos"]) == (want[0], want[2], want[3],
+                                         want[4]), i
+        assert (None if pd.isna(row["top_token"])
+                else int(row["top_token"])) == want[1], i
+
+
 def test_top_token_tie_breaks_to_min_id(result):
     assert result["tie"]["top_token"] == 3
     assert result["tie"]["top_count"] == 2
