@@ -510,6 +510,30 @@ def q_token_quality(spark, sf_dir, tok_dir):
     return token_quality(toks, k=2)
 
 
+def q_tokens_curation(spark, sf_dir, tok_dir):
+    """The COMPOSED tokens-native curation cascade end-to-end under the
+    oracle gate (datapipe/token_curation.py): quality gate -> exact
+    dedup on token arrays -> MinHash-LSH star + connected components ->
+    duplicated-span removal -> split, over the same deterministic 2%
+    sample as `minhash_tokens`.  The oracle replays every stage —
+    including the recursive-CTE connected components and the interval
+    span mask — in one DuckDB query, so the cascade's wiring (not just
+    its stages) is value-checked."""
+    from .datapipe.dedup import hash_sample
+    from .datapipe.token_curation import tokens_curation_pipeline
+    toks = hash_sample(
+        spark.read.parquet(os.path.join(tok_dir, "tokens.parquet")),
+        0.02, salt="tokmh")
+    out, _ = tokens_curation_pipeline(toks, minhash_threshold=0.4,
+                                      k_gram=4, span_n=13)
+    return out.select(
+        "doc_id", "source", "n_removed",
+        F.size("tokens").alias("n_tok_final"),
+        F.concat_ws(",", F.col("tokens").cast("array<string>"))
+        .alias("kept_s"),
+        "split")
+
+
 def q_simhash_fp(spark, sf_dir):
     return simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -1601,6 +1625,137 @@ def _pred_lang_sql() -> str:
     return "CASE " + " ".join(clauses) + " ELSE 'unk' END"
 
 
+def _tokens_curation_oracle_sql(d: str) -> str:
+    """DuckDB twin of the COMPOSED tokens-native curation cascade
+    (datapipe/token_curation.py): every stage replayed in one query —
+    quality keep flags, digest-keyed exact dedup, the minhash_tokens
+    star-candidate chain, recursive-CTE connected components,
+    Lee-et-al span removal, and the hash split."""
+    h32 = ("CAST(('0x' || substr(md5(array_to_string(tokens[i:i+3], ',')), "
+           "1, 8)) AS BIGINT)")
+    mh = ", ".join(
+        f"min((h * {_A[i]} + {_B[i]}) % {MERSENNE_P}) AS mh{i}"
+        for i in range(NUM_HASHES))
+    return f"""WITH RECURSIVE toks0 AS (
+  SELECT doc_id, source, tokens FROM read_parquet('{d}/tokens.parquet')
+  WHERE {portable_hash_sql("'tokmh:' || doc_id")} < {int(0.02 * (1 << 32))}
+), q_vals AS (
+  SELECT doc_id, i, tokens[i] AS v
+  FROM (SELECT doc_id, unnest(generate_series(1, len(tokens))) AS i,
+               tokens FROM toks0)
+), q_tokc AS (
+  SELECT doc_id, v, count(*) AS c FROM q_vals GROUP BY 1, 2
+), q_dv AS (
+  SELECT doc_id, count(*) AS n_distinct FROM q_tokc GROUP BY 1
+), q_isl AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN pv IS DISTINCT FROM v THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM (SELECT doc_id, i, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM q_vals)
+), q_mr AS (
+  SELECT doc_id, max(c) AS max_run FROM (
+    SELECT doc_id, island, count(*) AS c FROM q_isl GROUP BY 1, 2)
+  GROUP BY 1
+), q_gc AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, array_to_string(tokens[i:i+1], ',') AS g
+    FROM (SELECT doc_id, unnest(generate_series(1, len(tokens) - 1)) AS i,
+                 tokens
+          FROM toks0 WHERE len(tokens) >= 2))
+  GROUP BY 1, 2
+), q_dp AS (
+  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_pos
+  FROM q_gc GROUP BY 1
+), gated AS (
+  SELECT t.doc_id, t.source, t.tokens FROM toks0 t
+  JOIN q_dv ON q_dv.doc_id = t.doc_id
+  JOIN q_mr ON q_mr.doc_id = t.doc_id
+  LEFT JOIN q_dp ON q_dp.doc_id = t.doc_id
+  WHERE len(t.tokens) BETWEEN 8 AND 8192
+    AND round(CAST(q_dv.n_distinct AS DOUBLE) / len(t.tokens), 6) >= 0.2
+    AND q_mr.max_run <= 20
+    AND (CASE WHEN len(t.tokens) >= 2
+              THEN round(CAST(coalesce(q_dp.dup_pos, 0) AS DOUBLE)
+                         / (len(t.tokens) - 1), 6)
+              ELSE 0.0 END) <= 0.5
+), exact AS (
+  SELECT doc_id, source, tokens FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(array_to_string(tokens, ','))
+      ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1
+), pos AS (
+  SELECT doc_id AS id, tokens,
+         unnest(generate_series(1, len(tokens) - 3)) AS i
+  FROM exact WHERE len(tokens) >= 4
+), grams AS (
+  SELECT DISTINCT id, {h32} AS h FROM pos
+), szs AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+sig AS (SELECT id, {mh} FROM grams GROUP BY id),
+bands AS ({_band_union()}),
+star AS (
+  SELECT id, min(id) OVER (PARTITION BY band, bsig) AS rep FROM bands),
+cand AS (SELECT DISTINCT rep AS id_a, id AS id_b FROM star WHERE id <> rep),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN grams a ON a.id = c.id_a
+  JOIN grams b ON b.id = c.id_b AND b.h = a.h
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN szs sa ON sa.id = i.id_a
+  JOIN szs sb ON sb.id = i.id_b
+  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.4
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, label) AS (
+    SELECT doc_id, doc_id FROM exact
+  UNION
+    SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+), labels AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+), surv AS (
+  SELECT e.doc_id, e.source, e.tokens FROM exact e
+  JOIN labels l ON l.id = e.doc_id AND l.cluster_id = e.doc_id
+), s_g AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(('0x' || substr(md5(array_to_string(tokens[i:i+12], ',')),
+                      1, 15)) AS BIGINT) AS gh
+  FROM (SELECT doc_id, tokens,
+               unnest(generate_series(1, len(tokens) - 12)) AS i
+        FROM surv)
+), s_dup AS (
+  SELECT gh FROM s_g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+), s_cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 12)) AS idx
+  FROM (SELECT g.doc_id, g.pos FROM s_g g JOIN s_dup USING (gh))
+), s_ex AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) - 1 AS idx
+  FROM surv
+), s_kept AS (
+  SELECT e.doc_id, list(e.tok ORDER BY e.idx) AS kept_list,
+         count(*)::INT AS n_kept
+  FROM s_ex e LEFT JOIN s_cov c ON c.doc_id = e.doc_id AND c.idx = e.idx
+  WHERE c.idx IS NULL
+  GROUP BY e.doc_id
+)
+SELECT s.doc_id, s.source,
+       (len(s.tokens) - coalesce(k.n_kept, 0))::INT AS n_removed,
+       coalesce(k.n_kept, 0)::INT AS n_tok_final,
+       coalesce(array_to_string(list_transform(k.kept_list,
+                x -> CAST(x AS VARCHAR)), ','), '') AS kept_s,
+       CASE WHEN {portable_hash_sql("'split:' || doc_id")} % 1000 < 100
+            THEN 'val' ELSE 'train' END AS split
+FROM surv s LEFT JOIN s_kept k USING (doc_id)"""
+
+
 def extra_oracles(tok_dir: str) -> dict[str, str]:
     d = tok_dir
     scrape = (scrape_oracles(d) | k8s_oracles(d) | export_oracles(d)
@@ -2379,6 +2534,8 @@ SELECT source, sum(nc)::BIGINT AS n_rows,
        (max(nc) - 1)::INT AS max_copy
 FROM n GROUP BY source HAVING sum(nc) > 0""",
 
+        "tokens_curation": _tokens_curation_oracle_sql(d),
+
         "minhash_tokens": f"""WITH toks AS (
   SELECT doc_id AS id, tokens FROM read_parquet('{d}/tokens.parquet')
   WHERE {portable_hash_sql("'tokmh:' || doc_id")} < {int(0.02 * (1 << 32))}
@@ -2618,6 +2775,7 @@ def extra_queries(tok_dir_for) -> dict:
         "minhash_lsh_star": q_minhash_lsh_star,
         "minhash_tokens": with_tok(q_minhash_tokens),
         "token_quality": with_tok(q_token_quality),
+        "tokens_curation": with_tok(q_tokens_curation),
         "simhash_fp": q_simhash_fp,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
