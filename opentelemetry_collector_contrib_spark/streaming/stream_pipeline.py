@@ -176,6 +176,35 @@ def streaming_statsd_flush(lines: DataFrame,
                  F.count(F.lit(1)).cast("bigint").alias("n_lines")))
 
 
+def streaming_hdr_sketch(events: DataFrame,
+                         value_col: str = "value",
+                         key_cols: tuple[str, ...] = ("event_type",),
+                         window: str = "1 minute",
+                         watermark: str = "2 minutes",
+                         ts_col: str = "ts",
+                         scale: int = 100) -> DataFrame:
+    """Streaming twin of the HdrHistogram quantile sketch
+    (datapipe/hdrsketch.py): per event-time window and key, the
+    BUCKET COUNTERS are the aggregate — a plain windowed groupBy
+    count, so Spark's streaming state per (window, key) is O(buckets)
+    counters, never the values, and late data past the watermark is
+    dropped exactly like any windowed agg.
+
+    The counter sum is reduction-order-free (the merge law), which is
+    what makes this streaming-safe with partial aggregation per
+    micro-batch.  Quantile extraction (``hdr_quantiles``) runs
+    BATCH-side over the sunk sketch rows — and because merge is
+    addition, re-aggregating across windows (hourly -> daily rollups)
+    is the same counter sum, no re-scan of raw events."""
+    from ..datapipe.hdrsketch import hdr_bucket
+    v = F.round(F.col(value_col) * scale).cast("long")
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("win"),
+                     *key_cols, hdr_bucket(v).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def streaming_counts(routed: DataFrame,
                      window: str = "1 hour",
                      watermark: str = "2 hours") -> DataFrame:
