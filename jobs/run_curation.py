@@ -11,6 +11,13 @@ with transitive (connected-component) survivors -> PII scrub ->
 deterministic train/val split, writing parquet partitioned by split.
 The stage funnel is printed as one JSON line; every count is an
 Observation aggregate riding the single write action — no extra scans.
+
+``--tokens-native`` switches to the tokens cascade
+(datapipe/token_curation.py): the same flow computed straight from the
+``tokens: array<int32>`` column with zero detokenize — token-quality
+gate, digest-keyed exact dedup, tokens MinHash-LSH + connected
+components, duplicated-span removal, split.  ``--docs`` then points at
+a tokens-shaped table.
 """
 
 from __future__ import annotations
@@ -38,6 +45,15 @@ def main() -> None:
                          "--run-dir resumes from the last completed stage "
                          "(curated output lands in <run-dir>/curated; "
                          "--out is ignored)")
+    ap.add_argument("--tokens-native", action="store_true",
+                    help="run the tokens cascade (token_curation.py) over "
+                         "a tokens-shaped table — no detokenize anywhere")
+    ap.add_argument("--minhash-threshold", type=float, default=0.4,
+                    help="tokens-native: Jaccard threshold over token "
+                         "4-grams")
+    ap.add_argument("--span-n", type=int, default=13,
+                    help="tokens-native: duplicated-span removal gram size "
+                         "(0 disables removal)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -45,6 +61,25 @@ def main() -> None:
     if spark is None:
         from opentelemetry_collector_contrib_spark.session import get_spark
         spark = get_spark(app_name="otelcol-curation")
+
+    if args.tokens_native:
+        if args.run_dir:
+            raise SystemExit("--run-dir staging is the text cascade's; "
+                             "tokens-native runs are one DAG (rerun-safe "
+                             "by determinism)")
+        from opentelemetry_collector_contrib_spark.datapipe.token_curation \
+            import tokens_curation_pipeline
+        toks = spark.read.parquet(args.docs)
+        out, obs = tokens_curation_pipeline(
+            toks, minhash_threshold=args.minhash_threshold,
+            span_n=args.span_n or 13, remove_spans=args.span_n > 0,
+            val_permille=args.val_permille)
+        (out.write.mode("overwrite").partitionBy("split")
+         .parquet(args.out))
+        funnel = {stage: int(o.get["n"]) for stage, o in obs.items()}
+        print(json.dumps({"status": "complete", "out": args.out,
+                          "mode": "tokens-native", "funnel": funnel}))
+        return
 
     docs = spark.read.parquet(args.docs).select("doc_id", "text")
     if args.run_dir:
