@@ -205,6 +205,32 @@ def streaming_hdr_sketch(events: DataFrame,
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def streaming_hll_registers(events: DataFrame,
+                            key_col: str,
+                            group_cols: tuple[str, ...] = ("event_type",),
+                            window: str = "1 minute",
+                            watermark: str = "2 minutes",
+                            ts_col: str = "ts") -> DataFrame:
+    """Streaming HLL: windowed distinct-count REGISTERS
+    (datapipe/sketches.py) as the aggregate — per (window, key) the
+    state is ≤ m register maxima, and register max is reduction-order-
+    free, so the windowed agg is streaming-safe exactly like the
+    bucket counters in :func:`streaming_hdr_sketch`.  Rolling windows
+    up (minutely -> daily uniques) is ``hll_merge``'s union + re-max
+    over the sunk rows; ``hll_estimate_from_registers`` reads the
+    estimate off batch-side.  With counts, quantiles, and distincts
+    all streaming as mergeable sketch state, per-window corpus
+    profiling at 10^12 sequences never re-scans raw events."""
+    from ..datapipe.sketches import hll_register_cols
+    j, rho = hll_register_cols(F.col(key_col))
+    return (events
+            .withWatermark(ts_col, watermark)
+            .select(F.col(ts_col), *[F.col(c) for c in group_cols], j, rho)
+            .groupBy(F.window(ts_col, window).alias("win"),
+                     *group_cols, "hll_j")
+            .agg(F.max("hll_rho").alias("mj")))
+
+
 def streaming_counts(routed: DataFrame,
                      window: str = "1 hour",
                      watermark: str = "2 hours") -> DataFrame:
