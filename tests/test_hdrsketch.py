@@ -39,6 +39,28 @@ def test_bucket_monotone_and_hi_covers_value():
         assert hi <= v * (1 + 2 ** -SUB_BITS) + 1
 
 
+def test_bucket_properties_hold_across_int64_range():
+    """Property test over the full positive-int64 domain: id is
+    monotone non-decreasing, the upper edge covers the value, and the
+    relative-error bound holds — the three invariants the quantile
+    guarantee rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=(1 << 62) - 1),
+           st.integers(min_value=1, max_value=(1 << 62) - 1))
+    def check(a, b):
+        ba, bb = hdr_bucket_py(a), hdr_bucket_py(b)
+        if a <= b:
+            assert ba <= bb
+        hi = hdr_bucket_hi_py(ba)
+        assert hi >= a
+        assert hi <= a * (1 + 2 ** -SUB_BITS) + 1
+
+    check()
+
+
 def test_merge_law_equals_union_build(spark):
     a = spark.createDataFrame(
         [("g", 17 * i % 997 + 1) for i in range(500)], "grp string, v long")
