@@ -62,7 +62,7 @@ def _vacuum_orphans(out_dir: str, keep: set[str]) -> int:
     cycle's digests must not suppress re-ingest of docs whose data
     dir was just vacuumed."""
     removed = 0
-    for sub in ("data", "digests"):
+    for sub in ("data", "digests", "bands"):
         root = os.path.join(out_dir, sub)
         if not os.path.isdir(root):
             continue
@@ -142,6 +142,178 @@ def run_dedup_ingest_cycle(spark: SparkSession, input_path: str,
     if fail_before_commit:
         os.remove(tmp)
         return {"status": "killed", "cycle_id": cycle}
+    os.replace(tmp, bloom_path)
+    ledger.commit_cycle(cycle, new, {
+        "rows_in": n_in, "rows_appended": n_app,
+        "rows_dropped": n_in - n_app})
+    return {"status": "complete", "cycle_id": cycle,
+            "files_processed": len(new), "rows_in": n_in,
+            "rows_appended": n_app}
+
+
+# ---------------------------------------------------------------------------
+# fuzzy variant: near-dup suppression against the committed history
+# ---------------------------------------------------------------------------
+
+def _gram_frame(df: DataFrame, k_gram: int, id_col: str,
+                tokens_col: str) -> DataFrame:
+    from .dedup import token_gram_hash32_udf
+    return (df.select(F.col(id_col).alias("id"),
+                      token_gram_hash32_udf(k_gram)(F.col(tokens_col))
+                      .alias("sh"))
+            .withColumn("sz", F.size("sh"))
+            .filter(F.col("sz") > 0))
+
+
+def _bands_of(sh: DataFrame) -> DataFrame:
+    from .dedup import _banded
+    from .hashing import NUM_HASHES, minhash_expr
+    ex = sh.select("id", F.explode("sh").alias("h"))
+    aggs = [F.min(minhash_expr(F.col("h"), i)).alias(f"mh{i}")
+            for i in range(NUM_HASHES)]
+    return _banded(ex.groupBy("id").agg(*aggs))
+
+
+def _jaccard_filter(pairs: DataFrame, sh: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact-Jaccard verify of an arbitrary (id_a, id_b) pair list
+    against a gram frame covering both sides."""
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                  F.col("sz").alias("sz_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                  F.col("sz").alias("sz_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("long") / (F.col("sz_a").cast("long")
+                                + F.col("sz_b") - inter)
+    return (joined.withColumn("jaccard", jac)
+            .filter(jac >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def run_fuzzy_dedup_ingest_cycle(spark: SparkSession, input_path: str,
+                                 out_dir: str,
+                                 threshold: float = 0.4,
+                                 k_gram: int = 4,
+                                 m: int = BLOOM_M, k: int = BLOOM_K,
+                                 id_col: str = "doc_id",
+                                 tokens_col: str = "tokens") -> dict:
+    """The fuzzy twin of :func:`run_dedup_ingest_cycle`: a cycle also
+    drops docs that NEAR-duplicate the committed history (token-gram
+    MinHash, Jaccard >= threshold) and then fuzzy-dedups within the
+    increment (star candidates + connected components, exactly the
+    tokens-curation semantics).
+
+    History state per committed cycle: the survivors' band signatures
+    (``bands/cycle=<id>/`` — BANDS rows/doc) next to digests and data.
+    Cross-cycle candidates are ALL (new, historical) pairs sharing a
+    (band, sig) bucket — bounded in practice because the history holds
+    only SURVIVORS: every earlier cycle collapsed its near-dup
+    clusters, so a boilerplate bucket carries few historical members
+    by construction (the in-cycle star+CC did the collapsing).  The
+    verify fetches only the candidate historical docs' token arrays
+    back from the corpus (a join on the bounded candidate id set, not
+    a history scan) and recomputes their grams in one Arrow hop.
+
+    Phase order per cycle (deterministic, oracle-checked end-to-end as
+    ``fuzzy_dedup_ingest``): within-cycle exact keep-first → exact-
+    vs-history (Bloom + digest anti-join) → fuzzy-vs-history drop →
+    in-cycle star+CC survivors → append data/digests/bands, OR the
+    bitmap, commit."""
+    from .cluster import connected_components
+
+    ledger = FileLedger(os.path.join(out_dir, "_dedup_ledger"))
+    all_files = list_input_files(spark, input_path)
+    seen_files = ledger.processed_files()
+    new = [f for f in all_files if f["path"] not in seen_files]
+    if not new:
+        return {"status": "no_new_data",
+                "cycles": len(ledger.committed_cycles())}
+    cycle = _cycle_id(new)
+    _vacuum_orphans(out_dir, keep=ledger.committed_cycles() | {cycle})
+
+    df = (spark.read.option("basePath", input_path)
+          .parquet(*[f["path"] for f in new])
+          .withColumn("digest", tokens_digest(tokens_col)))
+    w = Window.partitionBy("digest").orderBy(F.col(id_col).asc())
+    within = (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    n_in = df.count()
+
+    bloom_path = os.path.join(out_dir, "_dedup", "bloom.bin")
+    digest_dirs = _committed_digest_dirs(out_dir, ledger)
+    if os.path.exists(bloom_path) and digest_dirs:
+        with open(bloom_path, "rb") as f:
+            bloom = f.read()
+        tagged = might_contain(spark, within, "digest", bloom, m, k)
+        history = spark.read.parquet(*digest_dirs).select("digest")
+        fresh = (tagged.filter(~F.col("hit")).drop("hit").unionByName(
+            tagged.filter(F.col("hit")).drop("hit")
+            .join(history, "digest", "left_anti")))
+    else:
+        fresh = within
+    fresh = fresh.persist()
+
+    sh_new = _gram_frame(fresh, k_gram, id_col, tokens_col).persist()
+    bands_new = _bands_of(sh_new).persist()
+
+    band_dirs = [os.path.join(out_dir, "bands", f"cycle={e['cycle_id']}")
+                 for e in ledger.entries()]
+    band_dirs = [d for d in band_dirs if os.path.isdir(d)]
+    if band_dirs:
+        bands_h = (spark.read.parquet(*band_dirs)
+                   .select(F.col("id").alias("old_id"), "band", "sig"))
+        cand_x = (bands_new.join(bands_h, ["band", "sig"])
+                  .select(F.col("id").alias("id_a"),
+                          F.col("old_id").alias("id_b"))
+                  .distinct())
+        old_ids = cand_x.select(F.col("id_b").alias(id_col)).distinct()
+        old_docs = read_corpus(spark, out_dir).join(old_ids, id_col)
+        sh_old = _gram_frame(old_docs, k_gram, id_col, tokens_col)
+        near_hist = (_jaccard_filter(cand_x, sh_new.unionByName(sh_old),
+                                     threshold)
+                     .select(F.col("id_a").alias("id")).distinct())
+        fresh2 = fresh.join(near_hist.withColumnRenamed("id", id_col),
+                            id_col, "left_anti").persist()
+    else:
+        fresh2 = fresh
+
+    ids2 = fresh2.select(F.col(id_col).alias("id"))
+    bands2 = bands_new.join(ids2, "id")
+    rep = F.min("id").over(Window.partitionBy("band", "sig"))
+    cand2 = (bands2.withColumn("rep", rep)
+             .filter(F.col("id") != F.col("rep"))
+             .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+             .distinct())
+    sh2 = sh_new.join(ids2, "id")
+    pairs2 = _jaccard_filter(cand2, sh2, threshold)
+    clusters = connected_components(ids2, pairs2.select("id_a", "id_b"))
+    survivors = (fresh2.join(
+        clusters.filter(F.col("id") == F.col("cluster_id"))
+        .select(F.col("id").alias(id_col)), id_col).persist())
+
+    data_dir = os.path.join(out_dir, "data", f"cycle={cycle}")
+    dig_dir = os.path.join(out_dir, "digests", f"cycle={cycle}")
+    band_dir = os.path.join(out_dir, "bands", f"cycle={cycle}")
+    survivors.drop("digest").write.mode("overwrite").parquet(data_dir)
+    survivors.select("digest").write.mode("overwrite").parquet(dig_dir)
+    (bands_new.join(survivors.select(F.col(id_col).alias("id")), "id")
+     .write.mode("overwrite").parquet(band_dir))
+    n_app = spark.read.parquet(data_dir).count()
+
+    add = build_bloom(survivors.select("digest"), "digest", m, k)
+    for frame in (survivors, fresh2, fresh, sh_new, bands_new):
+        frame.unpersist()
+    if os.path.exists(bloom_path):
+        with open(bloom_path, "rb") as f:
+            cur = np.frombuffer(f.read(), dtype=np.uint8)
+        merged = (cur | np.frombuffer(add, dtype=np.uint8)).tobytes()
+    else:
+        merged = add
+    os.makedirs(os.path.dirname(bloom_path), exist_ok=True)
+    tmp = bloom_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(merged)
     os.replace(tmp, bloom_path)
     ledger.commit_cycle(cycle, new, {
         "rows_in": n_in, "rows_appended": n_app,

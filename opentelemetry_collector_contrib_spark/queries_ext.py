@@ -534,6 +534,38 @@ def q_tokens_curation(spark, sf_dir, tok_dir):
         "split")
 
 
+def q_fuzzy_dedup_ingest(spark, sf_dir, tok_dir):
+    """Incremental FUZZY corpus dedup under the oracle gate
+    (datapipe/incremental_dedup.py::run_fuzzy_dedup_ingest_cycle): the
+    2% tokens sample arrives as two ledger-committed cycles; each
+    drops exact dups (within + Bloom/digest history) AND near-dups
+    (token-gram MinHash vs the committed band state, then in-cycle
+    star+CC).  The deduped corpus read back must hash-equal the
+    oracle's direct two-phase replay."""
+    import shutil
+    from .datapipe.dedup import hash_sample
+    from .datapipe.incremental_dedup import (read_corpus,
+                                             run_fuzzy_dedup_ingest_cycle)
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", f"_q_fuzzy_ingest_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    toks = hash_sample(
+        spark.read.parquet(os.path.join(tok_dir, "tokens.parquet")),
+        0.02, salt="tokmh")
+    half = portable_hash(
+        F.concat(F.lit("half:"), F.col("doc_id"))) % 2
+    in_dir = os.path.join(scratch, "tokens")
+    out_dir = os.path.join(scratch, "corpus")
+    toks.filter(half == 0).write.parquet(in_dir)
+    run_fuzzy_dedup_ingest_cycle(spark, in_dir, out_dir,
+                                 threshold=0.4, k_gram=4)
+    toks.filter(half == 1).write.mode("append").parquet(in_dir)
+    run_fuzzy_dedup_ingest_cycle(spark, in_dir, out_dir,
+                                 threshold=0.4, k_gram=4)
+    return read_corpus(spark, out_dir).select("doc_id", "source", "n_tok")
+
+
 def q_simhash_fp(spark, sf_dir):
     return simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -1756,6 +1788,102 @@ SELECT s.doc_id, s.source,
 FROM surv s LEFT JOIN s_kept k USING (doc_id)"""
 
 
+def _fuzzy_ingest_oracle_sql(d: str) -> str:
+    """DuckDB twin of run_fuzzy_dedup_ingest_cycle driven for TWO
+    portable-hash-split cycles: within-cycle exact keep-first, exact-
+    vs-history digest drop, fuzzy-vs-history (all cross pairs sharing
+    a band bucket, exact Jaccard), then in-cycle star+CC survivors —
+    both phases replayed in one query (two recursive CTEs)."""
+    h32 = ("CAST(('0x' || substr(md5(array_to_string(tokens[i:i+3], ',')), "
+           "1, 8)) AS BIGINT)")
+    mh = ", ".join(
+        f"min((h * {_A[i]} + {_B[i]}) % {MERSENNE_P}) AS mh{i}"
+        for i in range(NUM_HASHES))
+
+    def jac(cand: str, out: str) -> str:
+        return f"""{out}_i AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS inter
+  FROM {cand} c
+  JOIN grams a ON a.id = c.id_a
+  JOIN grams b ON b.id = c.id_b AND b.h = a.h
+  GROUP BY 1, 2
+), {out} AS (
+  SELECT i.id_a, i.id_b
+  FROM {out}_i i
+  JOIN szs sa ON sa.id = i.id_a
+  JOIN szs sb ON sb.id = i.id_b
+  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.4
+)"""
+
+    def cc(nodes: str, pairs: str, tag: str) -> str:
+        return f"""edges{tag} AS (
+  SELECT id_a AS a, id_b AS b FROM {pairs}
+  UNION ALL
+  SELECT id_b, id_a FROM {pairs}
+), reach{tag}(id, label) AS (
+    SELECT id, id FROM {nodes}
+  UNION
+    SELECT e.b, r.label FROM reach{tag} r JOIN edges{tag} e ON e.a = r.id
+), s{tag} AS (
+  SELECT id FROM (SELECT id, min(label) AS cl FROM reach{tag} GROUP BY id)
+  WHERE cl = id
+)"""
+
+    return f"""WITH RECURSIVE toks0 AS (
+  SELECT doc_id, source, n_tok, tokens,
+         md5(array_to_string(tokens, ',')) AS digest,
+         ({portable_hash_sql("'half:' || doc_id")}) % 2 AS half
+  FROM read_parquet('{d}/tokens.parquet')
+  WHERE {portable_hash_sql("'tokmh:' || doc_id")} < {int(0.02 * (1 << 32))}
+), pos AS (
+  SELECT doc_id AS id, tokens,
+         unnest(generate_series(1, len(tokens) - 3)) AS i
+  FROM toks0 WHERE len(tokens) >= 4
+), grams AS (
+  SELECT DISTINCT id, {h32} AS h FROM pos
+), szs AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+sig AS (SELECT id, {mh} FROM grams GROUP BY id),
+bands AS ({_band_union()}),
+w1 AS (
+  SELECT min(doc_id) AS id, digest FROM toks0 WHERE half = 0
+  GROUP BY digest
+), b1 AS (SELECT b.* FROM bands b JOIN w1 ON b.id = w1.id),
+star1 AS (
+  SELECT id, min(id) OVER (PARTITION BY band, bsig) AS rep FROM b1),
+cand1 AS (SELECT DISTINCT rep AS id_a, id AS id_b FROM star1
+          WHERE id <> rep),
+{jac("cand1", "pairs1")},
+n1 AS (SELECT id FROM w1),
+{cc("n1", "pairs1", "1")},
+hist_digest AS (
+  SELECT t.digest FROM toks0 t JOIN s1 ON t.doc_id = s1.id
+), w2 AS (
+  SELECT min(doc_id) AS id, digest FROM toks0 WHERE half = 1
+  GROUP BY digest
+), e2 AS (
+  SELECT id FROM w2 WHERE digest NOT IN (SELECT digest FROM hist_digest)
+), bH AS (SELECT b.* FROM bands b JOIN s1 ON b.id = s1.id),
+b2 AS (SELECT b.* FROM bands b JOIN e2 ON b.id = e2.id),
+candX AS (
+  SELECT DISTINCT b2.id AS id_a, bH.id AS id_b
+  FROM b2 JOIN bH ON b2.band = bH.band AND b2.bsig = bH.bsig
+),
+{jac("candX", "pairsX")},
+f2 AS (
+  SELECT id FROM e2
+  WHERE id NOT IN (SELECT id_a FROM pairsX)
+), b2b AS (SELECT b.* FROM bands b JOIN f2 ON b.id = f2.id),
+star2 AS (
+  SELECT id, min(id) OVER (PARTITION BY band, bsig) AS rep FROM b2b),
+cand2 AS (SELECT DISTINCT rep AS id_a, id AS id_b FROM star2
+          WHERE id <> rep),
+{jac("cand2", "pairs2")},
+{cc("f2", "pairs2", "2")},
+surv AS (SELECT id FROM s1 UNION ALL SELECT id FROM s2)
+SELECT t.doc_id, t.source, t.n_tok
+FROM toks0 t JOIN surv ON surv.id = t.doc_id"""
+
+
 def extra_oracles(tok_dir: str) -> dict[str, str]:
     d = tok_dir
     scrape = (scrape_oracles(d) | k8s_oracles(d) | export_oracles(d)
@@ -2536,6 +2664,8 @@ FROM n GROUP BY source HAVING sum(nc) > 0""",
 
         "tokens_curation": _tokens_curation_oracle_sql(d),
 
+        "fuzzy_dedup_ingest": _fuzzy_ingest_oracle_sql(d),
+
         "minhash_tokens": f"""WITH toks AS (
   SELECT doc_id AS id, tokens FROM read_parquet('{d}/tokens.parquet')
   WHERE {portable_hash_sql("'tokmh:' || doc_id")} < {int(0.02 * (1 << 32))}
@@ -2776,6 +2906,7 @@ def extra_queries(tok_dir_for) -> dict:
         "minhash_tokens": with_tok(q_minhash_tokens),
         "token_quality": with_tok(q_token_quality),
         "tokens_curation": with_tok(q_tokens_curation),
+        "fuzzy_dedup_ingest": with_tok(q_fuzzy_dedup_ingest),
         "simhash_fp": q_simhash_fp,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,

@@ -79,6 +79,49 @@ def test_bloom_false_positives_never_drop_new_docs(spark, tmp_path):
     assert len(_ids(spark, out)) == 55
 
 
+TEMPLATE = list(range(100, 130))
+
+
+def test_fuzzy_cycles_drop_near_dups_of_history_and_within(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.datapipe.incremental_dedup \
+        import run_fuzzy_dedup_ingest_cycle
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    # cycle 1: a 3-doc near-dup cluster + 3 unrelated uniques
+    _write(spark, src,
+           [(f"n{i}", "s", TEMPLATE + [900 + i]) for i in range(3)]
+           + [(f"u{i}", "s", [2000 + 137 * i + 11 * j for j in range(25)])
+              for i in range(3)])
+    m1 = run_fuzzy_dedup_ingest_cycle(spark, src, out, threshold=0.3)
+    assert m1["rows_appended"] == 4
+    assert _ids(spark, out) == {"n0", "u0", "u1", "u2"}
+    # cycle 2: near-dup of history, exact dup of history, an in-cycle
+    # near-dup pair, and one genuinely fresh doc
+    _write(spark, src, [
+        ("h0", "s", TEMPLATE + [950]),                       # ~ n0
+        ("e0", "s", [2000 + 11 * j for j in range(25)]),     # == u0
+        ("p0", "s", [5000 + 3 * j for j in range(30)] + [1]),
+        ("p1", "s", [5000 + 3 * j for j in range(30)] + [2]),
+        ("f0", "s", [7000 + 17 * j for j in range(20)]),
+    ])
+    m2 = run_fuzzy_dedup_ingest_cycle(spark, src, out, threshold=0.3)
+    assert m2["rows_appended"] == 2
+    assert _ids(spark, out) == {"n0", "u0", "u1", "u2", "p0", "f0"}
+
+
+def test_fuzzy_history_state_is_survivor_bands_only(spark, tmp_path):
+    """The band state written per cycle covers exactly the appended
+    survivors — the property that keeps history buckets small."""
+    from opentelemetry_collector_contrib_spark.datapipe.incremental_dedup \
+        import run_fuzzy_dedup_ingest_cycle
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    _write(spark, src,
+           [(f"n{i}", "s", TEMPLATE + [900 + i]) for i in range(4)])
+    m = run_fuzzy_dedup_ingest_cycle(spark, src, out, threshold=0.3)
+    band_ids = {r["id"] for r in spark.read.parquet(
+        os.path.join(out, "bands", f"cycle={m['cycle_id']}")).collect()}
+    assert band_ids == {"n0"}
+
+
 def test_superseded_crashed_cycle_is_vacuumed(spark, tmp_path):
     """A cycle that died before commit and was then superseded by MORE
     arrivals (different cycle id) must not leave digests that suppress
