@@ -67,6 +67,40 @@ def pack_chunks(df: DataFrame, budget: int = 2048,
     return out
 
 
+def length_grouped_batches(df: DataFrame, batch_size: int = 32,
+                           len_col: str = "n_tok",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Length-grouped batch composition (the padding-minimizing
+    sampler training loaders use): documents of IDENTICAL length are
+    chunked into ``batch_size``-doc batches, so every full batch pads
+    ZERO tokens; only each length's remainder batch is underfilled.
+
+    Output one row per batch: (n_tok, batch_idx, n_docs,
+    fill_frac) with fill_frac = n_docs/batch_size rounded to 6.
+    The complement of the summed fill is the padding a naive
+    arrival-order batcher would have spent lifting every doc in a
+    batch to the batch max.
+
+    Scale shape: ONE window exchange partitioned by the length value —
+    thousands of distinct lengths spread the shuffle, no global sort,
+    no SinglePartition window (the global-row-number formulation this
+    replaces).  Compose with ``pack_chunks`` when concat-packing is
+    allowed; this operator is for objectives that must keep documents
+    intact."""
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    w = Window.partitionBy(len_col).orderBy(F.col(id_col).asc())
+    b = (df.withColumn("_rn", F.row_number().over(w))
+         .withColumn("batch_idx",
+                     F.floor((F.col("_rn") - 1) / batch_size)
+                     .cast("long")))
+    return (b.groupBy(F.col(len_col).alias("n_tok"), "batch_idx")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("fill_frac",
+                        F.round(F.col("n_docs")
+                                / F.lit(float(batch_size)), 6)))
+
+
 # labels joined by single dots — no trailing dot, so sentence
 # punctuation after a URL cannot leak into the hostname
 _URL_RX = r"https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)"

@@ -883,6 +883,39 @@ def remove_dup_spans(df: DataFrame, n: int = 13,
 # training-mix construction: per-stratum quota sampling with upsampling
 # ---------------------------------------------------------------------------
 
+def temperature_fractions(counts: dict[str, int],
+                          temperature: float = 0.5) -> dict[str, float]:
+    """Per-source mixing fractions for temperature-based resampling
+    (the standard pretraining source-mix construction: sample source s
+    with probability ∝ p_s^T, flattening the natural Zipf of web-scale
+    corpora).  Resampled to the original corpus size, the per-source
+    rate handed to :func:`stratified_sample` is
+
+        f_s = ((r_s / Z) * N) / n_s,   r_s = (n_s / N)^T,
+        Z = Σ r_s (left-assoc over sources sorted by name)
+
+    so hot sources downsample (f<1) and tail sources upsample (f>1).
+
+    Cross-engine float parity (what makes the oracle bit-checkable):
+    at the default T=0.5 the power is sqrt — IEEE-754-required to be
+    correctly rounded, so CPython, the JVM and DuckDB agree exactly —
+    and Z is pinned left-associative.  Arbitrary T works in
+    production; libm pow is only ~1-ulp reproducible, so only the
+    T=0.5 path is under the value-hash gate."""
+    import math
+    n_total = sum(counts.values())
+    if n_total == 0:
+        return {}
+    if temperature == 0.5:
+        r = {s: math.sqrt(n / n_total) for s, n in counts.items()}
+    else:
+        r = {s: (n / n_total) ** temperature for s, n in counts.items()}
+    z = 0.0
+    for s in sorted(r):
+        z = z + r[s]
+    return {s: ((r[s] / z) * n_total) / counts[s] for s in counts}
+
+
 def stratified_sample(df: DataFrame, fractions: dict[str, float],
                       default: float = 0.0, strata_col: str = "source",
                       id_col: str = "doc_id",

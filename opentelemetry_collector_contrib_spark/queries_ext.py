@@ -566,6 +566,37 @@ def q_fuzzy_dedup_ingest(spark, sf_dir, tok_dir):
     return read_corpus(spark, out_dir).select("doc_id", "source", "n_tok")
 
 
+def q_length_batches(spark, sf_dir, tok_dir):
+    """Length-grouped batch composition over the tokens table
+    (datapipe/curation.py::length_grouped_batches): identical-length
+    docs chunked into batch_size batches — full batches pad zero
+    tokens; one window exchange partitioned by the length value."""
+    from .datapipe.curation import length_grouped_batches
+    toks = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    return length_grouped_batches(toks, batch_size=32)
+
+
+def q_temperature_mix(spark, sf_dir, tok_dir):
+    """Temperature-based source mixing (datapipe/dedup.py::
+    temperature_fractions + stratified_sample): per-source rates ∝
+    sqrt(p_s), resampled to corpus size — hot sources downsample,
+    tail sources upsample with deterministic hash-gated copies.  The
+    counts collect is O(sources) driver work; the sample itself is a
+    stateless shuffle-free filter/explode."""
+    from .datapipe.dedup import stratified_sample, temperature_fractions
+    toks = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    counts = {r["source"]: r["n"] for r in
+              toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    fracs = temperature_fractions(counts, temperature=0.5)
+    out = stratified_sample(toks.select("doc_id", "source"), fracs,
+                            default=0.0, salt="tmix")
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count_distinct("doc_id").alias("n_docs"),
+                 F.max("copy").alias("max_copy")))
+
+
 def q_simhash_fp(spark, sf_dir):
     return simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -2666,6 +2697,49 @@ FROM n GROUP BY source HAVING sum(nc) > 0""",
 
         "fuzzy_dedup_ingest": _fuzzy_ingest_oracle_sql(d),
 
+        "length_batches": f"""WITH b AS (
+  SELECT n_tok,
+         CAST(floor((row_number() OVER (PARTITION BY n_tok
+                                        ORDER BY doc_id) - 1) / 32)
+              AS BIGINT) AS batch_idx
+  FROM read_parquet('{d}/tokens.parquet')
+)
+SELECT n_tok, batch_idx, count(*)::BIGINT AS n_docs,
+       round(count(*) / 32.0, 6) AS fill_frac
+FROM b GROUP BY n_tok, batch_idx""",
+
+        "temperature_mix": f"""WITH c AS (
+  SELECT source, count(*)::BIGINT AS n
+  FROM read_parquet('{d}/tokens.parquet') GROUP BY source
+), tot AS (SELECT sum(n)::BIGINT AS nt FROM c),
+r AS (
+  SELECT source, n, sqrt(CAST(n AS DOUBLE) / nt) AS rv
+  FROM c CROSS JOIN tot
+), z AS (
+  SELECT list_reduce(list_prepend(0.0, list(rv ORDER BY source)),
+                     (a, b) -> a + b) AS zz
+  FROM r
+), f AS (
+  SELECT source, ((rv / zz) * nt) / n AS frac
+  FROM r CROSS JOIN z CROSS JOIN tot
+), t AS (
+  SELECT d.doc_id, d.source, f.frac,
+         CAST(('0x' || substr(md5('tmix:' || d.doc_id), 1, 8)) AS BIGINT)
+           AS h
+  FROM read_parquet('{d}/tokens.parquet') d JOIN f USING (source)
+), n AS (
+  SELECT source, doc_id,
+         CAST(floor(frac) AS INT)
+         + CASE WHEN h < CAST(floor((frac - floor(frac)) * 4294967296.0)
+                             AS BIGINT)
+                THEN 1 ELSE 0 END AS nc
+  FROM t
+)
+SELECT source, sum(nc)::BIGINT AS n_rows,
+       (count(*) FILTER (nc > 0))::BIGINT AS n_docs,
+       (max(nc) - 1)::INT AS max_copy
+FROM n GROUP BY source HAVING sum(nc) > 0""",
+
         "minhash_tokens": f"""WITH toks AS (
   SELECT doc_id AS id, tokens FROM read_parquet('{d}/tokens.parquet')
   WHERE {portable_hash_sql("'tokmh:' || doc_id")} < {int(0.02 * (1 << 32))}
@@ -2907,6 +2981,8 @@ def extra_queries(tok_dir_for) -> dict:
         "token_quality": with_tok(q_token_quality),
         "tokens_curation": with_tok(q_tokens_curation),
         "fuzzy_dedup_ingest": with_tok(q_fuzzy_dedup_ingest),
+        "length_batches": with_tok(q_length_batches),
+        "temperature_mix": with_tok(q_temperature_mix),
         "simhash_fp": q_simhash_fp,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,

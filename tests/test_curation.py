@@ -161,3 +161,39 @@ def test_canonical_url_collapses_crawl_variants(spark):
                                "doc_id long, url string")
     n = (url_dedup_keys(df).select("canon").distinct().count())
     assert n == 1
+
+
+def test_length_grouped_batches_fill(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.curation import (
+        length_grouped_batches)
+    rows = ([(f"a{i:02d}", 10) for i in range(70)]     # 70 docs of len 10
+            + [(f"b{i:02d}", 25) for i in range(32)])  # exactly one batch
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    got = {(r["n_tok"], r["batch_idx"]): (r["n_docs"], r["fill_frac"])
+           for r in length_grouped_batches(df, batch_size=32).collect()}
+    assert got[(10, 0)] == (32, 1.0) and got[(10, 1)] == (32, 1.0)
+    assert got[(10, 2)] == (6, round(6 / 32, 6))       # remainder
+    assert got[(25, 0)] == (32, 1.0)
+    assert len(got) == 4
+    # full batches pad zero tokens by construction (single length each)
+
+
+def test_temperature_fractions_flatten_and_preserve_size():
+    import math
+
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+        temperature_fractions)
+    counts = {"hot": 8000, "mid": 1500, "tail": 500}
+    f = temperature_fractions(counts, temperature=0.5)
+    # hot downsampled, tail upsampled
+    assert f["hot"] < 1.0 < f["tail"]
+    # expected resampled size == original corpus size
+    n = sum(counts.values())
+    assert math.isclose(sum(f[s] * counts[s] for s in counts), n,
+                        rel_tol=1e-12)
+    # T=1 is the identity mix (up to float roundoff)
+    f1 = temperature_fractions(counts, temperature=1.0)
+    assert all(math.isclose(v, 1.0, rel_tol=1e-12) for v in f1.values())
+    # lower temperature flattens harder
+    f2 = temperature_fractions(counts, temperature=0.25)
+    assert f2["tail"] > f["tail"] and f2["hot"] < f["hot"]
