@@ -883,6 +883,52 @@ def remove_dup_spans(df: DataFrame, n: int = 13,
 # training-mix construction: per-stratum quota sampling with upsampling
 # ---------------------------------------------------------------------------
 
+def token_contamination(docs: DataFrame, benchmark: DataFrame,
+                        n: int = 13, id_col: str = "doc_id",
+                        tokens_col: str = "tokens") -> DataFrame:
+    """Benchmark decontamination on RAW token streams: per training
+    doc, the fraction of its token n-grams that occur anywhere in the
+    benchmark set — the tokens-native twin of the word-k-gram
+    ``curation.contamination`` (no decode; the gram universe is the
+    60-bit portable hash family ``token_gram_hashes_udf`` shares with
+    the exact-substring profile).
+
+    Output: (id, n_grams, n_hit, hit_frac).  Docs shorter than n
+    tokens report (0, 0, 0.0) — nothing to leak.
+
+    Scale shape: the benchmark gram set is distinct-aggregated and
+    broadcast (benchmarks are small by construction — MMLU-sized sets
+    are ~10^6 grams); the training side is one Arrow gram hop + a
+    broadcast LEFT join + a per-doc aggregate keyed by the uniform doc
+    id.  At 10^12 docs nothing shuffles except 8-byte (id, hit) pairs
+    into the partial-agg exchange."""
+    bench = (benchmark
+             .select(F.explode(token_gram_hashes_udf(n)(
+                 F.col(tokens_col))).alias("gh"))
+             .distinct()
+             .withColumn("_hit", F.lit(1)))
+    g = docs.select(F.col(id_col).alias("id"),
+                    F.explode(token_gram_hashes_udf(n)(
+                        F.col(tokens_col))).alias("gh"))
+    per = (g.join(F.broadcast(bench), "gh", "left")
+           .groupBy("id")
+           .agg(F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("bigint").alias("n_hit")))
+    base = docs.select(F.col(id_col).alias("id"))
+    return (base.join(per, "id", "left")
+            .select("id",
+                    F.coalesce("n_grams", F.lit(0)).cast("bigint")
+                    .alias("n_grams"),
+                    F.coalesce("n_hit", F.lit(0)).cast("bigint")
+                    .alias("n_hit"))
+            .withColumn("hit_frac",
+                        F.when(F.col("n_grams") > 0,
+                               F.round(F.col("n_hit")
+                                       / F.col("n_grams"), 6))
+                        .otherwise(F.lit(0.0))))
+
+
 def temperature_fractions(counts: dict[str, int],
                           temperature: float = 0.5) -> dict[str, float]:
     """Per-source mixing fractions for temperature-based resampling

@@ -597,6 +597,18 @@ def q_temperature_mix(spark, sf_dir, tok_dir):
                  F.max("copy").alias("max_copy")))
 
 
+def q_token_contamination(spark, sf_dir, tok_dir):
+    """Tokens-native benchmark decontamination (datapipe/dedup.py::
+    token_contamination): a deterministic 1% hash-sample of the tokens
+    table stands in for the benchmark; every doc reports the fraction
+    of its token 13-grams found in it (benchmark members score 1.0,
+    near-dups partially).  Broadcast gram set + one Arrow hop."""
+    from .datapipe.dedup import hash_sample, token_contamination
+    toks = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    bench = hash_sample(toks, 0.01, salt="bench")
+    return token_contamination(toks, bench, n=13)
+
+
 def q_simhash_fp(spark, sf_dir):
     return simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -2697,6 +2709,39 @@ FROM n GROUP BY source HAVING sum(nc) > 0""",
 
         "fuzzy_dedup_ingest": _fuzzy_ingest_oracle_sql(d),
 
+        "token_contamination": f"""WITH t AS (
+  SELECT doc_id, tokens FROM read_parquet('{d}/tokens.parquet')
+), bench AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(array_to_string(tokens[i:i+12], ',')),
+                      1, 15)) AS BIGINT) AS gh
+  FROM (SELECT tokens, unnest(generate_series(1, len(tokens) - 12)) AS i
+        FROM t
+        WHERE {portable_hash_sql("'bench:' || doc_id")}
+              < {int(0.01 * (1 << 32))}
+          AND len(tokens) >= 13)
+), g AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(tokens[i:i+12], ',')),
+                      1, 15)) AS BIGINT) AS gh
+  FROM (SELECT doc_id, tokens,
+               unnest(generate_series(1, len(tokens) - 12)) AS i
+        FROM t WHERE len(tokens) >= 13)
+), per AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_hit
+  FROM g LEFT JOIN bench b ON b.gh = g.gh
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id AS id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.n_hit, 0)::BIGINT AS n_hit,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN round(CAST(p.n_hit AS DOUBLE) / p.n_grams, 6)
+            ELSE 0.0 END AS hit_frac
+FROM t LEFT JOIN per p USING (doc_id)""",
+
         "length_batches": f"""WITH b AS (
   SELECT n_tok,
          CAST(floor((row_number() OVER (PARTITION BY n_tok
@@ -2982,6 +3027,7 @@ def extra_queries(tok_dir_for) -> dict:
         "tokens_curation": with_tok(q_tokens_curation),
         "fuzzy_dedup_ingest": with_tok(q_fuzzy_dedup_ingest),
         "length_batches": with_tok(q_length_batches),
+        "token_contamination": with_tok(q_token_contamination),
         "temperature_mix": with_tok(q_temperature_mix),
         "simhash_fp": q_simhash_fp,
         "simhash_pairs": q_simhash_pairs,

@@ -721,3 +721,24 @@ def test_fit_quality_clf_beats_seeded_weights(spark):
     seeded_acc = sum(1 for r in seeded.collect()
                      if r["label"] == r["want"]) / len(got)
     assert acc > seeded_acc
+
+
+def test_token_contamination_fractions(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.dedup import (
+        token_contamination)
+    bench = spark.createDataFrame(
+        [("b0", list(range(100, 120)))], "doc_id string, tokens array<int>")
+    docs = spark.createDataFrame(
+        [("member", list(range(100, 120))),          # exact benchmark doc
+         ("half", list(range(100, 113)) + [999, 998, 997]),  # leading 13-gram only
+         ("clean", list(range(500, 520))),           # disjoint
+         ("short", [1, 2, 3])],                      # < n tokens
+        "doc_id string, tokens array<int>")
+    got = {r["id"]: r for r in
+           token_contamination(docs, bench, n=13).collect()}
+    assert got["member"]["hit_frac"] == 1.0
+    assert got["member"]["n_grams"] == 8             # 20 - 13 + 1
+    assert got["half"]["n_hit"] == 1                 # only grams fully inside
+    assert got["clean"]["n_hit"] == 0
+    assert got["short"] and got["short"]["n_grams"] == 0 \
+        and got["short"]["hit_frac"] == 0.0
