@@ -231,6 +231,30 @@ def streaming_hll_registers(events: DataFrame,
             .agg(F.max("hll_rho").alias("mj")))
 
 
+def streaming_cms(events: DataFrame,
+                  key_col: str,
+                  window: str = "1 minute",
+                  watermark: str = "2 minutes",
+                  ts_col: str = "ts") -> DataFrame:
+    """Streaming count-min sketch: per event-time window the d×w
+    COUNTER table is the aggregate (datapipe/sketches.py layout), so
+    state per window is ≤ d·w counters and the merge across windows —
+    like across runs — is counter addition (CMS linearity).  Completes
+    the streaming sketch trio: counts-per-window are exact groupBys,
+    heavy-hitter FREQUENCIES stream here, DISTINCTS stream as HLL
+    registers, QUANTILES as Hdr buckets — none of them ever re-scan
+    raw events for a rollup."""
+    from ..datapipe.sketches import cms_position_rows
+    return (events
+            .withWatermark(ts_col, watermark)
+            .select(F.col(ts_col),
+                    F.explode(cms_position_rows(F.col(key_col)))
+                    .alias("c"))
+            .groupBy(F.window(ts_col, window).alias("win"),
+                     F.col("c.i").alias("i"), F.col("c.pos").alias("pos"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def streaming_counts(routed: DataFrame,
                      window: str = "1 hour",
                      watermark: str = "2 hours") -> DataFrame:
