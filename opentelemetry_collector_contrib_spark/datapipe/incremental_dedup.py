@@ -260,15 +260,30 @@ def run_fuzzy_dedup_ingest_cycle(spark: SparkSession, input_path: str,
     band_dirs = [os.path.join(out_dir, "bands", f"cycle={e['cycle_id']}")
                  for e in ledger.entries()]
     band_dirs = [d for d in band_dirs if os.path.isdir(d)]
+    to_unpersist = []
     if band_dirs:
         bands_h = (spark.read.parquet(*band_dirs)
                    .select(F.col("id").alias("old_id"), "band", "sig"))
         cand_x = (bands_new.join(bands_h, ["band", "sig"])
                   .select(F.col("id").alias("id_a"),
                           F.col("old_id").alias("id_b"))
-                  .distinct())
+                  .distinct()).persist()
+        to_unpersist.append(cand_x)
         old_ids = cand_x.select(F.col("id_b").alias(id_col)).distinct()
-        old_docs = read_corpus(spark, out_dir).join(old_ids, id_col)
+        # Fetch candidate historical docs.  Small candidate sets (the
+        # common case: |candidates| ~ O(increment)) collect to an isin
+        # PREDICATE so the filter reaches the parquet scan — on a
+        # corpus compacted sorted by doc_id (sinks/maintenance.compact)
+        # row-group min/max stats then skip everything but the touched
+        # files, instead of scanning the whole history per cycle.
+        # Large sets fall back to a join (ids broadcast; history side
+        # scanned but never shuffled).
+        ids = [r[0] for r in old_ids.limit(20_001).collect()]
+        hist_corpus = read_corpus(spark, out_dir)
+        if len(ids) <= 20_000:
+            old_docs = hist_corpus.filter(F.col(id_col).isin(ids))
+        else:
+            old_docs = hist_corpus.join(F.broadcast(old_ids), id_col)
         sh_old = _gram_frame(old_docs, k_gram, id_col, tokens_col)
         near_hist = (_jaccard_filter(cand_x, sh_new.unionByName(sh_old),
                                      threshold)
@@ -302,7 +317,8 @@ def run_fuzzy_dedup_ingest_cycle(spark: SparkSession, input_path: str,
     n_app = spark.read.parquet(data_dir).count()
 
     add = build_bloom(survivors.select("digest"), "digest", m, k)
-    for frame in (survivors, fresh2, fresh, sh_new, bands_new):
+    for frame in [survivors, fresh2, fresh, sh_new, bands_new] \
+            + to_unpersist:
         frame.unpersist()
     if os.path.exists(bloom_path):
         with open(bloom_path, "rb") as f:
