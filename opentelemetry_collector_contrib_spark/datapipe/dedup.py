@@ -959,7 +959,8 @@ def temperature_fractions(counts: dict[str, int],
     z = 0.0
     for s in sorted(r):
         z = z + r[s]
-    return {s: ((r[s] / z) * n_total) / counts[s] for s in counts}
+    return {s: ((r[s] / z) * n_total) / counts[s] if counts[s] else 0.0
+            for s in counts}
 
 
 def stratified_sample(df: DataFrame, fractions: dict[str, float],

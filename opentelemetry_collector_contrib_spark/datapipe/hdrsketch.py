@@ -28,6 +28,15 @@ is a cumulative count over bucket order.  Relative error <= 2^-s.
 Guarantee (pinned in tests): the reported quantile is the UPPER edge
 of the bucket holding the nearest-rank value, so
 ``estimate >= exact`` and ``estimate <= exact * (1 + 2^-s)``.
+
+Value domain: scaled values must stay below 2^53 (the double-exact
+integer range — 9e15, far above any real telemetry metric at any
+scale factor).  ``hdr_bucket``'s index math is exact to 2^62, but the
+UPPER-EDGE arithmetic (``hdr_bucket_hi``) multiplies in double, so
+edges beyond 2^53 would drift ulps from the integer twin and the top
+octave's edge (2^63) overflows BIGINT differently per engine.  Scale
+metrics into the domain (or raise the scale divisor), don't feed raw
+nanosecond-epoch timestamps as values.
 """
 
 from __future__ import annotations

@@ -73,62 +73,65 @@ def _vacuum_orphans(out_dir: str, keep: set[str]) -> int:
     return removed
 
 
-def run_dedup_ingest_cycle(spark: SparkSession, input_path: str,
-                           out_dir: str,
-                           m: int = BLOOM_M, k: int = BLOOM_K,
-                           id_col: str = "doc_id",
-                           tokens_col: str = "tokens",
-                           fail_before_commit: bool = False) -> dict:
-    """One cycle: discover new files, drop within-cycle exact dups
-    (keep-first by id), drop docs whose digest any COMMITTED cycle
-    already appended (Bloom pre-filter + exact anti-join), append the
-    survivors + their digests under ``cycle=<id>``, OR the survivors
-    into the Bloom bitmap, commit the ledger."""
-    ledger = FileLedger(os.path.join(out_dir, "_dedup_ledger"))
+def _discover_cycle(spark: SparkSession, input_path: str, out_dir: str,
+                    ledger: FileLedger):
+    """New-file discovery + orphan vacuum.  Returns (files, cycle_id)
+    or None when the ledger already covers every input file."""
     all_files = list_input_files(spark, input_path)
     seen_files = ledger.processed_files()
     new = [f for f in all_files if f["path"] not in seen_files]
     if not new:
-        return {"status": "no_new_data",
-                "cycles": len(ledger.committed_cycles())}
+        return None
     cycle = _cycle_id(new)
     _vacuum_orphans(out_dir, keep=ledger.committed_cycles() | {cycle})
+    return new, cycle
 
-    df = (spark.read.option("basePath", input_path)
-          .parquet(*[f["path"] for f in new])
-          .withColumn("digest", tokens_digest(tokens_col)))
-    w = Window.partitionBy("digest").orderBy(F.col(id_col).asc())
-    within = (df.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn"))
 
-    bloom_path = os.path.join(out_dir, "_dedup", "bloom.bin")
+def _exact_history_filter(spark: SparkSession, out_dir: str,
+                          ledger: FileLedger, within: DataFrame,
+                          m: int, k: int) -> DataFrame:
+    """Drop docs whose digest any COMMITTED cycle already appended.
+    The exact digest anti-join is the correctness mechanism; the Bloom
+    bitmap — when present — only pre-filters the join's left side to
+    the maybe-seen slice.  A MISSING bitmap (lost `_dedup/` dir, first
+    run) therefore degrades to anti-joining every row, never to
+    skipping the check."""
     digest_dirs = _committed_digest_dirs(out_dir, ledger)
-    n_in = df.count()
-    if os.path.exists(bloom_path) and digest_dirs:
+    if not digest_dirs:
+        return within
+    history = spark.read.parquet(*digest_dirs).select("digest")
+    bloom_path = os.path.join(out_dir, "_dedup", "bloom.bin")
+    if os.path.exists(bloom_path):
         with open(bloom_path, "rb") as f:
             bloom = f.read()
         tagged = might_contain(spark, within, "digest", bloom, m, k)
-        # Bloom miss ⇒ certainly new; hits get the EXACT check.  The
-        # anti-join's left side is only the hit slice.
         misses = tagged.filter(~F.col("hit")).drop("hit")
         hits = tagged.filter(F.col("hit")).drop("hit")
-        history = spark.read.parquet(*digest_dirs).select("digest")
-        survivors = misses.unionByName(
-            hits.join(history, "digest", "left_anti"))
-    else:
-        survivors = within
-    survivors = survivors.persist()
+        return misses.unionByName(hits.join(history, "digest",
+                                            "left_anti"))
+    return within.join(history, "digest", "left_anti")
 
+
+def _publish_and_commit(survivors: DataFrame, out_dir: str, cycle: str,
+                        ledger: FileLedger, files: list[dict],
+                        n_in: int, m: int, k: int,
+                        fail_before_commit: bool,
+                        extra_writes=None) -> dict:
+    """Write data + digests (+ any extra per-cycle state), OR the
+    survivors into the bitmap (idempotent under retry), atomic-rename
+    publish, commit the ledger."""
     data_dir = os.path.join(out_dir, "data", f"cycle={cycle}")
     dig_dir = os.path.join(out_dir, "digests", f"cycle={cycle}")
     survivors.drop("digest").write.mode("overwrite").parquet(data_dir)
     survivors.select("digest").write.mode("overwrite").parquet(dig_dir)
-    n_app = spark.read.parquet(data_dir).count()
+    if extra_writes is not None:
+        extra_writes()
+    # the two writes materialized the persisted frame — this count is
+    # a cache scan, not a re-read of the written parquet
+    n_app = survivors.count()
 
-    # OR the cycle's digests into the bitmap — idempotent, so a retry
-    # that already wrote these bits is a no-op; atomic-rename publish
+    bloom_path = os.path.join(out_dir, "_dedup", "bloom.bin")
     add = build_bloom(survivors.select("digest"), "digest", m, k)
-    survivors.unpersist()
     if os.path.exists(bloom_path):
         with open(bloom_path, "rb") as f:
             cur = np.frombuffer(f.read(), dtype=np.uint8)
@@ -143,12 +146,46 @@ def run_dedup_ingest_cycle(spark: SparkSession, input_path: str,
         os.remove(tmp)
         return {"status": "killed", "cycle_id": cycle}
     os.replace(tmp, bloom_path)
-    ledger.commit_cycle(cycle, new, {
+    ledger.commit_cycle(cycle, files, {
         "rows_in": n_in, "rows_appended": n_app,
         "rows_dropped": n_in - n_app})
     return {"status": "complete", "cycle_id": cycle,
-            "files_processed": len(new), "rows_in": n_in,
+            "files_processed": len(files), "rows_in": n_in,
             "rows_appended": n_app}
+
+
+def run_dedup_ingest_cycle(spark: SparkSession, input_path: str,
+                           out_dir: str,
+                           m: int = BLOOM_M, k: int = BLOOM_K,
+                           id_col: str = "doc_id",
+                           tokens_col: str = "tokens",
+                           fail_before_commit: bool = False) -> dict:
+    """One cycle: discover new files, drop within-cycle exact dups
+    (keep-first by id), drop docs whose digest any COMMITTED cycle
+    already appended (exact digest anti-join, Bloom-prefiltered when
+    the bitmap is present), append the survivors + their digests under
+    ``cycle=<id>``, OR the survivors into the Bloom bitmap, commit the
+    ledger."""
+    ledger = FileLedger(os.path.join(out_dir, "_dedup_ledger"))
+    disc = _discover_cycle(spark, input_path, out_dir, ledger)
+    if disc is None:
+        return {"status": "no_new_data",
+                "cycles": len(ledger.committed_cycles())}
+    new, cycle = disc
+
+    df = (spark.read.option("basePath", input_path)
+          .parquet(*[f["path"] for f in new])
+          .withColumn("digest", tokens_digest(tokens_col)))
+    w = Window.partitionBy("digest").orderBy(F.col(id_col).asc())
+    within = (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    n_in = df.count()
+    survivors = _exact_history_filter(spark, out_dir, ledger, within,
+                                      m, k).persist()
+    out = _publish_and_commit(survivors, out_dir, cycle, ledger, new,
+                              n_in, m, k, fail_before_commit)
+    survivors.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -175,12 +212,16 @@ def _bands_of(sh: DataFrame) -> DataFrame:
 
 
 def _jaccard_filter(pairs: DataFrame, sh: DataFrame,
-                    threshold: float) -> DataFrame:
-    """Exact-Jaccard verify of an arbitrary (id_a, id_b) pair list
-    against a gram frame covering both sides."""
+                    threshold: float,
+                    sh_b: DataFrame | None = None) -> DataFrame:
+    """Exact-Jaccard verify of an arbitrary (id_a, id_b) pair list.
+    ``sh`` covers the id_a side (and both sides when ``sh_b`` is
+    None); pass ``sh_b`` when the sides come from different frames so
+    neither is evaluated for ids it cannot match."""
+    sb = sh if sh_b is None else sh_b
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
                   F.col("sz").alias("sz_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+    b = sb.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
                   F.col("sz").alias("sz_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -223,14 +264,11 @@ def run_fuzzy_dedup_ingest_cycle(spark: SparkSession, input_path: str,
     from .cluster import connected_components
 
     ledger = FileLedger(os.path.join(out_dir, "_dedup_ledger"))
-    all_files = list_input_files(spark, input_path)
-    seen_files = ledger.processed_files()
-    new = [f for f in all_files if f["path"] not in seen_files]
-    if not new:
+    disc = _discover_cycle(spark, input_path, out_dir, ledger)
+    if disc is None:
         return {"status": "no_new_data",
                 "cycles": len(ledger.committed_cycles())}
-    cycle = _cycle_id(new)
-    _vacuum_orphans(out_dir, keep=ledger.committed_cycles() | {cycle})
+    new, cycle = disc
 
     df = (spark.read.option("basePath", input_path)
           .parquet(*[f["path"] for f in new])
@@ -239,20 +277,8 @@ def run_fuzzy_dedup_ingest_cycle(spark: SparkSession, input_path: str,
     within = (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn"))
     n_in = df.count()
-
-    bloom_path = os.path.join(out_dir, "_dedup", "bloom.bin")
-    digest_dirs = _committed_digest_dirs(out_dir, ledger)
-    if os.path.exists(bloom_path) and digest_dirs:
-        with open(bloom_path, "rb") as f:
-            bloom = f.read()
-        tagged = might_contain(spark, within, "digest", bloom, m, k)
-        history = spark.read.parquet(*digest_dirs).select("digest")
-        fresh = (tagged.filter(~F.col("hit")).drop("hit").unionByName(
-            tagged.filter(F.col("hit")).drop("hit")
-            .join(history, "digest", "left_anti")))
-    else:
-        fresh = within
-    fresh = fresh.persist()
+    fresh = _exact_history_filter(spark, out_dir, ledger, within,
+                                  m, k).persist()
 
     sh_new = _gram_frame(fresh, k_gram, id_col, tokens_col).persist()
     bands_new = _bands_of(sh_new).persist()
@@ -285,8 +311,11 @@ def run_fuzzy_dedup_ingest_cycle(spark: SparkSession, input_path: str,
         else:
             old_docs = hist_corpus.join(F.broadcast(old_ids), id_col)
         sh_old = _gram_frame(old_docs, k_gram, id_col, tokens_col)
-        near_hist = (_jaccard_filter(cand_x, sh_new.unionByName(sh_old),
-                                     threshold)
+        # asymmetric sides: id_a's are new docs, id_b's historical —
+        # joining each side against only its own gram frame avoids
+        # running the history fetch + gram hop once per union branch
+        near_hist = (_jaccard_filter(cand_x, sh_new, threshold,
+                                     sh_b=sh_old)
                      .select(F.col("id_a").alias("id")).distinct())
         fresh2 = fresh.join(near_hist.withColumnRenamed("id", id_col),
                             id_col, "left_anti").persist()
@@ -307,36 +336,20 @@ def run_fuzzy_dedup_ingest_cycle(spark: SparkSession, input_path: str,
         clusters.filter(F.col("id") == F.col("cluster_id"))
         .select(F.col("id").alias(id_col)), id_col).persist())
 
-    data_dir = os.path.join(out_dir, "data", f"cycle={cycle}")
-    dig_dir = os.path.join(out_dir, "digests", f"cycle={cycle}")
     band_dir = os.path.join(out_dir, "bands", f"cycle={cycle}")
-    survivors.drop("digest").write.mode("overwrite").parquet(data_dir)
-    survivors.select("digest").write.mode("overwrite").parquet(dig_dir)
-    (bands_new.join(survivors.select(F.col(id_col).alias("id")), "id")
-     .write.mode("overwrite").parquet(band_dir))
-    n_app = spark.read.parquet(data_dir).count()
 
-    add = build_bloom(survivors.select("digest"), "digest", m, k)
+    def write_bands():
+        (bands_new.join(survivors.select(F.col(id_col).alias("id")),
+                        "id")
+         .write.mode("overwrite").parquet(band_dir))
+
+    out = _publish_and_commit(survivors, out_dir, cycle, ledger, new,
+                              n_in, m, k, fail_before_commit=False,
+                              extra_writes=write_bands)
     for frame in [survivors, fresh2, fresh, sh_new, bands_new] \
             + to_unpersist:
         frame.unpersist()
-    if os.path.exists(bloom_path):
-        with open(bloom_path, "rb") as f:
-            cur = np.frombuffer(f.read(), dtype=np.uint8)
-        merged = (cur | np.frombuffer(add, dtype=np.uint8)).tobytes()
-    else:
-        merged = add
-    os.makedirs(os.path.dirname(bloom_path), exist_ok=True)
-    tmp = bloom_path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(merged)
-    os.replace(tmp, bloom_path)
-    ledger.commit_cycle(cycle, new, {
-        "rows_in": n_in, "rows_appended": n_app,
-        "rows_dropped": n_in - n_app})
-    return {"status": "complete", "cycle_id": cycle,
-            "files_processed": len(new), "rows_in": n_in,
-            "rows_appended": n_app}
+    return out
 
 
 def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame:

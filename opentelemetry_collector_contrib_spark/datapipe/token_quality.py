@@ -113,14 +113,17 @@ def _counts_batch2(tokens: pd.Series) -> pd.DataFrame:
         ridx = np.flatnonzero(ch)
         rlen = np.diff(np.append(ridx, flat.size))
         np.maximum.at(mr, seg[ridx], rlen)
-        # duplicated 2-gram positions: encode the pair as one int64
-        # (token ids are int32 by the input contract, so the shifted
-        # product stays under 2^63)
+        # duplicated 2-gram positions: encode the pair as one uint64.
+        # Shifted offsets are < 2^32 for any int32 ids (including
+        # negatives), so (a*width + b) <= 2^64 - 1 — exact in uint64,
+        # where a signed-int64 product could silently wrap and collide
+        # distinct 2-grams.
         valid = seg[1:] == seg[:-1]
         if valid.any():
             lo = flat.min()
-            width = flat.max() - lo + 1
-            enc = (flat[:-1][valid] - lo) * width + (flat[1:][valid] - lo)
+            width = np.uint64(flat.max() - lo + 1)
+            enc = ((flat[:-1][valid] - lo).astype(np.uint64) * width
+                   + (flat[1:][valid] - lo).astype(np.uint64))
             gs = seg[:-1][valid]
             o2 = np.lexsort((enc, gs))
             es, ess = enc[o2], gs[o2]

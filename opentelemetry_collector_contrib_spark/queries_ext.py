@@ -482,9 +482,6 @@ def q_minhash_lsh_star(spark, sf_dir):
                              k=3, candidates="star")
 
 
-MINHASH_TOKENS_FRAC = int(0.02 * (1 << 32))   # 2% hash-sample gate
-
-
 def q_minhash_tokens(spark, sf_dir, tok_dir):
     """Tokens-NATIVE MinHash+LSH near-dedup over the north-rule input
     (datapipe/dedup.py::minhash_tokens_lsh): token 4-gram shingles
@@ -492,11 +489,11 @@ def q_minhash_tokens(spark, sf_dir, tok_dir):
     star-candidate + exact-Jaccard-verify plan as the text path.  The
     corpus is a deterministic 2% hash-sample of the tokens table so
     the verified pair set stays bounded at any sf."""
-    from .datapipe.dedup import minhash_tokens_lsh
-    toks = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
-    gate = portable_hash(
-        F.concat(F.lit("tokmh:"), F.col("doc_id"))) < MINHASH_TOKENS_FRAC
-    return minhash_tokens_lsh(toks.filter(gate), threshold=0.4, k=4,
+    from .datapipe.dedup import hash_sample, minhash_tokens_lsh
+    toks = hash_sample(
+        spark.read.parquet(os.path.join(tok_dir, "tokens.parquet")),
+        0.02, salt="tokmh")
+    return minhash_tokens_lsh(toks, threshold=0.4, k=4,
                               candidates="star")
 
 

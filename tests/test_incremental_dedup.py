@@ -79,6 +79,24 @@ def test_bloom_false_positives_never_drop_new_docs(spark, tmp_path):
     assert len(_ids(spark, out)) == 55
 
 
+def test_lost_bloom_bitmap_degrades_to_full_anti_join(spark, tmp_path):
+    """Exactness must NEVER depend on the Bloom bitmap: losing
+    `_dedup/bloom.bin` (e.g. a backup tool skipping underscore dirs)
+    degrades to anti-joining every row against the digest ledger —
+    history duplicates still drop."""
+    import shutil
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    _write(spark, src, _rows("a", 12, lambda i: [i, i + 1]))
+    run_dedup_ingest_cycle(spark, src, out)
+    shutil.rmtree(os.path.join(out, "_dedup"))      # lose the bitmap
+    _write(spark, src, _rows("b", 5, lambda i: [i, i + 1])   # 5 dups
+           + _rows("n", 2, lambda i: [700 + i]))             # 2 new
+    m = run_dedup_ingest_cycle(spark, src, out)
+    assert m["rows_appended"] == 2
+    assert _ids(spark, out) == ({f"a-{i:03d}" for i in range(12)}
+                                | {"n-000", "n-001"})
+
+
 TEMPLATE = list(range(100, 130))
 
 

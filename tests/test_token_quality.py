@@ -61,8 +61,14 @@ def test_vectorized_batch_equals_per_doc_path():
     from opentelemetry_collector_contrib_spark.datapipe.token_quality \
         import _counts_batch2, _counts_one
     rng = np.random.RandomState(7)
-    batch = [rng.randint(0, 40, size=rng.randint(0, 60)).tolist()
-             for _ in range(300)] + [[], None, [5], [-3, -3, -3, 7]]
+    lo, hi = -(2 ** 31), 2 ** 31 - 1
+    batch = ([rng.randint(0, 40, size=rng.randint(0, 60)).tolist()
+              for _ in range(300)]
+             + [[], None, [5], [-3, -3, -3, 7],
+                # extreme int32 ids: the 2-gram pair encoding must not
+                # wrap (uint64 arithmetic, not signed int64)
+                [lo, hi, lo, hi, lo, hi],
+                [hi, hi - 1, hi, hi - 1], [lo, lo + 1, lo, lo + 1]])
     got = _counts_batch2(pd.Series(batch, dtype="object"))
     for i, toks in enumerate(batch):
         want = _counts_one(toks, 2)
