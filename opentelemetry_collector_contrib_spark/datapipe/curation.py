@@ -23,6 +23,7 @@ broadcast-hash on the shingle string.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -65,6 +66,88 @@ def pack_chunks(df: DataFrame, budget: int = 2048,
                (F.col("_prev") % budget).cast("bigint")
                .alias("chunk_offset")))
     return out
+
+
+def pack_tokens(df: DataFrame, budget: int = 2048,
+                id_col: str = "doc_id", tokens_col: str = "tokens",
+                n_groups: int = 16) -> DataFrame:
+    """MATERIALIZE the packed training rows: where :func:`pack_chunks`
+    computes each document's chunk assignment, this produces the
+    actual ``budget``-token context windows — concatenated token
+    arrays plus the document-span metadata a dataloader needs for
+    attention masking across document boundaries.
+
+    Output one row per (grp, chunk): ``n_docs``, ``n_tok`` (== budget
+    except each group's final partial chunk), ``tokens`` (the packed
+    array), ``spans`` (ordered ``array<struct<doc_id,start,len>>`` —
+    ``start`` is the doc's offset inside this chunk, ``len`` the
+    tokens it contributes here; docs crossing chunk boundaries appear
+    in every chunk they touch).
+
+    Scale shape: the chunk assignment is pack_chunks' cumsum window;
+    an Arrow hop then SLICES each doc's array at chunk boundaries —
+    the shuffle carries (grp, chunk, start, sub-array) rows, at most
+    ``spanned chunks`` per doc, never per-token rows — and the
+    reassembly groupBy holds ≤ budget tokens per chunk.  Zero-length
+    docs take no space and carry no span."""
+    from pyspark.sql import types as T
+
+    asg = pack_chunks(df.select(id_col, tokens_col,
+                                F.size(tokens_col).alias("_nt")),
+                      budget=budget, id_col=id_col, len_col="_nt",
+                      n_groups=n_groups)
+    src = (df.select(id_col, tokens_col)
+           .join(asg.select(id_col, "grp", "first_chunk",
+                            "chunk_offset"), id_col)
+           .filter(F.size(tokens_col) > 0))
+
+    part_type = T.ArrayType(T.StructType([
+        T.StructField("chunk", T.LongType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("part", T.ArrayType(T.IntegerType())),
+    ]))
+
+    @F.pandas_udf(part_type)
+    def split_parts(tokens: pd.Series, first_chunk: pd.Series,
+                    offset: pd.Series) -> pd.Series:
+        out = []
+        for toks, fc, off in zip(tokens, first_chunk, offset):
+            parts = []
+            pos = 0
+            chunk = int(fc)
+            start = int(off)
+            n = len(toks)
+            while pos < n:
+                take = min(budget - start, n - pos)
+                parts.append((chunk, start,
+                              [int(t) for t in toks[pos:pos + take]]))
+                pos += take
+                chunk += 1
+                start = 0
+            out.append(parts)
+        return pd.Series(out)
+
+    parts = (src.select(
+        F.col(id_col), "grp",
+        F.explode(split_parts(F.col(tokens_col), F.col("first_chunk"),
+                              F.col("chunk_offset"))).alias("p"))
+        .select(id_col, "grp", F.col("p.chunk").alias("chunk"),
+                F.col("p.start").alias("start"),
+                F.col("p.part").alias("part")))
+    ordered = F.array_sort(F.collect_list(F.struct(
+        F.col("start"), F.col(id_col).alias("doc_id"), F.col("part"))))
+    return (parts.groupBy("grp", "chunk")
+            .agg(ordered.alias("_o"))
+            .select(
+                "grp", "chunk",
+                F.size("_o").alias("n_docs"),
+                F.flatten(F.transform("_o", lambda s: s["part"]))
+                .alias(tokens_col),
+                F.transform("_o", lambda s: F.struct(
+                    s["doc_id"].alias("doc_id"),
+                    s["start"].alias("start"),
+                    F.size(s["part"]).alias("len"))).alias("spans"))
+            .withColumn("n_tok", F.size(tokens_col)))
 
 
 def length_grouped_batches(df: DataFrame, batch_size: int = 32,

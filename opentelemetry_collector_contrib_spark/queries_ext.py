@@ -606,6 +606,23 @@ def q_token_contamination(spark, sf_dir, tok_dir):
     return token_contamination(toks, bench, n=13)
 
 
+def q_pack_tokens(spark, sf_dir, tok_dir):
+    """Materialized token packing (datapipe/curation.py::pack_tokens):
+    the actual budget-token training rows with doc-span metadata —
+    serialized for the driver canon (packed arrays + ordered spans as
+    strings)."""
+    from .datapipe.curation import pack_tokens
+    toks = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    out = pack_tokens(toks, budget=2048)
+    return out.select(
+        "grp", "chunk", "n_docs", "n_tok",
+        F.concat_ws(",", F.col("tokens").cast("array<string>"))
+        .alias("tokens_s"),
+        F.array_join(F.transform("spans", lambda s: F.concat_ws(
+            ":", s["doc_id"], s["start"].cast("string"),
+            s["len"].cast("string"))), ",").alias("spans_s"))
+
+
 def q_simhash_fp(spark, sf_dir):
     return simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -2706,6 +2723,37 @@ FROM n GROUP BY source HAVING sum(nc) > 0""",
 
         "fuzzy_dedup_ingest": _fuzzy_ingest_oracle_sql(d),
 
+        "pack_tokens": f"""WITH t AS (
+  SELECT doc_id, tokens, len(tokens) AS nt,
+         CAST(('0x' || substr(md5(doc_id), 1, 2)) AS INT) % 16 AS grp
+  FROM read_parquet('{d}/tokens.parquet')
+), w AS (
+  SELECT *, sum(nt) OVER (PARTITION BY grp ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - nt AS prev
+  FROM t
+), pos AS (
+  SELECT doc_id, grp,
+         (prev + i) // 2048 AS chunk,
+         (prev + i) % 2048 AS pic, tok
+  FROM (SELECT doc_id, grp, prev, unnest(tokens) AS tok,
+               generate_subscripts(tokens, 1) - 1 AS i
+        FROM w WHERE nt > 0)
+), packed AS (
+  SELECT grp, chunk, count(*)::INT AS n_tok,
+         array_to_string(list(tok ORDER BY pic), ',') AS tokens_s
+  FROM pos GROUP BY grp, chunk
+), sp AS (
+  SELECT grp, chunk, doc_id, min(pic) AS start, count(*) AS len
+  FROM pos GROUP BY grp, chunk, doc_id
+), spa AS (
+  SELECT grp, chunk, count(*)::INT AS n_docs,
+         string_agg(doc_id || ':' || start || ':' || len, ','
+                    ORDER BY start) AS spans_s
+  FROM sp GROUP BY grp, chunk
+)
+SELECT p.grp, p.chunk, s.n_docs, p.n_tok, p.tokens_s, s.spans_s
+FROM packed p JOIN spa s ON s.grp = p.grp AND s.chunk = p.chunk""",
+
         "token_contamination": f"""WITH t AS (
   SELECT doc_id, tokens FROM read_parquet('{d}/tokens.parquet')
 ), bench AS (
@@ -3025,6 +3073,7 @@ def extra_queries(tok_dir_for) -> dict:
         "fuzzy_dedup_ingest": with_tok(q_fuzzy_dedup_ingest),
         "length_batches": with_tok(q_length_batches),
         "token_contamination": with_tok(q_token_contamination),
+        "pack_tokens": with_tok(q_pack_tokens),
         "temperature_mix": with_tok(q_temperature_mix),
         "simhash_fp": q_simhash_fp,
         "simhash_pairs": q_simhash_pairs,

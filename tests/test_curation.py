@@ -197,3 +197,30 @@ def test_temperature_fractions_flatten_and_preserve_size():
     # lower temperature flattens harder
     f2 = temperature_fractions(counts, temperature=0.25)
     assert f2["tail"] > f["tail"] and f2["hot"] < f["hot"]
+
+
+def test_pack_tokens_materializes_windows(spark):
+    from opentelemetry_collector_contrib_spark.datapipe.curation import (
+        pack_tokens)
+    rows = [("d0", list(range(0, 6))),      # 6 tokens
+            ("d1", list(range(10, 17))),    # 7 tokens, crosses chunk edge
+            ("d2", []),                     # zero-length: no span
+            ("d3", list(range(20, 23)))]    # 3 tokens
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = pack_tokens(df, budget=8, n_groups=1).collect()
+    chunks = {r["chunk"]: r for r in out}
+    # group order is doc_id asc; total 16 tokens -> chunks of 8/8
+    assert set(chunks) == {0, 1}
+    assert chunks[0]["n_tok"] == 8 and chunks[1]["n_tok"] == 8
+    # round-trip: concatenating chunks in order reproduces the corpus
+    # in id order
+    flat = chunks[0]["tokens"] + chunks[1]["tokens"]
+    assert flat == list(range(0, 6)) + list(range(10, 17)) \
+        + list(range(20, 23))
+    # spans: d1 crosses the boundary and appears in both chunks
+    s0 = [(s["doc_id"], s["start"], s["len"]) for s in chunks[0]["spans"]]
+    s1 = [(s["doc_id"], s["start"], s["len"]) for s in chunks[1]["spans"]]
+    assert s0 == [("d0", 0, 6), ("d1", 6, 2)]
+    assert s1 == [("d1", 0, 5), ("d3", 5, 3)]
+    # zero-length doc contributes no span anywhere
+    assert all(s[0] != "d2" for s in s0 + s1)
