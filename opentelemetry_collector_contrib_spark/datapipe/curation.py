@@ -84,22 +84,34 @@ def pack_tokens(df: DataFrame, budget: int = 2048,
     tokens it contributes here; docs crossing chunk boundaries appear
     in every chunk they touch).
 
-    Scale shape: the chunk assignment is pack_chunks' cumsum window;
+    Scale shape: the chunk assignment is pack_chunks' cumsum window,
+    computed INLINE over the tokens-carrying frame (re-joining the
+    assignment by id would hash-shuffle the heaviest column twice);
     an Arrow hop then SLICES each doc's array at chunk boundaries —
     the shuffle carries (grp, chunk, start, sub-array) rows, at most
     ``spanned chunks`` per doc, never per-token rows — and the
     reassembly groupBy holds ≤ budget tokens per chunk.  Zero-length
-    docs take no space and carry no span."""
+    and NULL token arrays take no space and carry no span (``size``
+    of NULL is -1 under non-ANSI Spark — coalesced to 0 so a NULL row
+    cannot shift every later doc's offset in its group)."""
     from pyspark.sql import types as T
 
-    asg = pack_chunks(df.select(id_col, tokens_col,
-                                F.size(tokens_col).alias("_nt")),
-                      budget=budget, id_col=id_col, len_col="_nt",
-                      n_groups=n_groups)
-    src = (df.select(id_col, tokens_col)
-           .join(asg.select(id_col, "grp", "first_chunk",
-                            "chunk_offset"), id_col)
-           .filter(F.size(tokens_col) > 0))
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    grp = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2),
+                 16, 10).cast("int") % n_groups
+    n = F.when(F.col(tokens_col).isNull(), F.lit(0)) \
+        .otherwise(F.size(tokens_col)).cast("bigint")
+    w = (Window.partitionBy("grp").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    src = (df.select(F.col(id_col), F.col(tokens_col),
+                     n.alias("_nt"), grp.alias("grp"))
+           .withColumn("_prev", F.sum("_nt").over(w) - F.col("_nt"))
+           .withColumn("first_chunk",
+                       F.floor(F.col("_prev") / budget).cast("bigint"))
+           .withColumn("chunk_offset",
+                       (F.col("_prev") % budget).cast("bigint"))
+           .filter(F.col("_nt") > 0))
 
     part_type = T.ArrayType(T.StructType([
         T.StructField("chunk", T.LongType()),

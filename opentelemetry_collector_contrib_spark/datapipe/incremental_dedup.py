@@ -131,13 +131,24 @@ def _publish_and_commit(survivors: DataFrame, out_dir: str, cycle: str,
     n_app = survivors.count()
 
     bloom_path = os.path.join(out_dir, "_dedup", "bloom.bin")
-    add = build_bloom(survivors.select("digest"), "digest", m, k)
+    digest_dirs = _committed_digest_dirs(out_dir, ledger)
     if os.path.exists(bloom_path):
+        add = build_bloom(survivors.select("digest"), "digest", m, k)
         with open(bloom_path, "rb") as f:
             cur = np.frombuffer(f.read(), dtype=np.uint8)
         merged = (cur | np.frombuffer(add, dtype=np.uint8)).tobytes()
+    elif digest_dirs:
+        # bitmap lost but history exists (the heal path): rebuild from
+        # history ∪ survivors, NOT survivors alone — a survivors-only
+        # bitmap would make LATER cycles' Bloom misses skip the exact
+        # anti-join for pre-loss duplicates ("miss ⇒ certainly new"
+        # must hold against ALL committed digests)
+        spark = survivors.sparkSession
+        merged = build_bloom(
+            spark.read.parquet(*digest_dirs).select("digest")
+            .unionByName(survivors.select("digest")), "digest", m, k)
     else:
-        merged = add
+        merged = build_bloom(survivors.select("digest"), "digest", m, k)
     os.makedirs(os.path.dirname(bloom_path), exist_ok=True)
     tmp = bloom_path + ".tmp"
     with open(tmp, "wb") as f:

@@ -205,6 +205,8 @@ def test_pack_tokens_materializes_windows(spark):
     rows = [("d0", list(range(0, 6))),      # 6 tokens
             ("d1", list(range(10, 17))),    # 7 tokens, crosses chunk edge
             ("d2", []),                     # zero-length: no span
+            ("d2b", None),                  # NULL array: no span, no
+                                            # offset shift (size=-1 trap)
             ("d3", list(range(20, 23)))]    # 3 tokens
     df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
     out = pack_tokens(df, budget=8, n_groups=1).collect()
@@ -222,5 +224,5 @@ def test_pack_tokens_materializes_windows(spark):
     s1 = [(s["doc_id"], s["start"], s["len"]) for s in chunks[1]["spans"]]
     assert s0 == [("d0", 0, 6), ("d1", 6, 2)]
     assert s1 == [("d1", 0, 5), ("d3", 5, 3)]
-    # zero-length doc contributes no span anywhere
-    assert all(s[0] != "d2" for s in s0 + s1)
+    # zero-length and NULL docs contribute no span anywhere
+    assert all(s[0] not in ("d2", "d2b") for s in s0 + s1)

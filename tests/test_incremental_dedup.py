@@ -95,6 +95,14 @@ def test_lost_bloom_bitmap_degrades_to_full_anti_join(spark, tmp_path):
     assert m["rows_appended"] == 2
     assert _ids(spark, out) == ({f"a-{i:03d}" for i in range(12)}
                                 | {"n-000", "n-001"})
+    # the healed bitmap must cover PRE-loss history too: a THIRD cycle
+    # re-presenting a cycle-1 duplicate must still drop it (a bitmap
+    # rebuilt from the heal cycle's survivors alone would route it
+    # through the Bloom-miss "certainly new" branch)
+    _write(spark, src, _rows("c", 3, lambda i: [i, i + 1]))   # dups of a-*
+    m3 = run_dedup_ingest_cycle(spark, src, out)
+    assert m3["rows_appended"] == 0
+    assert not any(i.startswith("c-") for i in _ids(spark, out))
 
 
 TEMPLATE = list(range(100, 130))
