@@ -61,8 +61,9 @@ HEADLINE = ["parse_agg", "enrich", "route_rows", "pipeline_e2e",
             # stays as the verifier)
             "minhash_lsh_star",
             # tokens-NATIVE paths over the north-rule input (no
-            # detokenize): MinHash near-dedup + quality pre-filter
-            "minhash_tokens", "token_quality"]
+            # detokenize): MinHash near-dedup + quality pre-filter +
+            # materialized packed training rows
+            "minhash_tokens", "token_quality", "pack_tokens"]
 # ann_ivf is gate-checked at sf0.01 but not a headline: its fixed
 # 16-list quantizer is sized for the oracle's inlined SQL — at bench
 # scale IVF needs n_lists ~ sqrt(N) (see docs/SCALE.md), and ann_lsh
