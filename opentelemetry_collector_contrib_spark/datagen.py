@@ -272,36 +272,77 @@ def _write_tokens(path: str, n: int) -> None:
             writer.close()
 
 
+def _marker_valid(d: str) -> bool:
+    marker = os.path.join(d, "_GENERATED")
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        return f.read().startswith(GEN_VERSION)
+
+
 def ensure_sf(sf: float, force: bool = False) -> str:
     """Generate (if absent) all synthetic tables for a scale factor.
 
     Returns the directory.  Deterministic: same sf -> same bytes.
+
+    Concurrency-safe: generation lands in a temp dir that is RENAMED
+    into place, so a concurrent reader (a second gate process, a bench
+    run) only ever sees a complete directory — never a parquet file
+    mid-write.  Two concurrent generators both build; the first rename
+    wins, the loser discards its copy.  (The previous in-place write
+    left a window where the marker was valid-absent but tokens.parquet
+    existed truncated — exactly the kind of cross-process corruption
+    behind round 4's unreproducible hash-only red rows.)
     """
+    import shutil
+    import tempfile
+
     d = _sf_dir(sf)
-    marker = os.path.join(d, "_GENERATED")
-    if os.path.exists(marker) and not force:
-        with open(marker) as f:
-            if f.read().startswith(GEN_VERSION):
-                return d
-    os.makedirs(d, exist_ok=True)
+    if _marker_valid(d) and not force:
+        return d
+    os.makedirs(DATA_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f"sf{sf:g}.gen-", dir=DATA_ROOT)
     n = max(int(TOKENS_ROWS_SF1 * sf), 1000)
-    _write_tokens(os.path.join(d, "tokens.parquet"), n)
+    _write_tokens(os.path.join(tmp, "tokens.parquet"), n)
     # pods dim is sf-independent but re-derived from a fixed-seed stream
     rng_p = np.random.default_rng(np.random.PCG64(SEED + 1))
-    pq.write_table(gen_pods(rng_p), os.path.join(d, "pods.parquet"))
+    pq.write_table(gen_pods(rng_p), os.path.join(tmp, "pods.parquet"))
     rng_c = np.random.default_rng(np.random.PCG64(SEED + 2))
     pq.write_table(gen_carbon(rng_c, max(int(CARBON_ROWS_SF1 * sf), 1000)),
-                   os.path.join(d, "carbon.parquet"))
+                   os.path.join(tmp, "carbon.parquet"))
     rng_s = np.random.default_rng(np.random.PCG64(SEED + 3))
     pq.write_table(gen_statsd(rng_s, max(int(STATSD_ROWS_SF1 * sf), 1000)),
-                   os.path.join(d, "statsd.parquet"))
+                   os.path.join(tmp, "statsd.parquet"))
     rng_h = np.random.default_rng(np.random.PCG64(SEED + 4))
     pq.write_table(gen_hec(rng_h, max(int(CARBON_ROWS_SF1 * sf), 1000)),
-                   os.path.join(d, "hec.parquet"))
+                   os.path.join(tmp, "hec.parquet"))
     rng_m = np.random.default_rng(np.random.PCG64(SEED + 5))
-    pq.write_table(gen_media(rng_m, 256), os.path.join(d, "media.parquet"))
-    with open(marker, "w") as f:
+    pq.write_table(gen_media(rng_m, 256), os.path.join(tmp, "media.parquet"))
+    with open(os.path.join(tmp, "_GENERATED"), "w") as f:
         f.write(f"{GEN_VERSION} seed={SEED} n={n}\n")
+    if os.path.isdir(d):
+        if _marker_valid(d) and not force:
+            # a concurrent generator published while we built — use its
+            # (bit-identical) copy and drop ours
+            shutil.rmtree(tmp, ignore_errors=True)
+            return d
+        # stale version (or force): swap out-of-place, never truncate
+        # files a concurrent reader may hold open
+        stale = tempfile.mkdtemp(prefix=f"sf{sf:g}.stale-", dir=DATA_ROOT)
+        os.rename(d, os.path.join(stale, "old"))
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(stale, ignore_errors=True)
+        return d
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        # lost the publish race; the winner's dir is complete
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not _marker_valid(d):
+            raise
     return d
 
 

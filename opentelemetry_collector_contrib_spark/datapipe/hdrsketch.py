@@ -53,7 +53,12 @@ def hdr_bucket(v, sub_bits: int = SUB_BITS):
     counter)."""
     m = F.length(F.bin(v)) - 1                      # floor(log2 v)
     shift = F.greatest(m - sub_bits, F.lit(0))
-    scaled = F.floor(v / F.pow(F.lit(2.0), shift)).cast("long")
+    # literal integer shift — exact for ALL int64, unlike the earlier
+    # floor(v / pow(2.0, shift)) which leaned on pow(2, n) being exact
+    # in float64 (true, but libm pow is outside this repo's cross-engine
+    # exactness rules and the double quotient capped the domain at 2^53)
+    scaled = F.call_function("shiftright", v.cast("long"),
+                             shift.cast("int"))
     return (F.when(v <= 0, F.lit(0))
             .otherwise((shift.cast("long") * (1 << (sub_bits + 1)))
                        + scaled))
@@ -64,8 +69,9 @@ def hdr_bucket_hi(bucket, sub_bits: int = SUB_BITS):
     quantile representative)."""
     shift = (bucket / (1 << (sub_bits + 1))).cast("long")
     base = bucket - shift * (1 << (sub_bits + 1))
-    width = F.pow(F.lit(2.0), shift)
-    return ((base * width) + width - 1).cast("long")
+    # hi = (base + 1) * 2^shift - 1, in integer shifts
+    return (F.call_function("shiftleft", (base + 1).cast("long"),
+                            shift.cast("int")) - 1).cast("long")
 
 
 def hdr_build(df: DataFrame, value_col, group_cols: list[str],

@@ -165,7 +165,11 @@ def token_quality(df: DataFrame, k: int = 2,
                   max_dup_gram_frac: float = 0.5) -> DataFrame:
     """Per-doc token-space quality signals + threshold flags (see
     module docstring).  ONE Arrow hop; ratios/flags in Catalyst."""
-    n_tok = F.size(F.col(tokens_col))
+    # NULL arrays count 0 tokens on BOTH engines: bare F.size is -1
+    # under non-ANSI Spark and NULL under ANSI, either of which
+    # diverges from the Python twin / DuckDB oracle (len -> 0/NULL)
+    n_tok = F.when(F.col(tokens_col).isNull(), F.lit(0)) \
+        .otherwise(F.size(F.col(tokens_col)))
     c = _token_counts_udf(k)(F.col(tokens_col))
     out = (df.select(F.col(id_col).alias("id"),
                      n_tok.alias("n_tok"), c.alias("_c"))

@@ -328,6 +328,7 @@ def _write_sink_branches(df: DataFrame, cfg: PipelineConfig,
             for u in units:
                 shutil.rmtree(f"{base}/unit={u}", ignore_errors=True)
             bad.write.mode("overwrite") \
+                .option("partitionOverwriteMode", "dynamic") \
                 .partitionBy(*partition_cols).parquet(qp)
             drop_obs[sink_name] = dobs
         obs = Observation()

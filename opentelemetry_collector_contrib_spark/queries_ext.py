@@ -539,28 +539,27 @@ def q_fuzzy_dedup_ingest(spark, sf_dir, tok_dir):
     (token-gram MinHash vs the committed band state, then in-cycle
     star+CC).  The deduped corpus read back must hash-equal the
     oracle's direct two-phase replay."""
-    import shutil
     from .datapipe.dedup import hash_sample
     from .datapipe.incremental_dedup import (read_corpus,
                                              run_fuzzy_dedup_ingest_cycle)
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "data", f"_q_fuzzy_ingest_{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(scratch, ignore_errors=True)
-    toks = hash_sample(
-        spark.read.parquet(os.path.join(tok_dir, "tokens.parquet")),
-        0.02, salt="tokmh")
-    half = portable_hash(
-        F.concat(F.lit("half:"), F.col("doc_id"))) % 2
-    in_dir = os.path.join(scratch, "tokens")
-    out_dir = os.path.join(scratch, "corpus")
-    toks.filter(half == 0).write.parquet(in_dir)
-    run_fuzzy_dedup_ingest_cycle(spark, in_dir, out_dir,
-                                 threshold=0.4, k_gram=4)
-    toks.filter(half == 1).write.mode("append").parquet(in_dir)
-    run_fuzzy_dedup_ingest_cycle(spark, in_dir, out_dir,
-                                 threshold=0.4, k_gram=4)
-    return read_corpus(spark, out_dir).select("doc_id", "source", "n_tok")
+    from .scratchdir import run_scratch
+    with run_scratch("fuzzy_ingest") as scratch:
+        toks = hash_sample(
+            spark.read.parquet(os.path.join(tok_dir, "tokens.parquet")),
+            0.02, salt="tokmh")
+        half = portable_hash(
+            F.concat(F.lit("half:"), F.col("doc_id"))) % 2
+        in_dir = os.path.join(scratch, "tokens")
+        out_dir = os.path.join(scratch, "corpus")
+        toks.filter(half == 0).write.parquet(in_dir)
+        run_fuzzy_dedup_ingest_cycle(spark, in_dir, out_dir,
+                                     threshold=0.4, k_gram=4)
+        toks.filter(half == 1).write.mode("append").parquet(in_dir)
+        run_fuzzy_dedup_ingest_cycle(spark, in_dir, out_dir,
+                                     threshold=0.4, k_gram=4)
+        return (read_corpus(spark, out_dir)
+                .select("doc_id", "source", "n_tok")
+                .localCheckpoint(eager=True))
 
 
 def q_length_batches(spark, sf_dir, tok_dir):

@@ -236,6 +236,15 @@ def write_sink(df: DataFrame, cfg: SinkConfig,
                                str(cfg.parquet_block_bytes))
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
+        if mode == "overwrite":
+            # resume/append semantics REQUIRE replacing only the
+            # partitions present in this write (a retried unit, a new
+            # cycle) — never siblings.  Pin it per-write: the writer
+            # option overrides the session conf, so the behavior no
+            # longer depends on who built the SparkSession (the driver's
+            # default-STATIC session wiped committed cycle=… dirs in
+            # round 4's pipeline_incremental_sink red row).
+            writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.parquet(cfg.path)
 
 

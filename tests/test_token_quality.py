@@ -17,6 +17,7 @@ DOCS = [
     ("empty", []),
     ("mixed", [5, 5, 6, 7, 5, 5, 6, 8, 9, 10, 11, 12]),
     ("tie", [3, 3, 4, 4, 1, 2]),                   # top-count tie -> min id
+    ("nullarr", None),                             # NULL array == 0 tokens
 ]
 
 
@@ -50,6 +51,11 @@ def test_degenerate_docs_flagged(result):
     assert not result["short"]["ok_length"]
     assert result["empty"]["n_tok"] == 0 and not result["empty"]["keep"]
     assert result["empty"]["top_token"] is None
+    # NULL arrays behave exactly like empty ones (F.size alone gives
+    # -1/NULL depending on ANSI mode — both diverge from the twin)
+    assert result["nullarr"]["n_tok"] == 0
+    assert not result["nullarr"]["keep"]
+    assert result["nullarr"]["distinct_ratio"] == 0.0
 
 
 def test_vectorized_batch_equals_per_doc_path():
