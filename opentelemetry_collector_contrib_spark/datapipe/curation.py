@@ -30,9 +30,51 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .dedup import shingles_udf
 
 
+_PACK_GROUP_TARGET_BYTES = 256 << 20
+
+
+def auto_pack_groups(input_bytes: int, parallelism: int,
+                     target_bytes: int = _PACK_GROUP_TARGET_BYTES) -> int:
+    """Pure sizing rule for the packing group count: enough md5-derived
+    groups that each group's cumsum-window sort handles ~``target_bytes``
+    of input, floored at the cluster parallelism so small inputs still
+    use every core.  At 100 TB / 256 MB targets this yields ~400k
+    groups — the window stage's parallelism tracks the corpus instead
+    of a constant (the round-4 default of 16 groups meant ~6 TB of
+    sort per task at that scale)."""
+    n = max(int(parallelism),
+            (int(input_bytes) + target_bytes - 1) // target_bytes, 1)
+    return int(min(n, 1 << 20))
+
+
+def _pack_grp(id_col: str, n_groups: int):
+    """Uniform md5-derived group id, 32 hash bits wide (2 hex chars
+    would cap the spread at 256 groups — auto-sizing reaches ~400k at
+    100 TB).  DuckDB twin:
+    ``CAST(('0x' || substr(md5(id), 1, 8)) AS BIGINT) % N``."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    return (h % n_groups).cast("int")
+
+
+def _resolve_groups(df: DataFrame, n_groups) -> int:
+    """``n_groups="auto"`` sizes from Catalyst's plan statistics
+    (file-size based for parquet scans — metadata only, no job) and the
+    session's default parallelism; an int passes through."""
+    if n_groups == "auto":
+        spark = df.sparkSession
+        try:
+            b = int(df._jdf.queryExecution().optimizedPlan()
+                    .stats().sizeInBytes())
+        except Exception:
+            b = 0
+        return auto_pack_groups(b, spark.sparkContext.defaultParallelism)
+    return int(n_groups)
+
+
 def pack_chunks(df: DataFrame, budget: int = 2048,
                 id_col: str = "doc_id", len_col: str = "n_tok",
-                n_groups: int = 16) -> DataFrame:
+                n_groups: int | str = "auto") -> DataFrame:
     """Assign each document its span of ``budget``-token chunks.
 
     Documents are ordered by id inside ``n_groups`` md5-derived groups
@@ -44,8 +86,8 @@ def pack_chunks(df: DataFrame, budget: int = 2048,
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    grp = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2),
-                 16, 10).cast("int") % n_groups
+    n_groups = _resolve_groups(df, n_groups)
+    grp = _pack_grp(id_col, n_groups)
     w = (Window.partitionBy("grp").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     n = F.col(len_col).cast("bigint")
@@ -70,7 +112,7 @@ def pack_chunks(df: DataFrame, budget: int = 2048,
 
 def pack_tokens(df: DataFrame, budget: int = 2048,
                 id_col: str = "doc_id", tokens_col: str = "tokens",
-                n_groups: int = 16) -> DataFrame:
+                n_groups: int | str = "auto") -> DataFrame:
     """MATERIALIZE the packed training rows: where :func:`pack_chunks`
     computes each document's chunk assignment, this produces the
     actual ``budget``-token context windows — concatenated token
@@ -98,8 +140,8 @@ def pack_tokens(df: DataFrame, budget: int = 2048,
 
     if budget <= 0:
         raise ValueError("budget must be positive")
-    grp = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2),
-                 16, 10).cast("int") % n_groups
+    n_groups = _resolve_groups(df, n_groups)
+    grp = _pack_grp(id_col, n_groups)
     n = F.when(F.col(tokens_col).isNull(), F.lit(0)) \
         .otherwise(F.size(tokens_col)).cast("bigint")
     w = (Window.partitionBy("grp").orderBy(id_col)

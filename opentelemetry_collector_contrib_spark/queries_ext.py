@@ -605,14 +605,9 @@ def q_token_contamination(spark, sf_dir, tok_dir):
     return token_contamination(toks, bench, n=13)
 
 
-def q_pack_tokens(spark, sf_dir, tok_dir):
-    """Materialized token packing (datapipe/curation.py::pack_tokens):
-    the actual budget-token training rows with doc-span metadata —
-    serialized for the driver canon (packed arrays + ordered spans as
-    strings)."""
-    from .datapipe.curation import pack_tokens
-    toks = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
-    out = pack_tokens(toks, budget=2048)
+def _pack_tokens_serialize(out):
+    """Driver-canon projection of pack_tokens output (packed arrays +
+    ordered spans as strings — list cells break pandas sort_values)."""
     return out.select(
         "grp", "chunk", "n_docs", "n_tok",
         F.concat_ws(",", F.col("tokens").cast("array<string>"))
@@ -620,6 +615,41 @@ def q_pack_tokens(spark, sf_dir, tok_dir):
         F.array_join(F.transform("spans", lambda s: F.concat_ws(
             ":", s["doc_id"], s["start"].cast("string"),
             s["len"].cast("string"))), ",").alias("spans_s"))
+
+
+def _sized_pack_groups(tok_dir: str) -> int:
+    """The group count BOTH gate sides use for pack_tokens_sized:
+    the op's pure auto-sizing rule over the file's on-disk bytes, with
+    the parallelism floor pinned at 32 so the value is session-
+    independent (gate runs use local[16], the driver local[32])."""
+    from .datapipe.curation import auto_pack_groups
+    return auto_pack_groups(
+        os.path.getsize(os.path.join(tok_dir, "tokens.parquet")), 32)
+
+
+def q_pack_tokens(spark, sf_dir, tok_dir):
+    """Materialized token packing (datapipe/curation.py::pack_tokens):
+    the actual budget-token training rows with doc-span metadata —
+    serialized for the driver canon (packed arrays + ordered spans as
+    strings)."""
+    from .datapipe.curation import pack_tokens
+    toks = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    return _pack_tokens_serialize(
+        pack_tokens(toks, budget=2048, n_groups=16))  # pinned oracle
+
+
+def q_pack_tokens_sized(spark, sf_dir, tok_dir):
+    """Auto-SIZED token packing under the oracle gate: the group count
+    derives from the input's on-disk bytes via the op's own sizing rule
+    (datapipe/curation.py::auto_pack_groups — the n_groups="auto"
+    default), computed identically on both gate sides, so the sized
+    grouping (32 groups at sf0.01, ~400k at 100 TB) is value-hash
+    checked end to end, not just the pinned 16-group configuration."""
+    from .datapipe.curation import pack_tokens
+    n = _sized_pack_groups(tok_dir)
+    toks = spark.read.parquet(os.path.join(tok_dir, "tokens.parquet"))
+    return _pack_tokens_serialize(
+        pack_tokens(toks, budget=2048, n_groups=n))
 
 
 def q_simhash_fp(spark, sf_dir):
@@ -1713,6 +1743,43 @@ def _pred_lang_sql() -> str:
     return "CASE " + " ".join(clauses) + " ELSE 'unk' END"
 
 
+def _pack_tokens_oracle_sql(d: str, n_groups: int) -> str:
+    """DuckDB replay of pack_tokens at an arbitrary group count (the
+    pinned query uses 16; pack_tokens_sized passes the auto-sizing
+    rule's result)."""
+    return f"""WITH t AS (
+  SELECT doc_id, tokens, len(tokens) AS nt,
+         CAST(CAST(('0x' || substr(md5(doc_id), 1, 8)) AS BIGINT)
+              % {n_groups} AS INT) AS grp
+  FROM read_parquet('{d}/tokens.parquet')
+), w AS (
+  SELECT *, sum(nt) OVER (PARTITION BY grp ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - nt AS prev
+  FROM t
+), pos AS (
+  SELECT doc_id, grp,
+         (prev + i) // 2048 AS chunk,
+         (prev + i) % 2048 AS pic, tok
+  FROM (SELECT doc_id, grp, prev, unnest(tokens) AS tok,
+               generate_subscripts(tokens, 1) - 1 AS i
+        FROM w WHERE nt > 0)
+), packed AS (
+  SELECT grp, chunk, count(*)::INT AS n_tok,
+         array_to_string(list(tok ORDER BY pic), ',') AS tokens_s
+  FROM pos GROUP BY grp, chunk
+), sp AS (
+  SELECT grp, chunk, doc_id, min(pic) AS start, count(*) AS len
+  FROM pos GROUP BY grp, chunk, doc_id
+), spa AS (
+  SELECT grp, chunk, count(*)::INT AS n_docs,
+         string_agg(doc_id || ':' || start || ':' || len, ','
+                    ORDER BY start) AS spans_s
+  FROM sp GROUP BY grp, chunk
+)
+SELECT p.grp, p.chunk, s.n_docs, p.n_tok, p.tokens_s, s.spans_s
+FROM packed p JOIN spa s ON s.grp = p.grp AND s.chunk = p.chunk"""
+
+
 def _tokens_curation_oracle_sql(d: str) -> str:
     """DuckDB twin of the COMPOSED tokens-native curation cascade
     (datapipe/token_curation.py): every stage replayed in one query —
@@ -2722,36 +2789,10 @@ FROM n GROUP BY source HAVING sum(nc) > 0""",
 
         "fuzzy_dedup_ingest": _fuzzy_ingest_oracle_sql(d),
 
-        "pack_tokens": f"""WITH t AS (
-  SELECT doc_id, tokens, len(tokens) AS nt,
-         CAST(('0x' || substr(md5(doc_id), 1, 2)) AS INT) % 16 AS grp
-  FROM read_parquet('{d}/tokens.parquet')
-), w AS (
-  SELECT *, sum(nt) OVER (PARTITION BY grp ORDER BY doc_id
-                          ROWS UNBOUNDED PRECEDING) - nt AS prev
-  FROM t
-), pos AS (
-  SELECT doc_id, grp,
-         (prev + i) // 2048 AS chunk,
-         (prev + i) % 2048 AS pic, tok
-  FROM (SELECT doc_id, grp, prev, unnest(tokens) AS tok,
-               generate_subscripts(tokens, 1) - 1 AS i
-        FROM w WHERE nt > 0)
-), packed AS (
-  SELECT grp, chunk, count(*)::INT AS n_tok,
-         array_to_string(list(tok ORDER BY pic), ',') AS tokens_s
-  FROM pos GROUP BY grp, chunk
-), sp AS (
-  SELECT grp, chunk, doc_id, min(pic) AS start, count(*) AS len
-  FROM pos GROUP BY grp, chunk, doc_id
-), spa AS (
-  SELECT grp, chunk, count(*)::INT AS n_docs,
-         string_agg(doc_id || ':' || start || ':' || len, ','
-                    ORDER BY start) AS spans_s
-  FROM sp GROUP BY grp, chunk
-)
-SELECT p.grp, p.chunk, s.n_docs, p.n_tok, p.tokens_s, s.spans_s
-FROM packed p JOIN spa s ON s.grp = p.grp AND s.chunk = p.chunk""",
+        "pack_tokens": _pack_tokens_oracle_sql(d, 16),
+
+        "pack_tokens_sized": _pack_tokens_oracle_sql(
+            d, _sized_pack_groups(d)),
 
         "token_contamination": f"""WITH t AS (
   SELECT doc_id, tokens FROM read_parquet('{d}/tokens.parquet')
@@ -3073,6 +3114,7 @@ def extra_queries(tok_dir_for) -> dict:
         "length_batches": with_tok(q_length_batches),
         "token_contamination": with_tok(q_token_contamination),
         "pack_tokens": with_tok(q_pack_tokens),
+        "pack_tokens_sized": with_tok(q_pack_tokens_sized),
         "temperature_mix": with_tok(q_temperature_mix),
         "simhash_fp": q_simhash_fp,
         "simhash_pairs": q_simhash_pairs,

@@ -1069,7 +1069,8 @@ def q_pack_chunks(spark, sf_dir, tok_dir) -> DataFrame:
 def _pack_oracle(d: str) -> str:
     return f"""WITH t AS (
   SELECT doc_id, CAST(n_tok AS BIGINT) AS n,
-         CAST('0x' || substr(md5(doc_id), 1, 2) AS INT) % 16 AS grp
+         CAST(CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 16
+              AS INT) AS grp
   FROM read_parquet('{d}/tokens.parquet')
 ), c AS (
   SELECT doc_id, grp, n,

@@ -52,6 +52,43 @@ def test_pack_chunks_rejects_bad_budget(spark):
         pack_chunks(df, budget=0)
 
 
+def test_auto_pack_groups_scales_with_input():
+    from opentelemetry_collector_contrib_spark.datapipe.curation import (
+        auto_pack_groups)
+    # small inputs floor at the cluster parallelism
+    assert auto_pack_groups(1 << 20, 32) == 32
+    assert auto_pack_groups(0, 8) == 8
+    # past the floor the count tracks bytes / 256 MB
+    assert auto_pack_groups(100 << 30, 32) == 400          # 100 GB
+    assert auto_pack_groups(100 << 40, 32) == 409600       # 100 TB
+    # runaway cap
+    assert auto_pack_groups(1 << 60, 32) == 1 << 20
+
+
+def test_pack_groups_auto_resolution(spark, tmp_path):
+    """n_groups="auto" (the default) sizes from plan statistics: a tiny
+    parquet scan resolves to the parallelism floor, and the resolved
+    grouping is identical to passing the same count explicitly."""
+    from opentelemetry_collector_contrib_spark.datapipe.curation import (
+        _resolve_groups, auto_pack_groups, pack_tokens)
+    rows = [(f"d{i:03d}", list(range(i % 7 + 1))) for i in range(200)]
+    p = str(tmp_path / "toks.parquet")
+    spark.createDataFrame(rows, "doc_id string, tokens array<int>") \
+        .write.parquet(p)
+    df = spark.read.parquet(p)
+    par = spark.sparkContext.defaultParallelism
+    n = _resolve_groups(df, "auto")
+    assert n == auto_pack_groups(
+        int(df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()), par)
+    assert n >= par
+    auto_rows = sorted(map(tuple, pack_tokens(df, budget=16).collect()))
+    expl_rows = sorted(map(tuple,
+                           pack_tokens(df, budget=16,
+                                       n_groups=n).collect()))
+    assert auto_rows == expl_rows
+
+
 def test_contamination_overlap_counts(spark):
     train = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),
