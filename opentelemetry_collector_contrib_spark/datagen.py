@@ -30,7 +30,21 @@ import pyarrow.parquet as pq
 
 SEED = 20260816
 GEN_VERSION = "v3"   # bump when adding tables so stale dirs regenerate
-DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+def _default_data_root() -> str:
+    """Synthetic-data dir: $SPARK_GRAFT_DATA_ROOT, else <repo>/data.
+    When the package is imported from a spark-submit --py-files zip
+    the parent "directory" is the archive itself — fall back to the
+    driver's cwd instead of trying to mkdir inside the zip."""
+    env = os.environ.get("SPARK_GRAFT_DATA_ROOT")
+    if env:
+        return env
+    parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.isdir(parent):
+        return os.path.join(parent, "data")
+    return os.path.join(os.getcwd(), "data")
+
+
+DATA_ROOT = _default_data_root()
 
 # rows per sf=1.0 (so sf0.01 -> 60k, matching the driver's lineitem scale)
 TOKENS_ROWS_SF1 = 6_000_000

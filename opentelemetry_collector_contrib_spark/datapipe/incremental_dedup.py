@@ -249,7 +249,8 @@ def run_fuzzy_dedup_ingest_cycle(spark: SparkSession, input_path: str,
                                  k_gram: int = 4,
                                  m: int = BLOOM_M, k: int = BLOOM_K,
                                  id_col: str = "doc_id",
-                                 tokens_col: str = "tokens") -> dict:
+                                 tokens_col: str = "tokens",
+                                 metrics_out: dict | None = None) -> dict:
     """The fuzzy twin of :func:`run_dedup_ingest_cycle`: a cycle also
     drops docs that NEAR-duplicate the committed history (token-gram
     MinHash, Jaccard >= threshold) and then fuzzy-dedups within the
@@ -271,7 +272,13 @@ def run_fuzzy_dedup_ingest_cycle(spark: SparkSession, input_path: str,
     ``fuzzy_dedup_ingest``): within-cycle exact keep-first → exact-
     vs-history (Bloom + digest anti-join) → fuzzy-vs-history drop →
     in-cycle star+CC survivors → append data/digests/bands, OR the
-    bitmap, commit."""
+    bitmap, commit.
+
+    ``metrics_out`` (dict, opt-in — costs 2-3 extra count actions):
+    filled with the cross-history candidate sizes of this cycle
+    (``n_cand_hist`` pairs, ``n_hist_docs_fetched`` distinct history
+    docs, ``n_dropped_hist_fuzzy``) — the terms whose growth-vs-history
+    the multi-cycle bench (tools/bench_fuzzy_cycles.py) tracks."""
     from .cluster import connected_components
 
     ledger = FileLedger(os.path.join(out_dir, "_dedup_ledger"))
@@ -307,17 +314,21 @@ def run_fuzzy_dedup_ingest_cycle(spark: SparkSession, input_path: str,
                   .distinct()).persist()
         to_unpersist.append(cand_x)
         old_ids = cand_x.select(F.col("id_b").alias(id_col)).distinct()
-        # Fetch candidate historical docs.  Small candidate sets (the
-        # common case: |candidates| ~ O(increment)) collect to an isin
-        # PREDICATE so the filter reaches the parquet scan — on a
-        # corpus compacted sorted by doc_id (sinks/maintenance.compact)
-        # row-group min/max stats then skip everything but the touched
-        # files, instead of scanning the whole history per cycle.
-        # Large sets fall back to a join (ids broadcast; history side
+        # Fetch candidate historical docs.  SMALL candidate sets
+        # collect to an isin PREDICATE so the filter reaches the
+        # parquet scan — on a corpus compacted sorted by doc_id
+        # (sinks/maintenance.compact) row-group min/max stats then
+        # skip everything but the touched files, instead of scanning
+        # the whole history per cycle.  Cap at 2k: each isin literal
+        # is marshalled through py4j and inflates the plan, a cost
+        # that GROWS with the id count (the multi-cycle bench caught
+        # the old 20k cap as the one per-cycle term trending up while
+        # candidate pairs stayed flat).  Larger sets fall back to a
+        # plan-stable broadcast join (ids broadcast; history side
         # scanned but never shuffled).
-        ids = [r[0] for r in old_ids.limit(20_001).collect()]
+        ids = [r[0] for r in old_ids.limit(2_001).collect()]
         hist_corpus = read_corpus(spark, out_dir)
-        if len(ids) <= 20_000:
+        if len(ids) <= 2_000:
             old_docs = hist_corpus.filter(F.col(id_col).isin(ids))
         else:
             old_docs = hist_corpus.join(F.broadcast(old_ids), id_col)
@@ -328,6 +339,13 @@ def run_fuzzy_dedup_ingest_cycle(spark: SparkSession, input_path: str,
         near_hist = (_jaccard_filter(cand_x, sh_new, threshold,
                                      sh_b=sh_old)
                      .select(F.col("id_a").alias("id")).distinct())
+        if metrics_out is not None:
+            near_hist = near_hist.persist()
+            to_unpersist.append(near_hist)
+            metrics_out["n_cand_hist"] = cand_x.count()
+            metrics_out["n_hist_docs_fetched"] = len(ids) \
+                if len(ids) <= 2_000 else old_ids.count()
+            metrics_out["n_dropped_hist_fuzzy"] = near_hist.count()
         fresh2 = fresh.join(near_hist.withColumnRenamed("id", id_col),
                             id_col, "left_anti").persist()
     else:

@@ -25,13 +25,17 @@ import os
 import shutil
 import tempfile
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def _scratch_base() -> str:
+    # mirrors datagen's data-root resolution: repo checkout when the
+    # package lives on disk, cwd when imported from a --py-files zip
+    from .datagen import DATA_ROOT
+    return DATA_ROOT
 
 
 @contextlib.contextmanager
 def run_scratch(tag: str):
     """Yield a unique scratch dir under ``data/``; removed on exit."""
-    base = os.path.join(_REPO_ROOT, "data")
+    base = _scratch_base()
     os.makedirs(base, exist_ok=True)
     d = tempfile.mkdtemp(prefix=f"_q_{tag}_", dir=base)
     try:

@@ -248,6 +248,15 @@ def read_pinned(spark: SparkSession, path: str,
     return spark.read.option("basePath", path).parquet(*full)
 
 
+def sweep_snapshots(path: str) -> dict[int, list[str]]:
+    """verify_snapshot over EVERY published version: version ->
+    dangling file list (empty = that version is still fully pinnable).
+    The maintenance sweep an operator runs after compaction/expiry to
+    know which historical versions remain time-travelable — see
+    ``jobs/verify_snapshots.py`` for the per-sink sweep job."""
+    return {v: verify_snapshot(path, v) for v in snapshot_versions(path)}
+
+
 def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
     """Drop old snapshot metadata, keeping the newest ``keep_last``
     versions (Iceberg's expire_snapshots, metadata side: data files are

@@ -285,6 +285,53 @@ def test_compact_preserves_cycle_layout(spark, sf_dir, tmp_path):
     assert got.count() > n_before
 
 
+def test_compact_pinned_read_equality_and_version_sweep(spark, sf_dir,
+                                                        tmp_path):
+    """The time-travel half of the compaction contract: after
+    compacting a two-cycle sink, (a) the CURRENT pinned read is
+    value-identical to the pre-compaction data, (b) the pre-compaction
+    versions dangle LOUDLY (verify_snapshot lists the rewritten files,
+    read_pinned raises) — never silently return different rows, and
+    (c) sweep_snapshots reports exactly which versions remain
+    pinnable."""
+    import pytest
+    from opentelemetry_collector_contrib_spark.sinks.maintenance import (
+        compact, current_version, read_snapshot, sweep_snapshots)
+    in_dir, _, b = _split_tokens(spark, sf_dir, tmp_path)
+    cfg = _inc_cfg(in_dir, sf_dir, tmp_path / "out")
+    run_pipeline_incremental(spark, cfg)
+    b.write.mode("append").parquet(in_dir)
+    run_pipeline_incremental(spark, cfg)
+    p = cfg.sink_cfg("sumologic").path
+    before = sorted(map(tuple, spark.read.parquet(p)
+                        .select("doc_id", "cycle", "n_tok").collect()))
+    v_pre = current_version(p)
+    assert v_pre == 2
+
+    compact(spark, p, target_file_bytes=1 << 30)
+
+    # (a) current pinned read == pre-compaction rows, cycle col intact
+    v_cur = current_version(p)
+    assert v_cur == v_pre + 1
+    pinned = sorted(map(tuple, read_pinned(spark, p)
+                        .select("doc_id", "cycle", "n_tok").collect()))
+    assert pinned == before
+    # the snapshot metadata never grows (at toy scale each cycle=/unit=
+    # partition may already be a single file; the coalesce is a no-op)
+    assert read_snapshot(p, v_cur)["n_files"] \
+        <= read_snapshot(p, v_pre)["n_files"]
+
+    # (b) pre-compaction versions dangle loudly
+    assert verify_snapshot(p, v_pre) != []
+    with pytest.raises(FileNotFoundError, match="dangling"):
+        read_pinned(spark, p, version=v_pre)
+
+    # (c) the sweep maps the whole history: old versions dangling,
+    # current clean
+    sweep = sweep_snapshots(p)
+    assert [v for v, miss in sorted(sweep.items()) if not miss] == [v_cur]
+
+
 def test_no_new_data_heals_unpublished_snapshots(spark, sf_dir, tmp_path):
     """Crash window between ledger commit and snapshot publish: the
     next (even no-op) run republishes, so committed data is never

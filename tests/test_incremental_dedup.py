@@ -134,6 +134,31 @@ def test_fuzzy_cycles_drop_near_dups_of_history_and_within(spark, tmp_path):
     assert _ids(spark, out) == {"n0", "u0", "u1", "u2", "p0", "f0"}
 
 
+def test_fuzzy_metrics_out_reports_candidate_sizes(spark, tmp_path):
+    """The opt-in metrics_out dict reports the cross-history candidate
+    terms (the quantities the multi-cycle bench tracks for
+    flat-per-increment evidence); omitted by default."""
+    from opentelemetry_collector_contrib_spark.datapipe.incremental_dedup \
+        import run_fuzzy_dedup_ingest_cycle
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    _write(spark, src,
+           [(f"n{i}", "s", TEMPLATE + [900 + i]) for i in range(3)])
+    m0: dict = {}
+    run_fuzzy_dedup_ingest_cycle(spark, src, out, threshold=0.3,
+                                 metrics_out=m0)
+    assert m0 == {}                       # no history yet: no fetch
+    _write(spark, src, [("h0", "s", TEMPLATE + [950]),       # ~ n0
+                        ("f0", "s", [7000 + 17 * j
+                                     for j in range(20)])])
+    m: dict = {}
+    r = run_fuzzy_dedup_ingest_cycle(spark, src, out, threshold=0.3,
+                                     metrics_out=m)
+    assert r["rows_appended"] == 1                           # f0 only
+    assert m["n_cand_hist"] >= 1          # (h0, n0) bucket collision
+    assert m["n_hist_docs_fetched"] == 1  # only n0's array fetched
+    assert m["n_dropped_hist_fuzzy"] == 1                    # h0
+
+
 def test_fuzzy_history_state_is_survivor_bands_only(spark, tmp_path):
     """The band state written per cycle covers exactly the appended
     survivors — the property that keeps history buckets small."""
