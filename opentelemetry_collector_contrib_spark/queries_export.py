@@ -706,6 +706,13 @@ def q_datadog(spark, sf_dir, tok_dir) -> DataFrame:
         .otherwise(F.lit("")).alias("lib_name"),
         F.when(t % 6 < 4, F.lit("1.0")).otherwise(F.lit(""))
         .alias("lib_version"))
+    # materialize the synthesized fixture before the operator: without
+    # the cut, Catalyst inlines the ~40-branch map_concat trees into
+    # every one of datadog_spans' 15 projections — a 21 MiB task
+    # binary that OOMs an 8g driver at 32 concurrent tasks under
+    # default confs (bare-session repro, round 5).  The operator under
+    # test then runs over a real table, which is also the honest shape.
+    spans = spans.localCheckpoint(eager=True)
     return datadog_spans(spans, cfg_env="none", cfg_service="cfg-svc",
                          cfg_version="9.9", cfg_hostname="otelcol")
 

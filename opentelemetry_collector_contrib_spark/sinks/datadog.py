@@ -152,32 +152,45 @@ def datadog_spans(spans: DataFrame, cfg_env: str = "none",
         F.when(_ne(F.col("lib_version")),
                F.create_map(F.lit("otel.library.version"),
                             F.col("lib_version"))).otherwise(empty))
-    tags = merge_maps(merge_maps(dd_tags, il_tags, mode="upsert"),
-                      attrs, mode="upsert")
+
+    # The tag map is built in STAGES, each merged layer landing in an
+    # aliased column that the next layer references as a plain column.
+    # Building the whole chain as one nested expression re-inlines
+    # every earlier layer at every later lookup (the version layer
+    # reads two keys of the previous map, the final projection reads
+    # the finished map ~15 times) — a ~20 MiB serialized task binary
+    # that OOM'd an 8 GiB driver at 32 concurrent tasks.  Catalyst's
+    # CollapseProject keeps these staged aliases un-inlined because
+    # each is non-cheap and referenced more than once (SPARK-36718),
+    # and whole-stage codegen still fuses the projections into one
+    # stage — same plan shape, bounded expression size.
+    spans = spans.withColumn(
+        "_t0", merge_maps(merge_maps(dd_tags, il_tags, mode="upsert"),
+                          attrs, mode="upsert"))
+    t0 = F.col("_t0")
 
     # _dd.tags.container from the merged tag view (:299, :305-316)
-    cid = _g(tags, "container.id")
-    pod = _g(tags, "k8s.pod.name")
+    cid = _g(t0, "container.id")
+    pod = _g(t0, "k8s.pod.name")
     container = F.concat_ws(
         ",",
         F.when(cid.isNotNull(), F.concat(F.lit("container_id:"), cid)),
         F.when(pod.isNotNull(), F.concat(F.lit("pod_name:"), pod)))
-    tags = merge_maps(tags, F.create_map(F.lit("_dd.tags.container"),
-                                         container), mode="upsert")
+    spans = spans.withColumn(
+        "_t1", merge_maps(t0, F.create_map(F.lit("_dd.tags.container"),
+                                           container), mode="upsert"))
+    t1 = F.col("_t1")
 
-    sv = _g(tags, "service.version")
+    sv = _g(t1, "service.version")
     version = F.when(_ne(sv), sv) \
-        .when(~_ne(F.coalesce(_g(tags, "version"), F.lit("")))
+        .when(~_ne(F.coalesce(_g(t1, "version"), F.lit("")))
               & (F.lit(cfg_version) != ""), F.lit(cfg_version))
-    tags = merge_maps(tags,
-                      F.when(version.isNotNull(),
-                             F.create_map(F.lit("version"), version))
-                      .otherwise(empty), mode="upsert")
-    tags = merge_maps(tags,
-                      F.when(_ne(F.col("trace_state")),
-                             F.create_map(F.lit("w3c.tracestate"),
-                                          F.col("trace_state")))
-                      .otherwise(empty), mode="upsert")
+    spans = spans.withColumn(
+        "_t2", merge_maps(t1,
+                          F.when(version.isNotNull(),
+                                 F.create_map(F.lit("version"), version))
+                          .otherwise(empty), mode="upsert"))
+    t2 = F.col("_t2")
 
     # error flag + tags (:449-488)
     code = F.col("status_code")
@@ -193,7 +206,15 @@ def datadog_spans(spans: DataFrame, cfg_env: str = "none",
                          .otherwise(F.concat(F.lit("ERR_CODE_"),
                                              code.cast("string")))))) \
         .otherwise(empty)
-    tags = merge_maps(tags, err_tags, mode="upsert")
+    spans = spans.withColumn(
+        "_tags", merge_maps(
+            merge_maps(t2,
+                       F.when(_ne(F.col("trace_state")),
+                              F.create_map(F.lit("w3c.tracestate"),
+                                           F.col("trace_state")))
+                       .otherwise(empty), mode="upsert"),
+            err_tags, mode="upsert"))
+    tags = F.col("_tags")
     hsc = _g(tags, "http.status_code").try_cast("long")
     kind = F.lower(F.coalesce(F.col("kind"), F.lit("")))
     is_error = F.when(status_err |

@@ -105,17 +105,32 @@ def main() -> int:
                     help="use session.get_spark() instead of bare defaults")
     ap.add_argument("--battery", action="store_true",
                     help="run ALL queries in registry order first")
+    ap.add_argument("--conf", action="append", default=[],
+                    metavar="K=V",
+                    help="extra session conf(s), e.g. "
+                         "--conf spark.sql.ansi.enabled=false — probe "
+                         "conf-sensitivity beyond the bare defaults")
     args = ap.parse_args()
 
+    extra = dict(c.split("=", 1) for c in args.conf)
     if args.tuned:
         from opentelemetry_collector_contrib_spark.session import get_spark
-        spark = get_spark(cpus=32)
+        spark = get_spark(cpus=32, extra_conf=extra)
         label = "tuned(session.get_spark)"
     else:
         from pyspark.sql import SparkSession
-        spark = (SparkSession.builder.master("local[32]")
-                 .appName("repro-driver-canon").getOrCreate())
-        label = "bare(local[32] defaults)"
+        # driver memory is sizing, not semantics: the stock 1g heap
+        # OOMs mid-battery (ngram_dedup) and poisons the context for
+        # every later query; every SQL-semantics conf stays default
+        b = SparkSession.builder.master("local[32]") \
+            .appName("repro-driver-canon") \
+            .config("spark.driver.memory", "8g")
+        for k, v in extra.items():
+            b = b.config(k, v)
+        spark = b.getOrCreate()
+        label = "bare(local[32] defaults, 8g heap)"
+    if extra:
+        label += f" + {extra}"
     print(f"session: {label}")
     conf0 = conf_snapshot(spark)
     for k, v in conf0.items():
